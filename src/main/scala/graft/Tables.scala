@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog bootstrap: the reference resolves table names against its
+  * metastore (ref: metastore/if/hive_metastore.thrift:266-281); here the
+  * driver's parquet testdata directory IS the catalog. Each table is
+  * registered as a temp view so both the DataFrame API and the SQL
+  * front-door (`spark.sql`) resolve the same names.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects; read the raw int64 and truncate to micros (what
+      // DuckDB's ts::TIMESTAMP cast does too, so oracles agree).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  // Re-registering views per query would re-read parquet footers; cache by
+  // (session, dir) so a Verify/Bench run over N queries registers once.
+  private val registered =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+
+  /** Register all testdata tables as temp views (idempotent per session+dir). */
+  def register(spark: SparkSession, dir: String): Unit = {
+    val key = System.identityHashCode(spark) + "|" + dir
+    if (registered.add(key)) {
+      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      Functions.register(spark)
+    }
+  }
+}
