@@ -33,9 +33,10 @@ object Tables {
   /** Register all testdata tables as temp views (idempotent per session+dir). */
   def register(spark: SparkSession, dir: String): Unit = {
     val key = System.identityHashCode(spark) + "|" + dir
-    if (registered.add(key)) {
-      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    if (!registered.contains(key)) {
       Functions.register(spark)
+      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      registered.add(key) // only after full success, so a failure retries
     }
   }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Specs for the Hive function-gap expressions (SURVEY §2.5; ref
+  * ql/udf/generic/GenericUDFMask*.java, GenericUDFField.java,
+  * GenericUDFInFile.java semantics). */
+class HiveCompatSpec extends SparkSpec {
+
+  private def one(sql: String): Row = spark.sql(sql).collect().head
+
+  test("mask replaces upper/lower/digit classes") {
+    assert(one("SELECT mask('Abc-123')").getString(0) == "Xxx-nnn")
+  }
+
+  test("mask honors custom replacement chars") {
+    assert(one("SELECT mask('Abc-123', 'U', 'l', '#')").getString(0) == "Ull-###")
+  }
+
+  test("mask with -1 leaves a class unmasked") {
+    assert(one("SELECT mask('Abc-123', 'X', 'x', '-1')").getString(0) == "Xxx-123")
+  }
+
+  test("mask_first_n masks only the prefix") {
+    assert(one("SELECT mask_first_n('Customer#42', 4)").getString(0) == "Xxxxomer#42")
+  }
+
+  test("mask_last_n masks only the suffix") {
+    assert(one("SELECT mask_last_n('Customer#42', 3)").getString(0) == "Customer#nn")
+  }
+
+  test("mask_last_n of short string masks everything") {
+    assert(one("SELECT mask_last_n('ab1', 9)").getString(0) == "xxn")
+  }
+
+  test("mask_show_first_n keeps the prefix") {
+    assert(one("SELECT mask_show_first_n('Customer#42', 4)").getString(0) == "Custxxxx#nn")
+  }
+
+  test("mask_show_last_n keeps the suffix") {
+    assert(one("SELECT mask_show_last_n('Customer#42', 3)").getString(0) == "Xxxxxxxx#42")
+  }
+
+  test("mask_show_last_n of short string shows everything") {
+    assert(one("SELECT mask_show_last_n('ab', 5)").getString(0) == "ab")
+  }
+
+  test("mask_hash is md5 hex") {
+    assert(one("SELECT mask_hash('abc')").getString(0) ==
+      "900150983cd24fb0d6963f7d28e17f72")
+  }
+
+  test("field returns 1-based index, 0 when absent, 0 on null") {
+    assert(one("SELECT field('b', 'a', 'b', 'c')").getLong(0) == 2L)
+    assert(one("SELECT field('z', 'a', 'b', 'c')").getLong(0) == 0L)
+    assert(one("SELECT field(cast(null as string), 'a', 'b')").getLong(0) == 0L)
+  }
+
+  test("create_union encodes tag + fields as struct") {
+    val r = one("SELECT create_union(1, 'str', 42)")
+    val s = r.getStruct(0)
+    assert(s.getInt(0) == 1)        // tag
+    assert(s.getString(1) == "str") // field0
+    assert(s.getInt(2) == 42)       // field1
+  }
+
+  test("in_file matches full lines of a file") {
+    val f = java.io.File.createTempFile("infile", ".txt")
+    java.nio.file.Files.writeString(f.toPath, "alpha\nbeta\n")
+    try {
+      assert(one(s"SELECT in_file('alpha', '${f.getAbsolutePath}')").getBoolean(0))
+      assert(!one(s"SELECT in_file('alp', '${f.getAbsolutePath}')").getBoolean(0))
+    } finally f.delete()
+  }
+
+  test("mask functions stay codegen-compatible (no UDF in plan)") {
+    val plan = spark.sql("SELECT mask_first_n(c, 2) FROM VALUES ('AbC1') t(c)")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
+}
