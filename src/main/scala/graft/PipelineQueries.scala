@@ -1,9 +1,247 @@
 package graft
 
 import Queries._
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, TextOps}
 
-/** LLM-training-data pipeline operators over documents/embeddings
-  * (dedup, similarity search, text analysis, multimodal). */
+/** LLM-training-data pipeline operators over documents/embeddings:
+  * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine),
+  * similarity search (brute-force + IVF), text analysis (lang-id, quality,
+  * token counts, fingerprints), multimodal columns. Oracles where the
+  * semantics are SQL-expressible; LSH-based ops get rows-only checks plus
+  * ScalaTest specs with planted duplicates.
+  */
 object PipelineQueries {
-  def all: Seq[Q] = Seq()
+
+  // DuckDB token/shingle preamble shared by several oracles.
+  private val DUCK_SHINGLES = """
+    WITH tok AS (
+      SELECT doc_id, lang, source,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> len(x) > 0) AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, lang, source,
+        list_distinct(list_transform(range(1, len(t) - 1),
+          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM tok WHERE len(t) >= 3
+    )"""
+
+  def all: Seq[Q] = Seq(
+    // -- exact dedup: representative per text (hash-groupBy; one shuffle)
+    dual("q50_dedup_exact", """
+      SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+             min(n_chars) AS n_chars
+      FROM documents
+      GROUP BY text
+      ORDER BY keep_id"""),
+
+    // -- MinHash-LSH near-dup candidates, exact-Jaccard verified.
+    //    LSH recall < 1 ⇒ no SQL oracle; spec plants known dups.
+    noOracle("q51_dedup_minhash") { (s, d) =>
+      Dedup.minhashNearDups(
+        Tables.load(s, d, "documents"), "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    // -- exact n-gram Jaccard pairs within (lang, source) blocking
+    dfQ("q52_ngram_jaccard", DUCK_SHINGLES + """
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        round(len(list_intersect(a.s, b.s))::DOUBLE /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+      FROM sh a
+      JOIN sh b ON a.lang = b.lang AND a.source = b.source
+               AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.02
+      ORDER BY id_a, id_b""") { (s, d) =>
+      Dedup.ngramJaccardPairs(
+        Tables.load(s, d, "documents"), "doc_id", "text",
+        blockCols = Seq("lang", "source"), shingleSize = 3, threshold = 0.02)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // -- SimHash near-dup pairs (Hamming ≤ 3 over 64-bit fingerprints)
+    noOracle("q53_dedup_simhash") { (s, d) =>
+      Dedup.simhashNearDups(Tables.load(s, d, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    },
+
+    // -- embedding cosine near-dup pairs via sign-LSH + exact verify
+    noOracle("q54_embed_neardup") { (s, d) =>
+      // moderate-similarity regime: 4-bit bands for recall at cos≈0.5
+      Dedup.embeddingNearDups(
+        Tables.load(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.5, signatureBits = 64, bands = 16)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // -- brute-force cosine top-k (correctness baseline for ANN)
+    dfQ("q55_ann_bruteforce", """
+      SELECT b.vec_id AS id,
+        round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE, 4) AS cos4
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id = 0
+      ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id
+      LIMIT 10""") { (s, d) =>
+      Similarity.topKForId(
+        Tables.load(s, d, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10)
+        .select(col("id"), round(col("cosine"), 4).as("cos4"))
+    },
+
+    // -- IVF (bucketed) ANN — approximate scale path; rows-only check,
+    //    recall measured in the spec against q55's exact answer
+    noOracle("q56_ann_ivf") { (s, d) =>
+      val emb = Tables.load(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding")).collect()
+        .head.getSeq[Float](0)
+      val ivf = Similarity.buildIvf(emb, "vec_id", "embedding", nlist = 8)
+      Similarity.searchIvf(ivf, q, k = 10, nprobe = 3)
+        .select(col("id"), round(col("cosine"), 4).as("cos4"))
+    },
+
+    // -- token counting: whitespace + BPE-ish regex
+    dfQ("q57_token_count", """
+      SELECT doc_id,
+        len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_ws,
+        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+      FROM documents
+      ORDER BY doc_id""") { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_ws"),
+          TextAnalysis.tokenCountBpe(col("text")).as("n_bpe"))
+        .orderBy("doc_id")
+    },
+
+    // -- language ID heuristic: confusion matrix vs the labeled lang col
+    dfQ("q58_langid_confusion", """
+      WITH tok AS (
+        SELECT doc_id, lang,
+          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                      x -> len(x) > 0) AS t,
+          regexp_matches(text, '[一-鿿]') AS has_cjk
+        FROM documents
+      ), scored AS (
+        SELECT doc_id, lang, has_cjk,
+          len(list_filter(t, x -> list_contains(
+            ['the','a','of','and','to','in','is','that','it','for'], x))) AS s_en,
+          len(list_filter(t, x -> list_contains(
+            ['der','die','das','und','ist','nicht','ein','mit','zu','auf'], x))) AS s_de,
+          len(list_filter(t, x -> list_contains(
+            ['le','la','les','et','est','un','une','des','que','pour'], x))) AS s_fr,
+          len(list_filter(t, x -> list_contains(
+            ['el','la','los','las','y','es','un','una','que','por'], x))) AS s_es
+        FROM tok
+      )
+      SELECT lang, CASE
+          WHEN has_cjk THEN 'zh'
+          WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+          WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+          WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
+          WHEN s_de > s_en THEN 'de'
+          ELSE 'en' END AS predicted,
+        count(*) AS n
+      FROM scored
+      GROUP BY 1, 2
+      ORDER BY lang, predicted""") { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("lang"),
+          TextAnalysis.langId(col("text")).as("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    },
+
+    // -- quality metrics (per-row, no shuffle)
+    dfQ("q59_text_quality", """
+      WITH m AS (
+        SELECT doc_id,
+          length(text) AS n_chars,
+          len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                          x -> len(x) > 0)) AS n_tokens,
+          length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+            AS n_punct,
+          length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+            AS n_digit
+        FROM documents
+      )
+      SELECT doc_id, n_chars, n_tokens,
+        round(n_punct::DOUBLE / n_chars, 6) AS punct_ratio,
+        round(n_digit::DOUBLE / n_chars, 6) AS digit_ratio
+      FROM m
+      ORDER BY doc_id""") { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.qualityMetrics(col("text")).as("m"))
+        .select(col("doc_id"),
+          col("m.n_chars").as("n_chars"),
+          col("m.n_tokens").as("n_tokens"),
+          round(col("m.punct_ratio"), 6).as("punct_ratio"),
+          round(col("m.digit_ratio"), 6).as("digit_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // -- fingerprints (xxhash64 — no DuckDB equivalent; deterministic)
+    noOracle("q60_fingerprint") { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          TextAnalysis.robustFingerprint(col("text")).as("fp_robust"))
+        .orderBy("doc_id")
+    },
+
+    // -- multimodal plumbing: binary payload + decoded metadata; the
+    //    oracle covers the non-stub columns (size, digest)
+    dfQ("q61_multimodal_meta", """
+      SELECT doc_id AS id, octet_length(text::BLOB) AS n_bytes,
+             sha256(text) AS content_sha256
+      FROM documents
+      ORDER BY id""") { (s, d) =>
+      val bin = Tables.load(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.withDecodedMeta(bin, "doc_id", "payload", kind = "image")
+        .select(col("id"), col("n_bytes"), col("content_sha256"))
+        .orderBy("id")
+    },
+
+    // -- ngrams as distributed counting (Hive's ngrams UDAF re-expressed
+    //    Spark-first: explode + count + top-k is exact and scales; the
+    //    UDAF was a single-reducer approximation)
+    dfQ("q62_ngrams_top", DUCK_SHINGLES.replace("list_distinct(", "(") + """
+      SELECT ngram, count(*) AS n
+      FROM (SELECT unnest(s) AS ngram FROM sh)
+      GROUP BY ngram
+      ORDER BY n DESC, ngram
+      LIMIT 20""") { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(explode(
+          TextOps.wordNgrams(TextOps.tokens(col("text")), 3)).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram"))
+        .limit(20)
+    },
+
+    // -- context_ngrams equivalent: top trigrams matching a context prefix
+    dfQ("q63_context_ngrams", DUCK_SHINGLES.replace("list_distinct(", "(") + """
+      SELECT ngram, count(*) AS n
+      FROM (SELECT unnest(s) AS ngram FROM sh)
+      WHERE ngram LIKE 'the %'
+      GROUP BY ngram
+      ORDER BY n DESC, ngram
+      LIMIT 10""") { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(explode(
+          TextOps.wordNgrams(TextOps.tokens(col("text")), 3)).as("ngram"))
+        .filter(col("ngram").startsWith("the "))
+        .groupBy("ngram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram"))
+        .limit(10)
+    }
+  )
 }

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale design (100 TB): every variant is a bounded-fan-out
+  * candidate-generation (LSH banding) + exact verification pattern.
+  * Shuffles happen only on (band, key) buckets; `maxBucket` caps skewed
+  * buckets (a degenerate shingle that hashes a million docs together
+  * would otherwise produce a quadratic join) — the same role as Hive's
+  * SkewJoinHandler (ql/exec/SkewJoinHandler.java:74), done declaratively.
+  */
+object Dedup {
+
+  /** Exact dedup: keep one representative row per key (hash-groupBy).
+    * One shuffle on the key columns; Catalyst plans partial aggregation. */
+  def exact(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.dropDuplicates(keyCols)
+
+  /** Candidate pairs whose band key collides, verified by exact Jaccard
+    * over word-shingle sets. Returns (id_a, id_b, jaccard) with
+    * id_a < id_b and jaccard ≥ threshold.
+    *
+    * Pipeline: tokens → distinct shingles → minhash(k) → band keys →
+    * explode → bucket self-join (capped) → distinct pairs → fetch shingle
+    * sets → exact verify. Only ids travel through the candidate join;
+    * shingle arrays are joined back afterwards (narrow shuffle).
+    */
+  def minhashNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+
+    val shingled = df
+      .select(
+        col(idCol).as("id"),
+        array_distinct(
+          TextOps.wordNgrams(TextOps.tokens(col(textCol)), shingleSize))
+          .as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+    val sigs = shingled.select(
+      col("id"), col("shingles"),
+      TextOps.minhashSignature(col("shingles"), numHashes).as("sig"))
+
+    val banded = sigs
+      .select(col("id"),
+        explode(TextOps.bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+    verifyPairs(candidatePairs(banded, maxBucket), shingled, threshold)
+  }
+
+  /** SimHash near-dup pairs: 64-bit fingerprint, banded into 16-bit
+    * chunks (pigeonhole: ≤3 differing bits ⇒ some band matches exactly),
+    * verified by Hamming distance. Returns (id_a, id_b, hamming). */
+  def simhashNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val hashed = df.select(
+      col(idCol).as("id"),
+      TextOps.simhash64(TextOps.tokens(col(textCol))).as("simhash"))
+
+    val banded = hashed.select(col("id"),
+      explode(Vectors.signatureBands(col("simhash"), 4, 16)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+    val pairs = candidatePairs(banded, maxBucket)
+    val a = hashed.select(col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = hashed.select(col("id").as("id_b"), col("simhash").as("sh_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        TextOps.hamming64(col("sh_a"), col("sh_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard within blocking groups (no LSH): all pairs that
+    * share a blocking key, with exact shingle-set Jaccard. Use when a
+    * cheap high-selectivity blocking key exists. */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      shingleSize: Int = 3,
+      threshold: Double = 0.1): DataFrame = {
+    val base = df.select(
+      col(idCol).as("id"),
+      struct(blockCols.map(col): _*).as("blk"),
+      array_distinct(
+        TextOps.wordNgrams(TextOps.tokens(col(textCol)), shingleSize))
+        .as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val a = base.select(col("blk"), col("id").as("id_a"), col("shingles").as("sh_a"))
+    val b = base.select(col("blk"), col("id").as("id_b"), col("shingles").as("sh_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding near-dup pairs: sign-LSH banding over the vector column,
+    * exact cosine verification. Returns (id_a, id_b, cosine). */
+  def embeddingNearDups(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      signatureBits: Int = 32,
+      bands: Int = 4,
+      maxBucket: Int = 10000): DataFrame = {
+    val bitsPerBand = signatureBits / bands
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val banded = base.select(col("id"),
+      explode(Vectors.signatureBands(
+        Vectors.hyperplaneSignature(col("vec"), signatureBits),
+        bands, bitsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+    val pairs = candidatePairs(banded, maxBucket)
+    val a = base.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = base.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        Vectors.cosine(col("vec_a"), col("vec_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Distinct candidate (id_a < id_b) pairs from band-bucket collisions,
+    * with oversized buckets dropped (skew guard). */
+  private def candidatePairs(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val sized = banded.groupBy("band", "key")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n").between(2, maxBucket))
+    val pruned = banded.join(sized, Seq("band", "key"))
+      .select(col("band"), col("key"), col("id"))
+    val l = pruned.select(col("band"), col("key"), col("id").as("id_a"))
+    val r = pruned.select(col("band"), col("key"), col("id").as("id_b"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against shingle sets. */
+  private def verifyPairs(
+      pairs: DataFrame, shingled: DataFrame, threshold: Double): DataFrame = {
+    val a = shingled.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val b = shingled.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        TextOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

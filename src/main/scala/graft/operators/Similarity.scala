@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - `bruteForceTopK`: exact cosine top-k — the correctness baseline.
+  *    One scan, no shuffle except the final top-k (TakeOrderedAndProject);
+  *    at 100 TB this is the per-query-vector fallback, not the index.
+  *  - `IvfIndex`: inverted-file index (k-means-lite centroids). Build
+  *    assigns every vector to its nearest centroid (narrow, one shuffle
+  *    per Lloyd iteration for the mean recompute); search probes only the
+  *    `nprobe` closest centroid partitions — the 100 TB scale path, since
+  *    a query touches ~nprobe/nlist of the data. The index DataFrame can
+  *    be persisted bucketed by centroid for repeated querying.
+  */
+object Similarity {
+
+  /** Exact cosine top-k against one query vector (given as literal seq). */
+  def bruteForceTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int): DataFrame = {
+    val q = lit(query.toArray)
+    df.select(col(idCol).as("id"),
+        Vectors.cosine(col(vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Top-k for a query vector already in the table (by id). */
+  def topKForId(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val q = df.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qvec"))
+    df.crossJoin(broadcast(q))
+      .select(col(idCol).as("id"),
+        Vectors.cosine(col(vecCol), col("qvec")).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
+  /** IVF index: rows tagged with nearest-centroid id + centroid table. */
+  final case class Ivf(assigned: DataFrame, centroids: DataFrame)
+
+  /** Build an IVF index with deterministic seeding (every nlist-th vector
+    * by id rank is a seed) and `iters` Lloyd refinement rounds. */
+  def buildIvf(
+      df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 2): Ivf = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // deterministic seeds: hash-rank the ids, take nlist of them spread out
+    var centroids = base
+      .select(col("id"), col("vec"), pmod(xxhash64(col("id")), lit(nlist)).as("h"))
+      .groupBy("h").agg(min_by(col("vec"), col("id")).as("cvec"))
+      .select(col("h").as("cid"), col("cvec"))
+
+    var assigned: DataFrame = null
+    for (_ <- 0 until math.max(iters, 1)) {
+      assigned = assignToCentroids(base, centroids)
+      // recompute means: explode dims, average per (cid, pos), re-collect
+      centroids = assigned
+        .select(col("cid"), posexplode(col("vec")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"),
+          transform(col("pm"), p => p.getField("m").cast("float")).as("cvec"))
+    }
+    Ivf(assignToCentroids(base, centroids), centroids)
+  }
+
+  private def assignToCentroids(base: DataFrame, centroids: DataFrame): DataFrame =
+    base.crossJoin(broadcast(centroids))
+      .select(col("id"), col("vec"), col("cid"),
+        Vectors.cosine(col("vec"), col("cvec")).as("sim"))
+      .groupBy("id")
+      .agg(max_by(struct(col("cid"), col("vec"), col("sim")), col("sim")).as("best"))
+      .select(col("id"), col("best.vec").as("vec"), col("best.cid").as("cid"))
+
+  /** Probe the nprobe nearest centroid lists for a query vector. */
+  def searchIvf(
+      ivf: Ivf, query: Seq[Float], k: Int, nprobe: Int): DataFrame = {
+    val q = lit(query.toArray)
+    val probeCids = ivf.centroids
+      .select(col("cid"), Vectors.cosine(col("cvec"), q).as("csim"))
+      .orderBy(col("csim").desc)
+      .limit(nprobe)
+      .select("cid")
+    ivf.assigned
+      .join(broadcast(probeCids), "cid")   // partition pruning at scale
+      .select(col("id"), Vectors.cosine(col("vec"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+}

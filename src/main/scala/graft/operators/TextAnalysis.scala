@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation: language ID, quality
+  * scoring, token counting, document fingerprinting. All per-row column
+  * expressions — embarrassingly parallel, no shuffle, codegen'd.
+  *
+  * Reference seed: Hive's sentences/ngrams text ops
+  * (ql/exec/FunctionRegistry.java:419, :385-386).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCountWs(c: Column): Column =
+    size(filter(split(c, "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish token count: letter runs, digit runs, and single punctuation
+    * marks counted separately (approximates subword tokenizer cost). */
+  def tokenCountBpe(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  // Small per-language stopword profiles (public common function words).
+  private val stops: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"))
+
+  private def stopHits(toks: Column, lang: String): Column =
+    size(filter(toks, t => array_contains(
+      array(stops(lang).map(lit): _*), t)))
+
+  /** Heuristic language ID: CJK-codepoint presence short-circuits to zh;
+    * otherwise argmax of stopword-profile hits, 'und' when nothing hits. */
+  def langId(c: Column): Column = {
+    val toks = TextOps.tokens(c)
+    val scores = Seq("en", "de", "fr", "es").map(l => (l, stopHits(toks, l)))
+    val best = scores.tail.foldLeft(
+      struct(lit(scores.head._1).as("lang"), scores.head._2.as("n"))) {
+      case (acc, (l, n)) =>
+        when(n > acc.getField("n"), struct(lit(l).as("lang"), n.as("n")))
+          .otherwise(acc)
+    }
+    when(c.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+      .when(best.getField("n") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** Quality metrics struct: char/token counts, mean token length,
+    * punctuation/digit/uppercase/stopword ratios, and a [0,1] composite
+    * score (length-normalized, penalizing punct/digit-heavy text). */
+  def qualityMetrics(c: Column): Column = {
+    val toks = TextOps.tokens(c)
+    val nChars = length(c).cast("double")
+    val nToks = size(toks).cast("double")
+    val meanTokLen = when(nToks > 0,
+      aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / nToks)
+      .otherwise(lit(0.0))
+    val punctRatio = when(nChars > 0,
+      (nChars - length(regexp_replace(c, "[\\p{Punct}]", ""))) / nChars)
+      .otherwise(lit(0.0))
+    val digitRatio = when(nChars > 0,
+      (nChars - length(regexp_replace(c, "[0-9]", ""))) / nChars)
+      .otherwise(lit(0.0))
+    val upperRatio = when(nChars > 0,
+      (nChars - length(regexp_replace(c, "[A-Z]", ""))) / nChars)
+      .otherwise(lit(0.0))
+    val enStopRatio = when(nToks > 0,
+      stopHits(toks, "en").cast("double") / nToks).otherwise(lit(0.0))
+    val lengthScore = least(nToks / 100.0, lit(1.0))
+    val score = greatest(lit(0.0), least(lit(1.0),
+      lengthScore * (lit(1.0) - punctRatio * 2) * (lit(1.0) - digitRatio)
+        * when(meanTokLen.between(2.5, 12), 1.0).otherwise(0.5)))
+    struct(
+      nChars.cast("long").as("n_chars"),
+      nToks.cast("long").as("n_tokens"),
+      meanTokLen.as("mean_token_len"),
+      punctRatio.as("punct_ratio"),
+      digitRatio.as("digit_ratio"),
+      upperRatio.as("upper_ratio"),
+      enStopRatio.as("en_stopword_ratio"),
+      score.as("quality_score"))
+  }
+
+  /** 64-bit content fingerprint: xxhash64 of whitespace-normalized,
+    * lowercased text — equal fingerprints ⇔ near-certain exact dup
+    * modulo whitespace/case. */
+  def fingerprint(c: Column): Column =
+    xxhash64(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  /** Winnowing-style robust fingerprint: minimum rolling hash over
+    * character 8-grams — stable under small local edits; equal values
+    * are a strong near-dup signal. */
+  def robustFingerprint(c: Column, gram: Int = 8): Column =
+    array_min(transform(
+      TextOps.charShingles(regexp_replace(lower(c), "\\s+", " "), gram),
+      s => xxhash64(s)))
+}

@@ -1,0 +1,129 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis, TextOps, Vectors}
+import org.apache.spark.sql.functions._
+
+/** Planted-duplicate specs for the LSH dedup family — the recall evidence
+  * the SQL oracle can't provide (LSH is sub-linear, not exhaustive). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches " +
+      "from a warm window sill and the birds sing in the garden outside"
+
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base),                                         // exact dup of 0
+    (2L, base.replace("quick", "speedy")),              // near dup of 0
+    (3L, "completely different content about spark sql engines and " +
+      "distributed query processing with shuffles and partitions galore"),
+    (4L, "another unrelated document mentioning neither foxes nor dogs " +
+      "but plenty of parquet files and columnar formats for analytics")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps one row per distinct text") {
+    assert(Dedup.exact(docs, Seq("text")).count() == 4)
+  }
+
+  test("minhash LSH finds exact and near dup, not unrelated docs") {
+    val pairs = Dedup.minhashNearDups(
+      docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact dup must collide")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)),
+      "one-word-edit near dup must collide")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash hamming distance separates dups from unrelated") {
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "identical text ⇒ hamming 0")
+    assert(!pairs.contains((0L, 3L)) && !pairs.contains((0L, 4L)))
+  }
+
+  test("ngram jaccard: exact dup scores 1.0, near dup high, within block") {
+    val blocked = docs.withColumn("blk", lit("all"))
+    val rows = Dedup.ngramJaccardPairs(
+      blocked, "doc_id", "text", Seq("blk"), threshold = 0.1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rows((0L, 1L)) == 1.0)
+    assert(rows((0L, 2L)) > 0.5 && rows((0L, 2L)) < 1.0)
+    assert(!rows.contains((0L, 3L)))
+  }
+
+  test("embedding near-dups: identical and close vectors collide") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0f, 0f, 0f)),            // identical
+      (2L, Array(0.99f, 0.1f, 0f, 0f)),       // close
+      (3L, Array(-1f, 0f, 0f, 0f)),           // opposite
+      (4L, Array(0f, 1f, 0f, 0f))             // orthogonal
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(
+      vecs, "vec_id", "embedding", threshold = 0.95,
+      signatureBits = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L))
+  }
+
+  test("brute-force topK is exact and IVF reaches high recall on it") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, dir, "embeddings")
+    val exact = Similarity.topKForId(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val q = emb.filter($"vec_id" === 0L)
+      .select($"embedding").collect().head.getSeq[Float](0)
+    val ivf = Similarity.buildIvf(emb, "vec_id", "embedding", nlist = 4)
+    val approx = Similarity.searchIvf(ivf, q, k = 10, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(exact.contains(0L), "query vector is its own best match")
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+
+  test("cosine column math matches manual computation") {
+    val df = Seq((Array(1f, 2f, 2f), Array(2f, 4f, 4f))).toDF("a", "b")
+    val c = df.select(Vectors.cosine($"a", $"b")).collect().head.getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+    val o = Seq((Array(1f, 0f), Array(0f, 1f))).toDF("a", "b")
+      .select(Vectors.cosine($"a", $"b")).collect().head.getDouble(0)
+    assert(math.abs(o) < 1e-12)
+  }
+
+  test("langid picks the right stopword profile and zh via CJK") {
+    val df = Seq(
+      "the cat is in the garden and it is warm",
+      "der hund ist nicht mit der katze auf dem sofa",
+      "le chat est dans le jardin et la maison est grande",
+      "el perro y el gato es una historia que por siempre",
+      "这是一个中文句子",
+      "zzz qqq xxx").toDF("text")
+    val out = df.select(TextAnalysis.langId($"text")).collect().map(_.getString(0))
+    assert(out.sameElements(Array("en", "de", "fr", "es", "zh", "und")))
+  }
+
+  test("fingerprints: whitespace/case-normalized; robust min is monotone") {
+    val df = Seq(
+      ("Hello  World foo bar baz", "hello world foo bar baz")).toDF("a", "b")
+    val r = df.select(
+      TextAnalysis.fingerprint($"a") === TextAnalysis.fingerprint($"b"),
+      TextAnalysis.robustFingerprint($"a") === TextAnalysis.robustFingerprint($"b"))
+      .collect().head
+    assert(r.getBoolean(0), "normalized-equal texts share fingerprint")
+    assert(r.getBoolean(1), "normalized-equal texts share robust fingerprint")
+    // appending content can only keep or lower the min-shingle hash
+    val m = Seq(("some shared long prefix that dominates the shingle set",
+      "some shared long prefix that dominates the shingle set plus tail"))
+      .toDF("a", "b")
+      .select(TextAnalysis.robustFingerprint($"b") <=
+        TextAnalysis.robustFingerprint($"a"))
+      .collect().head
+    assert(m.getBoolean(0))
+  }
+}
