@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured-Streaming ingest facade — the Spark-native equivalent of
+  * Hive's transactional streaming ingest API (reference:
+  * hcatalog/streaming/src/java/org/apache/hive/hcatalog/streaming/
+  * HiveEndPoint.java, TransactionBatch.java: begin/write/commit batches
+  * appending ORC deltas to ACID tables). Structured Streaming's
+  * checkpointed micro-batches give the same contract — exactly-once,
+  * continuously committed appends into a table — with watermarks/windows
+  * as additive capability the reference lacks (SURVEY §2.7).
+  */
+object Ingest {
+
+  /** A table endpoint for continuous append — HiveEndPoint equivalent.
+    * Each micro-batch is one "transaction batch": committed atomically,
+    * replayed exactly-once from the checkpoint on restart. */
+  final case class Endpoint(table: String, checkpointDir: String)
+
+  /** Open a continuous append from a streaming DataFrame into the
+    * endpoint's table (StreamingConnection.write equivalent). */
+  def startAppend(
+      stream: DataFrame,
+      ep: Endpoint,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ep.checkpointDir)
+      .trigger(trigger)
+      .toTable(ep.table)
+
+  /** File-drop ingest: watch a directory of parquet part files (the
+    * DelimitedInputWriter/StrictJsonWriter role) and append to a table. */
+  def ingestDirectory(
+      spark: SparkSession,
+      sourceDir: String,
+      schemaSample: String,
+      ep: Endpoint): StreamingQuery = {
+    val schema = spark.read.parquet(schemaSample).schema
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    startAppend(stream, ep)
+  }
+
+  /** Watermarked tumbling-window aggregation over an event stream —
+    * additive streaming analytics (no reference counterpart; Hive 1.2 has
+    * no stream operators). Late rows beyond the watermark are dropped. */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String,
+      windowLen: String,
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n"), col("total_value"))
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, end: Long, n: Int, total: Double)
+  final case class Session(
+      user_id: Long, start_ms: Long, end_ms: Long, n_events: Int, total: Double)
+
+  /** Session windows via mapGroupsWithState (KeyValueGroupedDataset) —
+    * custom state machine: a session closes after `gapMs` of inactivity
+    * (processing-time timeout drives emission). */
+  def sessionize(
+      events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, Session](
+        GroupStateTimeout.ProcessingTimeTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Session(user, s.start, s.end, s.n, s.total)
+          } else {
+            val evs = rows.toSeq
+            val lo = evs.map(_.ts.getTime).min
+            val hi = evs.map(_.ts.getTime).max
+            val prev = state.getOption
+            val next = prev match {
+              case Some(p) if lo - p.end <= gapMs =>
+                SessionState(p.start, math.max(p.end, hi),
+                  p.n + evs.size, p.total + evs.map(_.value).sum)
+              case _ =>
+                SessionState(lo, hi, evs.size, evs.map(_.value).sum)
+            }
+            state.update(next)
+            state.setTimeoutDuration(gapMs)
+            Session(user, next.start, next.end, next.n, next.total)
+          }
+      }
+  }
+
+  /** Batch-mode sessionization with the same gap semantics (lag + running
+    * session ids) — the query-able counterpart used for verification. */
+  def sessionizeBatch(
+      events: DataFrame, userCol: String, tsCol: String,
+      gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    val ms = (unix_millis(col(tsCol))).as("ts_ms")
+    events
+      .select(col(userCol).as("user_id"), ms, col("value"))
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull ||
+          col("ts_ms") - col("prev_ms") > gapMs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_ms")).as("start_ms"), max(col("ts_ms")).as("end_ms"),
+        count(lit(1)).cast("int").as("n_events"),
+        sum(col("value")).as("total"))
+  }
+}

@@ -1,0 +1,139 @@
+package graft
+
+import graft.streaming.Ingest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Streaming ingest facade specs: exactly-once table append (the
+  * HiveEndPoint contract), watermarked windows, sessionization. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Poll until a condition holds (processAllAvailable never idles when
+    * processing-time timeouts keep scheduling batches). */
+  private def waitFor(cond: => Boolean, timeoutMs: Long = 90000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond) {
+      assert(System.currentTimeMillis() < deadline, "timed out waiting")
+      Thread.sleep(200)
+    }
+  }
+
+  test("endpoint append is exactly-once across restarts (txn batches)") {
+    val src = tmp("ingest-src")
+    val ckpt = tmp("ingest-ckpt")
+    val table = s"ingest_target_${System.nanoTime()}"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+
+    val batch1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    batch1.write.parquet(s"$src/b1")
+
+    val ep = Ingest.Endpoint(table, ckpt)
+    val q1 = Ingest.ingestDirectory(spark, s"$src/*", s"$src/b1", ep)
+    q1.awaitTermination()
+    assert(spark.table(table).count() == 2)
+
+    // second "transaction batch": add a file, restart the stream — the
+    // checkpoint must skip batch1 (no duplicates) and pick up batch2
+    Seq((3L, "c")).toDF("id", "v").write.parquet(s"$src/b2")
+    val q2 = Ingest.ingestDirectory(spark, s"$src/*", s"$src/b1", ep)
+    q2.awaitTermination()
+    val rows = spark.table(table).orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L), "exactly-once")
+  }
+
+  test("watermarked tumbling window drops late data") {
+    val input = MemoryStream[(Timestamp, String, Double)](spark, 1)
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val out = Ingest.windowedCounts(events, "ts", "10 minutes", "5 minutes")
+    val ckpt = tmp("wm-ckpt")
+    val query = out.writeStream
+      .format("memory").queryName("wm_out")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    input.addData((t(1), "click", 1.0), (t(3), "click", 2.0))
+    query.processAllAvailable()
+    // advance watermark far past the first window, closing it
+    input.addData((t(40), "click", 1.0))
+    query.processAllAvailable()
+    // this event is *behind* the watermark → must be dropped
+    input.addData((t(2), "click", 100.0))
+    query.processAllAvailable()
+    input.addData((t(55), "click", 1.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val closed = spark.table("wm_out")
+      .filter($"wstart" === Timestamp.valueOf("2024-01-01 10:00:00"))
+      .collect()
+    assert(closed.length == 1)
+    assert(closed.head.getAs[Long]("n") == 2, "late row must not be counted")
+    assert(closed.head.getAs[Double]("total_value") == 3.0)
+  }
+
+  test("mapGroupsWithState sessionization groups events by gap") {
+    val input = MemoryStream[Ingest.Event](spark, 2)
+    val sessions = Ingest.sessionize(input.toDS(), gapMs = 60000L)
+    val ckpt = tmp("sess-ckpt")
+    val query = sessions.writeStream
+      .format("memory").queryName("sess_out")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    def ev(user: Long, min: Int, v: Double) =
+      Ingest.Event(user, Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), v)
+    input.addData(ev(1, 0, 1.0), ev(1, 0, 2.0), ev(2, 0, 5.0))
+    waitFor(spark.table("sess_out").count() >= 2)
+    query.stop()
+
+    val out = spark.table("sess_out").orderBy("user_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Int]("n_events") == 2)
+    assert(out(0).getAs[Double]("total") == 3.0)
+    assert(out(1).getAs[Long]("user_id") == 2L)
+  }
+
+  test("batch sessionization splits on inactivity gap") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 1.0),
+      (1L, "2024-01-01 10:00:30", 2.0),   // same session (30s gap)
+      (1L, "2024-01-01 10:05:00", 3.0),   // new session (270s gap > 60s)
+      (2L, "2024-01-01 10:00:00", 9.0)
+    ).toDF("user_id", "ts_s", "value")
+      .select($"user_id", $"ts_s".cast("timestamp").as("ts"), $"value")
+    val s = Ingest.sessionizeBatch(df, "user_id", "ts", gapMs = 60000L)
+      .orderBy("user_id", "start_ms").collect()
+    assert(s.length == 3)
+    assert(s(0).getAs[Int]("n_events") == 2 && s(0).getAs[Double]("total") == 3.0)
+    assert(s(1).getAs[Int]("n_events") == 1 && s(1).getAs[Double]("total") == 3.0)
+    assert(s(2).getAs[Long]("user_id") == 2L)
+  }
+
+  test("windowed streaming agg matches the batch q31 shape on events data") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = Tables.load(spark, dir, "events")
+    // stream the same rows through a file source and compare aggregates
+    val src = tmp("ev-src")
+    batch.write.parquet(s"$src/part")
+    val schema = batch.schema
+    val stream = spark.readStream.schema(schema).parquet(s"$src/*")
+    val agg = Ingest.windowedCounts(stream, "ts", "1 day", "0 seconds")
+    val ckpt = tmp("ev-ckpt")
+    val q = agg.writeStream.format("memory").queryName("ev_out")
+      .outputMode("complete").option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ev_out")
+      .agg(sum($"n")).collect().head.getLong(0)
+    assert(streamed == batch.count(), "every event lands in some window")
+  }
+}
