@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Catalog/DDL/writer surface — the engine-visible remainder of Hive's
+  * Driver/DDLTask/MoveTask/FileSinkOperator stack (SURVEY §3): partitioned
+  * and bucketed table management, INSERT OVERWRITE with dynamic partitions,
+  * multi-insert, and partition-granular UPDATE/DELETE rewrites standing in
+  * for ACID row mutation (SURVEY §7 "genuinely hard").
+  *
+  * References: FileSinkOperator (ql/exec/FileSinkOperator.java:1, dynamic
+  * partitions + bucketed files), DDLTask (ql/exec/DDLTask.java),
+  * SemanticAnalyzer.genFileSinkPlan (parse/SemanticAnalyzer.java:6241,
+  * multi-insert), UPDATE/DELETE grammar (parse/HiveParser.g:2390-2413).
+  */
+object Warehouse {
+
+  /** DROP TABLE IF EXISTS + remove its warehouse location. The session
+    * catalog is per-JVM while warehouse directories persist, so a plain
+    * DROP in a fresh session leaves an orphan location that blocks
+    * re-creation (LOCATION_ALREADY_EXISTS). */
+  def dropTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val loc = new java.io.File(warehouse, table.toLowerCase)
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+  }
+
+  /** CREATE TABLE ... PARTITIONED BY ... [CLUSTERED BY ... INTO n BUCKETS]
+    * backed by parquet, loaded from a DataFrame. */
+  def createTable(
+      df: DataFrame,
+      table: String,
+      partitionBy: Seq[String] = Nil,
+      bucketBy: Option[(Int, Seq[String])] = None,
+      sortBy: Seq[String] = Nil,
+      overwrite: Boolean = true): Unit = {
+    var w = df.write.format("parquet")
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+    bucketBy.foreach { case (n, cols) =>
+      w = w.bucketBy(n, cols.head, cols.tail: _*)
+      if (sortBy.nonEmpty) w = w.sortBy(sortBy.head, sortBy.tail: _*)
+    }
+    w.saveAsTable(table)
+  }
+
+  /** INSERT OVERWRITE with dynamic partitioning: only the partitions
+    * present in `df` are replaced (Hive's nonstrict dynamic partition
+    * overwrite), others untouched. */
+  def insertOverwriteDynamic(spark: SparkSession, table: String,
+      df: DataFrame): Unit = {
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try align(spark, table, df).write.mode(SaveMode.Overwrite).insertInto(table)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
+  /** INSERT INTO append. */
+  def insertInto(df: DataFrame, table: String): Unit =
+    align(df.sparkSession, table, df).write.mode(SaveMode.Append).insertInto(table)
+
+  /** insertInto is positional; re-order df columns to the table schema
+    * (joins with USING-columns move join keys to the front). */
+  private def align(spark: SparkSession, table: String, df: DataFrame): DataFrame =
+    df.select(spark.table(table).columns.map(col): _*)
+
+  /** Hive multi-insert (`FROM src INSERT ... INSERT ...`): N destinations
+    * fed from one cached pass over the source
+    * (SemanticAnalyzer.java:6241 genFileSinkPlan with multiple dests). */
+  def multiInsert(
+      source: DataFrame,
+      dests: Seq[(String, DataFrame => DataFrame)]): Unit = {
+    source.persist()
+    try dests.foreach { case (table, f) => insertInto(f(source), table) }
+    finally source.unpersist()
+  }
+
+  /** UPDATE table SET col=expr, ... WHERE cond — implemented as a
+    * partition-granular INSERT OVERWRITE rewrite: rows matching `where`
+    * get `sets` applied; when the table is partitioned only affected
+    * partitions are rewritten (dynamic overwrite). The reference restricts
+    * UPDATE to bucketed ORC ACID tables and rewrites deltas
+    * (ql/io/orc/OrcRecordUpdater.java); same observable semantics. */
+  def update(spark: SparkSession, table: String,
+      sets: Map[String, String], where: String): Unit = {
+    val partCols = partitionColumns(spark, table)
+    val current = spark.table(table)
+    val updated = sets.foldLeft(current) { case (df, (c, e)) =>
+      df.withColumn(c, when(expr(where), expr(e)).otherwise(col(c)))
+    }
+    if (partCols.isEmpty) {
+      overwriteUnpartitioned(spark, table, updated)
+    } else {
+      // rewrite only partitions containing matched rows
+      val touched = current.filter(expr(where)).select(partCols.map(col): _*).distinct()
+      val replacement = updated.join(broadcast(touched), partCols, "left_semi")
+      insertOverwriteDynamic(spark, table, replacement)
+    }
+  }
+
+  /** DELETE FROM table WHERE cond — same partition-granular rewrite. */
+  def delete(spark: SparkSession, table: String, where: String): Unit = {
+    val partCols = partitionColumns(spark, table)
+    val current = spark.table(table)
+    if (partCols.isEmpty) {
+      overwriteUnpartitioned(spark, table, current.filter(not(expr(where))))
+    } else {
+      val touched = current.filter(expr(where)).select(partCols.map(col): _*).distinct()
+      val replacement = current
+        .join(broadcast(touched), partCols, "left_semi")
+        .filter(not(expr(where)))
+      insertOverwriteDynamic(spark, table, replacement)
+    }
+  }
+
+  private def overwriteUnpartitioned(spark: SparkSession, table: String,
+      replacement: DataFrame): Unit = {
+    // stage to a scratch location first: the rewrite reads the same files
+    // it is about to replace (Spark rejects direct self-overwrite)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rewrite").toString
+    replacement.write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).insertInto(table)
+  }
+
+  def partitionColumns(spark: SparkSession, table: String): Seq[String] =
+    spark.catalog.listColumns(table).collect()
+      .filter(_.isPartition).map(_.name).toSeq
+
+  /** ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS (StatsTask /
+    * ColumnStatsTask equivalent; feeds Catalyst CBO). */
+  def analyze(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR ALL COLUMNS")
+  }
+}

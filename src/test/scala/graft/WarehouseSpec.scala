@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Catalog/DDL/writer surface: partitioned + bucketed tables, dynamic
+  * partition overwrite, multi-insert, UPDATE/DELETE rewrites, and the
+  * bucketed-join shuffle elision that realizes Hive's SMB join. */
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    Tables.register(spark, dir)
+  }
+
+  test("partitioned table write creates partition layout + pruning works") {
+    val t = "wh_orders_part"
+    Warehouse.dropTable(spark, t)
+    val df = Tables.load(spark, dir, "orders")
+      .withColumn("o_year", year($"o_orderdate"))
+    Warehouse.createTable(df, t, partitionBy = Seq("o_year"))
+    assert(Warehouse.partitionColumns(spark, t) == Seq("o_year"))
+    val plan = spark.table(t).filter($"o_year" === 1996)
+      .queryExecution.executedPlan.toString
+    // static partition pruning: only the matching partition is scanned
+    assert(spark.table(t).filter($"o_year" === 1996).count() ==
+      df.filter($"o_year" === 1996).count())
+    assert(plan.contains("o_year=1996") || plan.contains("PartitionFilters"),
+      s"expected partition pruning in:\n$plan")
+  }
+
+  test("dynamic INSERT OVERWRITE replaces only touched partitions") {
+    val t = "wh_dyn_part"
+    Warehouse.dropTable(spark, t)
+    val df = Seq((1, "a", 2020), (2, "b", 2020), (3, "c", 2021))
+      .toDF("id", "v", "yr")
+    Warehouse.createTable(df, t, partitionBy = Seq("yr"))
+    // overwrite only yr=2021 with one new row
+    Warehouse.insertOverwriteDynamic(spark, t,
+      Seq((9, "z", 2021)).toDF("id", "v", "yr"))
+    val rows = spark.table(t).orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getInt(2))).toSeq
+    assert(rows == Seq((1, 2020), (2, 2020), (9, 2021)),
+      "2020 partition untouched, 2021 replaced")
+  }
+
+  test("bucketed co-partitioned join elides the shuffle (SMB join)") {
+    val tl = "wh_li_bucket"; val to = "wh_ord_bucket"
+    Warehouse.dropTable(spark, tl)
+    Warehouse.dropTable(spark, to)
+    Warehouse.createTable(Tables.load(spark, dir, "lineitem"), tl,
+      bucketBy = Some((4, Seq("l_orderkey"))), sortBy = Seq("l_orderkey"))
+    Warehouse.createTable(Tables.load(spark, dir, "orders"), to,
+      bucketBy = Some((4, Seq("o_orderkey"))), sortBy = Seq("o_orderkey"))
+    val joined = spark.table(tl).join(spark.table(to),
+      $"l_orderkey" === $"o_orderkey")
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == spark.table(tl).count())
+    }
+  }
+
+  private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("multi-insert fans one source scan into N tables") {
+    Warehouse.dropTable(spark, "wh_mi_big")
+    Warehouse.dropTable(spark, "wh_mi_small")
+    val src = Tables.load(spark, dir, "orders")
+    Warehouse.createTable(src.filter(lit(false)), "wh_mi_big")
+    Warehouse.createTable(src.filter(lit(false)), "wh_mi_small")
+    Warehouse.multiInsert(src, Seq(
+      "wh_mi_big" -> (df => df.filter($"o_totalprice" > 100000)),
+      "wh_mi_small" -> (df => df.filter($"o_totalprice" <= 100000))))
+    val big = spark.table("wh_mi_big").count()
+    val small = spark.table("wh_mi_small").count()
+    assert(big + small == src.count() && big > 0 && small > 0)
+  }
+
+  test("UPDATE rewrites matching rows, partition-granular on partitioned") {
+    val t = "wh_upd"
+    Warehouse.dropTable(spark, t)
+    Warehouse.createTable(
+      Seq((1, 10.0, 2020), (2, 20.0, 2020), (3, 30.0, 2021))
+        .toDF("id", "amt", "yr"),
+      t, partitionBy = Seq("yr"))
+    Warehouse.update(spark, t,
+      sets = Map("amt" -> "amt * 2"), where = "yr = 2020 AND id = 1")
+    val rows = spark.table(t).orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((1, 20.0), (2, 20.0), (3, 30.0)))
+  }
+
+  test("DELETE removes matching rows only") {
+    val t = "wh_del"
+    Warehouse.dropTable(spark, t)
+    Warehouse.createTable(
+      Seq((1, "keep", 2020), (2, "drop", 2020), (3, "keep", 2021))
+        .toDF("id", "v", "yr"),
+      t, partitionBy = Seq("yr"))
+    Warehouse.delete(spark, t, where = "v = 'drop'")
+    assert(spark.table(t).orderBy("id").collect().map(_.getInt(0)).toSeq ==
+      Seq(1, 3))
+  }
+
+  test("UPDATE on unpartitioned table works via staged rewrite") {
+    val t = "wh_upd_flat"
+    Warehouse.dropTable(spark, t)
+    Warehouse.createTable(Seq((1, "a"), (2, "b")).toDF("id", "v"), t)
+    Warehouse.update(spark, t, Map("v" -> "'z'"), "id = 2")
+    assert(spark.table(t).orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("a", "z"))
+  }
+
+  test("ANALYZE feeds row-count statistics to the catalog") {
+    val t = "wh_stats"
+    Warehouse.dropTable(spark, t)
+    Warehouse.createTable(Tables.load(spark, dir, "nation"), t)
+    Warehouse.analyze(spark, t)
+    val stats = spark.sql(s"DESCRIBE EXTENDED $t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(stats.get("Statistics").exists(_.contains("25 rows")),
+      s"expected row stats, got ${stats.get("Statistics")}")
+  }
+
+  test("SHOW/DESCRIBE surface works through spark.sql") {
+    assert(spark.sql("SHOW TABLES").count() > 0)
+    assert(spark.sql("DESCRIBE TABLE lineitem").count() >= 11)
+  }
+}
