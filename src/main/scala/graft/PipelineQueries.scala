@@ -221,7 +221,7 @@ object PipelineQueries {
       LIMIT 20""") { (s, d) =>
       Tables.load(s, d, "documents")
         .select(explode(
-          TextOps.wordNgrams(TextOps.tokens(col("text")), 3)).as("ngram"))
+          TextOps.shingleSet(col("text"), 3, distinct = false)).as("ngram"))
         .groupBy("ngram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram"))
         .limit(20)
@@ -237,7 +237,7 @@ object PipelineQueries {
       LIMIT 10""") { (s, d) =>
       Tables.load(s, d, "documents")
         .select(explode(
-          TextOps.wordNgrams(TextOps.tokens(col("text")), 3)).as("ngram"))
+          TextOps.shingleSet(col("text"), 3, distinct = false)).as("ngram"))
         .filter(col("ngram").startsWith("the "))
         .groupBy("ngram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram"))

@@ -40,22 +40,25 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
 
+    // The shingle set feeds signature generation AND two verification
+    // joins; the banded keys feed the bucket-size guard AND the self-join.
+    // Persist both (memory-and-disk: at scale these are the working set a
+    // multi-pass LSH job would otherwise recompute 6×).
     val shingled = df
       .select(
         col(idCol).as("id"),
-        array_distinct(
-          TextOps.wordNgrams(TextOps.tokens(col(textCol)), shingleSize))
-          .as("shingles"))
+        TextOps.shingleSet(col(textCol), shingleSize).as("shingles"))
       .filter(size(col("shingles")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val sigs = shingled.select(
-      col("id"), col("shingles"),
+      col("id"),
       TextOps.minhashSignature(col("shingles"), numHashes).as("sig"))
 
     val banded = sigs
-      .select(col("id"),
-        explode(TextOps.bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("id"), posexplode(TextOps.bandHashes(col("sig"), bands)))
+      .select(col("id"), col("pos").as("band"), col("col").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     verifyPairs(candidatePairs(banded, maxBucket), shingled, threshold)
   }
@@ -99,9 +102,7 @@ object Dedup {
     val base = df.select(
       col(idCol).as("id"),
       struct(blockCols.map(col): _*).as("blk"),
-      array_distinct(
-        TextOps.wordNgrams(TextOps.tokens(col(textCol)), shingleSize))
-        .as("shingles"))
+      TextOps.shingleSet(col(textCol), shingleSize).as("shingles"))
       .filter(size(col("shingles")) > 0)
     val a = base.select(col("blk"), col("id").as("id_a"), col("shingles").as("sh_a"))
     val b = base.select(col("blk"), col("id").as("id_b"), col("shingles").as("sh_b"))

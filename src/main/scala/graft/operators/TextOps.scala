@@ -29,41 +29,28 @@ object TextOps {
     transform(sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),
       i => c.substr(i, lit(n)))
 
-  /** MinHash signature: k independent min-hashes over a shingle array.
-    * hash_j(s) = xxhash64(s, j) — per-slot seed via combined hashing. */
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+
+  /** Tokenize + word-n-gram shingles straight from raw text in one native
+    * pass (graft.functions.ShingleSet); token semantics identical to
+    * `filter(split(lower(text), "[^a-z0-9]+"), _ != '')`. */
+  def shingleSet(text: Column, n: Int, distinct: Boolean = true): Column =
+    toCol(graft.functions.ShingleSet(toExpr(text), n, distinct))
+
+  /** MinHash signature: k min-hashes over a shingle array, computed by the
+    * native expression graft.functions.MinHashSignature in one pass (the
+    * higher-order-function composition is interpreted and ~1000× slower). */
   def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shingles, s => xxhash64(s, j))))
+    toCol(graft.functions.MinHashSignature(toExpr(shingles), k))
 
-  /** LSH band keys from a minhash signature: bands × rowsPerBand layout,
-    * each band hashed to one long. Equal band key ⇒ candidate pair. */
-  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(
-        b.as("band"),
-        xxhash64(concat_ws(",",
-          transform(slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)),
-            _.cast("string")))).as("key")))
+  /** LSH band hashes from a minhash signature: array position = band id,
+    * value = order-sensitive hash of that signature slice. */
+  def bandHashes(sig: Column, bands: Int): Column =
+    toCol(graft.functions.BandHashes(toExpr(sig), bands))
 
-  private def bitsOf(h: Column): Column =
-    transform(sequence(lit(0), lit(63)),
-      i => when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L,
-        lit(1L)).otherwise(lit(-1L)))
-
-  /** 64-bit SimHash over a token array: per-token hash bit votes, packed
-    * back into one long. Pure expression — per-row, no shuffle. */
-  def simhash64(toks: Column): Column = {
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc, bitsOf(xxhash64(t)), (a, b) => a + b))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i))
-          .otherwise(lit(0L))),
-      lit(0L),
-      (a, b) => a.bitwiseOR(b))
-  }
+  /** 64-bit SimHash over a token array (native expression, per-row). */
+  def simhash64(toks: Column): Column =
+    toCol(graft.functions.SimHash64(toExpr(toks)))
 
   /** Hamming distance between two packed 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

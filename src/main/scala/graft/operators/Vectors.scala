@@ -25,23 +25,13 @@ object Vectors {
       lit(0.0), (acc, v) => acc + v))
 
   /** Random-hyperplane LSH bit signature (Charikar sign-LSH): bit j is the
-    * sign of <v, h_j> where hyperplane component h_j[i] = ±1 derived from
-    * murmur3(j, i) — deterministic, no stored planes, computable on any
-    * executor. Packed into one long (k ≤ 64). */
+    * sign of <v, h_j> where hyperplane component h_j[i] = ±1 derived
+    * deterministically from mix64(j, i) — no stored planes, computable on
+    * any executor. Packed into one long (k ≤ 64). Native expression
+    * (graft.functions.HyperplaneSignature) — one pass per row. */
   def hyperplaneSignature(v: Column, k: Int): Column = {
-    require(k <= 64, "at most 64 hyperplane bits fit one long")
-    val bits = transform(sequence(lit(0), lit(k - 1)), j => {
-      val d = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
-          x.cast("double") *
-            when(pmod(hash(j, i), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
-        lit(0.0), (acc, x) => acc + x)
-      when(d > 0, lit(1L)).otherwise(lit(0L))
-    })
-    aggregate(
-      zip_with(bits, sequence(lit(0), lit(k - 1)),
-        (b, i) => call_function("shiftleft", b, i)),
-      lit(0L), (a, b) => a.bitwiseOR(b))
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    toCol(graft.functions.HyperplaneSignature(toExpr(v), k))
   }
 
   /** Split a packed signature into band values for bucket joins. */
