@@ -90,6 +90,90 @@ object SurfaceQueries {
       LEFT JOIN lineitem ON l_orderkey = o_orderkey AND l_quantity > 49
       WHERE o_orderkey < 200
       ORDER BY l_quantity ASC NULLS FIRST, o_orderkey
-      LIMIT 50""")
+      LIMIT 50"""),
+
+    // -- interval arithmetic (INTERVAL_YEAR_MONTH / INTERVAL_DAY_TIME,
+    //    FunctionRegistry.java:356-357)
+    dual("q73_intervals", """
+      SELECT o_orderkey,
+        o_orderdate + INTERVAL 1 MONTH AS plus_month,
+        o_orderdate + INTERVAL 10 DAY AS plus_days,
+        o_orderdate - INTERVAL 2 YEAR AS minus_years
+      FROM orders
+      WHERE o_orderkey < 100
+      ORDER BY o_orderkey"""),
+
+    // -- complex type constructors + access (array/map/struct, SURVEY §1.2)
+    sqlQ("q74_complex_types", """
+      SELECT n_nationkey,
+        array(n_nationkey, n_regionkey)[0] AS arr_first,
+        size(array(n_nationkey, n_regionkey, 99)) AS arr_len,
+        sort_array(array(n_regionkey, n_nationkey))[0] AS arr_min,
+        array_contains(array(n_nationkey, n_regionkey), 0) AS has_zero,
+        map('nk', n_nationkey, 'rk', n_regionkey)['rk'] AS map_rk,
+        struct(n_name, n_regionkey).n_name AS s_name,
+        named_struct('k', n_nationkey, 'v', n_name).v AS ns_v
+      FROM nation
+      ORDER BY n_nationkey""", """
+      SELECT n_nationkey,
+        [n_nationkey, n_regionkey][1] AS arr_first,
+        len([n_nationkey, n_regionkey, 99]) AS arr_len,
+        list_sort([n_regionkey, n_nationkey])[1] AS arr_min,
+        list_contains([n_nationkey, n_regionkey], 0) AS has_zero,
+        n_regionkey AS map_rk,
+        n_name AS s_name,
+        n_name AS ns_v
+      FROM nation
+      ORDER BY n_nationkey"""),
+
+    // -- xpath family (FunctionRegistry.java:288-297) — Spark built-ins;
+    //    constant-folded documents, oracle provides expected literals
+    sqlQ("q75_xpath", """
+      SELECT r_regionkey,
+        xpath_string('<a><b>hello</b></a>', 'a/b') AS xs,
+        xpath_int('<a><b>7</b></a>', 'a/b') AS xi,
+        xpath('<a><b>x</b><b>y</b></a>', 'a/b/text()')[1] AS x2,
+        xpath_boolean('<a><b>1</b></a>', 'a/b = 1') AS xb
+      FROM region
+      ORDER BY r_regionkey""", """
+      SELECT r_regionkey, 'hello' AS xs, 7 AS xi, 'y' AS x2, true AS xb
+      FROM region
+      ORDER BY r_regionkey"""),
+
+    // -- parse_url family (FunctionRegistry.java:247)
+    sqlQ("q76_parse_url", """
+      SELECT doc_id,
+        parse_url(u, 'HOST') AS host,
+        parse_url(u, 'PATH') AS path,
+        parse_url(u, 'QUERY', 'id') AS qid
+      FROM (SELECT doc_id,
+              concat('https://corpus.example.com/', source, '/doc?id=',
+                     cast(doc_id AS string)) AS u
+            FROM documents WHERE doc_id < 20) t
+      ORDER BY doc_id""", """
+      SELECT doc_id, 'corpus.example.com' AS host,
+        concat('/', source, '/doc') AS path,
+        cast(doc_id AS VARCHAR) AS qid
+      FROM documents WHERE doc_id < 20
+      ORDER BY doc_id"""),
+
+    // -- compute_stats semantics (GenericUDAFComputeStats, ref :390):
+    //    count/min/max/null-count/NDV summary per column
+    dual("q77_compute_stats", """
+      SELECT count(l_quantity) AS cnt,
+        count(*) - count(l_quantity) AS num_nulls,
+        min(l_quantity) AS min_v, max(l_quantity) AS max_v,
+        count(DISTINCT l_quantity) AS ndv_exact
+      FROM lineitem"""),
+
+    // -- approx_count_distinct (HLL — the modern compute_stats NDV path);
+    //    bounded-error check, exact value differs from DuckDB's HLL
+    noOracle("q78_approx_ndv") { (s, _) =>
+      s.sql("""
+        SELECT l_returnflag,
+          approx_count_distinct(l_partkey) AS ndv_approx,
+          count(DISTINCT l_partkey) AS ndv_exact
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }
   )
 }
