@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions entry point: makes the engine installable with
+  * no code — `--conf spark.sql.extensions=graft.GraftExtensions` — by
+  * injecting the Hive-gap functions and the stats-answering optimizer
+  * rule into every session built from that config.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    graft.functions.HiveCompat.registrations.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        builder))
+    }
+    ext.injectOptimizerRule(s => graft.plans.StatsCountRule(s))
+  }
+}

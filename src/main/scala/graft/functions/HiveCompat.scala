@@ -139,7 +139,7 @@ object HiveCompat {
     In(args.head, lines.map(Literal(_)))
   }
 
-  private val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "mask" -> mask _,
     "mask_first_n" -> maskFirstN _,
     "mask_last_n" -> maskLastN _,
@@ -151,7 +151,7 @@ object HiveCompat {
     "in_file" -> inFile _
   )
 
-  def register(spark: SparkSession): Unit = registry.foreach { case (name, b) =>
+  def register(spark: SparkSession): Unit = registrations.foreach { case (name, b) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, b, "scala_udf")
   }
