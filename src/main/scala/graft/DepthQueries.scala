@@ -1,0 +1,122 @@
+package graft
+
+import Queries._
+
+/** Optimizer-stress relational depth (SURVEY §2.9 subqueries + §4 CBO):
+  * correlated scalar/EXISTS/NOT-EXISTS subqueries, HAVING subqueries,
+  * outer-join distributions, ratio-of-sums — the TPC-H shapes (Q4, Q8,
+  * Q11, Q13, Q21, Q22 analogues on this schema) that exercise Catalyst's
+  * subquery decorrelation and join reordering. Reference:
+  * parse/QBSubQuery.java (Hive rewrites all of these to joins). */
+object DepthQueries {
+
+  private val REV =
+    "cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(12,2)))"
+
+  def all: Seq[Q] = Seq(
+    // -- correlated scalar subquery (per-group average comparison)
+    dual("q79_corr_scalar_subquery", """
+      SELECT c_custkey, c_acctbal
+      FROM customer c
+      WHERE c_acctbal > (
+        SELECT cast(sum(cast(c_acctbal AS decimal(18,2))) AS double) / count(*)
+        FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      ORDER BY c_custkey"""),
+
+    // -- TPC-H Q4 shape: EXISTS with correlated date arithmetic
+    dual("q80_exists_dated", """
+      SELECT o_orderpriority, count(*) AS n
+      FROM orders
+      WHERE o_orderdate >= timestamp '1996-01-01 00:00:00'
+        AND o_orderdate < timestamp '1998-01-01 00:00:00'
+        AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""),
+
+    // -- TPC-H Q13 shape: left-join count distribution
+    dual("q81_count_distribution", """
+      SELECT n_orders, count(*) AS n_cust FROM (
+        SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+                        AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey) t
+      GROUP BY n_orders
+      ORDER BY n_cust DESC, n_orders"""),
+
+    // -- TPC-H Q22 shape: uncorrelated scalar + correlated NOT EXISTS
+    dual("q82_rich_inactive", """
+      SELECT c_nationkey, count(*) AS n,
+        cast(sum(cast(c_acctbal AS decimal(18,2))) AS double) AS total
+      FROM customer c
+      WHERE c_acctbal > (
+          SELECT cast(sum(cast(c_acctbal AS decimal(18,2))) AS double) / count(*)
+          FROM customer WHERE c_acctbal > 0)
+        AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey"""),
+
+    // -- TPC-H Q21 shape: double-correlated EXISTS + NOT EXISTS
+    dual("q83_multi_correlated", """
+      SELECT s_suppkey, count(DISTINCT l1.l_orderkey) AS n
+      FROM supplier
+      JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+      WHERE l1.l_quantity > 45
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_quantity > 49)
+      GROUP BY s_suppkey
+      ORDER BY s_suppkey"""),
+
+    // -- Hive division semantics: / yields double, div yields integer
+    sqlQ("q84_division", """
+      SELECT l_orderkey,
+        l_orderkey / 7 AS q_dbl,
+        l_orderkey div 7 AS q_int,
+        l_orderkey % 7 AS md
+      FROM lineitem
+      WHERE l_orderkey < 50
+      ORDER BY l_orderkey, l_linenumber""", """
+      SELECT l_orderkey,
+        l_orderkey / 7 AS q_dbl,
+        l_orderkey // 7 AS q_int,
+        l_orderkey % 7 AS md
+      FROM lineitem
+      WHERE l_orderkey < 50
+      ORDER BY l_orderkey, l_linenumber"""),
+
+    // -- TPC-H Q11 shape: HAVING against an uncorrelated scalar subquery
+    dual("q85_having_subquery", s"""
+      SELECT l_partkey, cast(sum($REV) AS double) AS value
+      FROM lineitem
+      GROUP BY l_partkey
+      HAVING cast(sum($REV) AS double) > (
+        SELECT cast(sum($REV) AS double) * 0.0008 FROM lineitem)
+      ORDER BY value DESC, l_partkey"""),
+
+    // -- TPC-H Q8 shape: ratio of conditional exact sums (market share)
+    dual("q86_market_share", s"""
+      SELECT year(o_orderdate) AS o_year,
+        cast(sum(CASE WHEN r_name = 'ASIA' THEN $REV
+                      ELSE cast(0.00 AS decimal(25,4)) END) AS double) /
+        cast(sum($REV) AS double) AS asia_share
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY year(o_orderdate)
+      ORDER BY o_year""")
+  )
+}

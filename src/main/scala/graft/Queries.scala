@@ -37,7 +37,7 @@ object Queries {
 
   def all: Seq[Q] =
     RelationalQueries.all ++ WindowQueries.all ++ FunctionQueries.all ++
-      PipelineQueries.all ++ SurfaceQueries.all
+      PipelineQueries.all ++ SurfaceQueries.all ++ DepthQueries.all
 
   lazy val byName: Map[String, Q] = {
     val qs = all
