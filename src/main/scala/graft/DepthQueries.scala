@@ -105,6 +105,23 @@ object DepthQueries {
         SELECT cast(sum($REV) AS double) * 0.0008 FROM lineitem)
       ORDER BY value DESC, l_partkey"""),
 
+    // -- NULL group semantics: outer-join NULLs form their own group;
+    //    count(col) skips NULLs while count(*) doesn't
+    dual("q87_null_groups", """
+      SELECT l_returnflag, count(*) AS n_rows, count(l_orderkey) AS n_li,
+        count(*) - count(l_orderkey) AS n_unmatched
+      FROM orders
+      LEFT JOIN lineitem ON l_orderkey = o_orderkey AND l_quantity > 48
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag NULLS FIRST"""),
+
+    // -- three-valued IN over a subquery that can produce the empty set
+    dual("q88_in_empty_subquery", """
+      SELECT count(*) AS n
+      FROM customer
+      WHERE c_custkey IN (SELECT o_custkey FROM orders
+                          WHERE o_totalprice > 1e12)"""),
+
     // -- TPC-H Q8 shape: ratio of conditional exact sums (market share)
     dual("q86_market_share", s"""
       SELECT year(o_orderdate) AS o_year,
