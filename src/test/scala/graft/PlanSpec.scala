@@ -73,6 +73,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange"), "banding is a shuffle by design")
   }
 
+  test("AQE splits skewed join partitions at runtime (SkewJoinHandler)") {
+    import spark.implicits._
+    // one hot key carries ~90% of rows — the compile-time-undetectable
+    // skew Hive handles with SkewJoinHandler side-files; AQE re-plans it
+    val skewed = spark.range(0, 200000)
+      .select(when(pmod($"id", lit(10)) =!= 0, lit(42L)).otherwise($"id").as("k"),
+        $"id".as("v"))
+    val dim = spark.range(0, 1000).select($"id".as("k"), ($"id" * 2).as("w"))
+    val pairs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "100k",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = skewed.join(dim, "k")
+      // execute THIS DataFrame (count() builds a separate QueryExecution
+      // and the adaptive plan only finalizes on its own execution)
+      // 180000 rows share k=42 (hot) + 100 cold ids land inside the dim
+      assert(joined.collect().length == 180100)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.toLowerCase.contains("skew"),
+        s"expected AQE skew handling:\n$finalPlan")
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("partition pruning reaches the scan for partitioned tables") {
     val t = "plan_part"
     Warehouse.dropTable(spark, t)
