@@ -102,7 +102,8 @@ object DepthQueries {
       FROM lineitem
       GROUP BY l_partkey
       HAVING cast(sum($REV) AS double) > (
-        SELECT cast(sum($REV) AS double) * 0.0008 FROM lineitem)
+        SELECT cast(sum($REV) AS double) * 1.6 / count(DISTINCT l_partkey)
+        FROM lineitem)
       ORDER BY value DESC, l_partkey"""),
 
     // -- NULL group semantics: outer-join NULLs form their own group;

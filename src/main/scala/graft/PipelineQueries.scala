@@ -227,6 +227,33 @@ object PipelineQueries {
         .limit(20)
     },
 
+    // -- TF-IDF top terms per document (training-data curation staple)
+    dfQ("q89_tfidf", """
+      WITH tok AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                 x -> len(x) > 0)) AS term
+        FROM documents
+      ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+      ), dfreq AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+      ), total AS (SELECT count(*) AS n FROM documents),
+      scored AS (
+        SELECT doc_id, term,
+          round(tf * (ln((total.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN total
+      )
+      SELECT doc_id, term, score, rn FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        FROM scored) t
+      WHERE rn <= 3
+      ORDER BY doc_id, rn""") { (s, d) =>
+      TextAnalysis.tfIdfTopK(Tables.load(s, d, "documents"), "doc_id", "text", 3)
+        .orderBy("doc_id", "rn")
+    },
+
     // -- context_ngrams equivalent: top trigrams matching a context prefix
     dfQ("q63_context_ngrams", DUCK_SHINGLES.replace("list_distinct(", "(") + """
       SELECT ngram, count(*) AS n

@@ -84,6 +84,30 @@ object TextAnalysis {
       score.as("quality_score"))
   }
 
+  /** Top-k TF-IDF terms per document. Distributed shape: one explode pass
+    * builds term frequencies; document frequencies aggregate over the
+    * (term, doc) pairs — the DF table is vocabulary-sized, so Catalyst
+    * broadcasts it back onto the TF side (at 100 TB the vocabulary is
+    * still ~millions of rows ⇒ broadcast or one small shuffle); top-k is
+    * a per-doc window (TopNHash shape). idf = ln((N+1)/(df+1)) + 1. */
+  def tfIdfTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(TextOps.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.count()
+    val scored = tf.join(broadcast(dfreq), "term")
+      .withColumn("score", round(
+        col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("term"), col("score"), col("rn"))
+  }
+
   /** 64-bit content fingerprint: xxhash64 of whitespace-normalized,
     * lowercased text — equal fingerprints ⇔ near-certain exact dup
     * modulo whitespace/case. */
