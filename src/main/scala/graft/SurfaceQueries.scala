@@ -166,6 +166,56 @@ object SurfaceQueries {
         count(DISTINCT l_quantity) AS ndv_exact
       FROM lineitem"""),
 
+    // -- numeric bases + bit ops (conv/bin/hex/unhex/shifts,
+    //    FunctionRegistry.java:214-220, 301-303)
+    sqlQ("q90_bits_bases", """
+      SELECT l_orderkey,
+        bin(l_orderkey) AS b2,
+        lower(hex(l_orderkey)) AS b16,
+        conv(cast(l_orderkey AS string), 10, 2) AS conv2,
+        shiftleft(l_orderkey, 2) AS shl,
+        shiftright(l_orderkey, 1) AS shr,
+        l_orderkey & 15 AS band, l_orderkey | 16 AS bor, l_orderkey ^ 5 AS bxor
+      FROM lineitem
+      WHERE l_orderkey < 60
+      GROUP BY l_orderkey
+      ORDER BY l_orderkey""", """
+      SELECT l_orderkey,
+        bin(l_orderkey) AS b2,
+        lower(to_hex(l_orderkey)) AS b16,
+        bin(l_orderkey) AS conv2,
+        l_orderkey << 2 AS shl,
+        l_orderkey >> 1 AS shr,
+        l_orderkey & 15 AS band, l_orderkey | 16 AS bor,
+        xor(l_orderkey, 5) AS bxor
+      FROM lineitem
+      WHERE l_orderkey < 60
+      GROUP BY l_orderkey
+      ORDER BY l_orderkey"""),
+
+    // -- string distance (levenshtein, FunctionRegistry.java:190)
+    sqlQ("q91_levenshtein", """
+      SELECT p_partkey, levenshtein(p_name, 'small anvil') AS dist
+      FROM part WHERE p_partkey < 60
+      ORDER BY p_partkey""", """
+      SELECT p_partkey, levenshtein(p_name, 'small anvil') AS dist
+      FROM part WHERE p_partkey < 60
+      ORDER BY p_partkey"""),
+
+    // -- in_file (GenericUDFInFile, ref :425) through the gate: the query
+    //    materializes its lookup file, the oracle states the semantics
+    Q("q92_in_file", (s, d) => {
+      Tables.register(s, d)
+      val f = java.io.File.createTempFile("graft-regions", ".txt")
+      f.deleteOnExit()
+      java.nio.file.Files.writeString(f.toPath, "ASIA\nEUROPE\n")
+      s.sql(s"""
+        SELECT r_name, in_file(r_name, '${f.getAbsolutePath}') AS in_set
+        FROM region ORDER BY r_name""")
+    }, Some("""
+      SELECT r_name, r_name IN ('ASIA', 'EUROPE') AS in_set
+      FROM region ORDER BY r_name""")),
+
     // -- approx_count_distinct (HLL — the modern compute_stats NDV path);
     //    bounded-error check, exact value differs from DuckDB's HLL
     noOracle("q78_approx_ndv") { (s, _) =>

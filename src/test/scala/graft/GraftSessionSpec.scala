@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** GraftSession bootstrap: a reference user's one-call entry point. */
+class GraftSessionSpec extends SparkSpec {
+
+  test("local() yields a session with functions, confs, and SQL surface") {
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = GraftSession.local(cores = 2)
+      assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
+      assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
+      assert(s.sql("SELECT field('b','a','b') AS f").collect().head.getLong(0) == 2L)
+    } finally {
+      SparkSession.setActiveSession(shared)
+      SparkSession.setDefaultSession(shared)
+    }
+  }
+
+  test("localWithTables registers the full catalog for spark.sql") {
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = GraftSession.localWithTables("/root/testdata/sf0.001")
+      val n = s.sql("SELECT count(*) AS n FROM lineitem").collect().head.getLong(0)
+      assert(n == 6000L)
+      assert(s.sql("SELECT mask_hash(r_name) FROM region").count() == 5)
+    } finally {
+      SparkSession.setActiveSession(shared)
+      SparkSession.setDefaultSession(shared)
+    }
+  }
+
+  test("Hive-parity pins for built-ins the reference registers") {
+    // soundex (FunctionRegistry.java:191), reflect (:269), factorial (:212)
+    val r = spark.sql("""SELECT soundex('Robert'), soundex('Rupert'),
+      reflect('java.lang.Integer', 'toHexString', 26),
+      factorial(5), pmod(-7, 3), e() > 2.71, pi() > 3.14""").collect().head
+    assert(r.getString(0) == "R163" && r.getString(1) == "R163")
+    assert(r.getString(2) == "1a")
+    assert(r.getLong(3) == 120L)
+    assert(r.getInt(4) == 2, "pmod is positive (Hive semantics)")
+    assert(r.getBoolean(5) && r.getBoolean(6))
+  }
+}
