@@ -216,6 +216,46 @@ object SurfaceQueries {
       SELECT r_name, r_name IN ('ASIA', 'EUROPE') AS in_set
       FROM region ORDER BY r_name""")),
 
+    // -- remaining string builtins (space/elt/find_in_set/initcap/
+    //    format_number/printf/substring_index, FunctionRegistry §2.5);
+    //    constant args ⇒ oracle supplies expected literals
+    sqlQ("q93_string_builtins", """
+      SELECT r_regionkey,
+        concat('[', space(3), ']') AS sp,
+        elt(2, 'a', r_name, 'c') AS e2,
+        find_in_set(r_name, 'ASIA,EUROPE,AFRICA') AS fis,
+        initcap(lower(r_name)) AS ic,
+        format_number(1234567.891, 2) AS fmt,
+        printf('%05d|%s', r_regionkey, r_name) AS pf,
+        substring_index('a.b.c', '.', 2) AS si
+      FROM region
+      ORDER BY r_regionkey""", """
+      SELECT r_regionkey,
+        '[   ]' AS sp,
+        r_name AS e2,
+        CASE r_name WHEN 'ASIA' THEN 1 WHEN 'EUROPE' THEN 2
+                    WHEN 'AFRICA' THEN 3 ELSE 0 END AS fis,
+        list_aggregate(list_transform(string_split(lower(r_name), ' '),
+          w -> upper(w[1]) || w[2:]), 'string_agg', ' ') AS ic,
+        '1,234,567.89' AS fmt,
+        printf('%05d|%s', r_regionkey, r_name) AS pf,
+        'a.b' AS si
+      FROM region
+      ORDER BY r_regionkey"""),
+
+    // -- str_to_map over column-built strings (FunctionRegistry.java:245)
+    sqlQ("q94_str_to_map", """
+      SELECT n_nationkey,
+        str_to_map(concat('nk:', n_nationkey, ',rk:', n_regionkey))['nk'] AS nk_s,
+        str_to_map(concat('nk:', n_nationkey, ',rk:', n_regionkey))['rk'] AS rk_s
+      FROM nation
+      ORDER BY n_nationkey""", """
+      SELECT n_nationkey,
+        n_nationkey::VARCHAR AS nk_s,
+        n_regionkey::VARCHAR AS rk_s
+      FROM nation
+      ORDER BY n_nationkey"""),
+
     // -- approx_count_distinct (HLL — the modern compute_stats NDV path);
     //    bounded-error check, exact value differs from DuckDB's HLL
     noOracle("q78_approx_ndv") { (s, _) =>
