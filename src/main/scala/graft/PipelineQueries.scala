@@ -254,6 +254,57 @@ object PipelineQueries {
         .orderBy("doc_id", "rn")
     },
 
+    // -- capstone: full curation pipeline (quality gate → lang-id →
+    //    exact dedup → per-language stats), oracle replicates each stage
+    dfQ("q95_curation_pipeline", """
+      WITH metrics AS (
+        SELECT doc_id, text, lang,
+          len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                          x -> len(x) > 0)) AS n_tokens,
+          (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+            ::DOUBLE / length(text) AS punct_ratio,
+          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                      x -> len(x) > 0) AS t,
+          regexp_matches(text, '[一-鿿]') AS has_cjk
+        FROM documents
+      ), scored AS (
+        SELECT *,
+          len(list_filter(t, x -> list_contains(
+            ['the','a','of','and','to','in','is','that','it','for'], x))) AS s_en,
+          len(list_filter(t, x -> list_contains(
+            ['der','die','das','und','ist','nicht','ein','mit','zu','auf'], x))) AS s_de,
+          len(list_filter(t, x -> list_contains(
+            ['le','la','les','et','est','un','une','des','que','pour'], x))) AS s_fr,
+          len(list_filter(t, x -> list_contains(
+            ['el','la','los','las','y','es','un','una','que','por'], x))) AS s_es
+        FROM metrics
+        WHERE n_tokens >= 20 AND punct_ratio < 0.05
+      ), gated AS (
+        SELECT doc_id, text, lang, n_tokens, CASE
+            WHEN has_cjk THEN 'zh'
+            WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+            WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+            WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
+            WHEN s_de > s_en THEN 'de'
+            ELSE 'en' END AS predicted
+        FROM scored
+      ), deduped AS (
+        SELECT min(doc_id) AS keep_id,
+          arg_min(lang, doc_id) AS lang,
+          arg_min(predicted, doc_id) AS predicted,
+          arg_min(n_tokens, doc_id) AS n_tokens
+        FROM gated GROUP BY text
+      )
+      SELECT lang, count(*) AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens,
+        count(*) FILTER (WHERE predicted = lang) AS n_pred_match
+      FROM deduped
+      GROUP BY lang
+      ORDER BY lang""") { (s, d) =>
+      graft.operators.Curation.corpusStats(
+        graft.operators.Curation.curate(
+          Tables.load(s, d, "documents"), "doc_id", "text"))
+    },
+
     // -- context_ngrams equivalent: top trigrams matching a context prefix
     dfQ("q63_context_ngrams", DUCK_SHINGLES.replace("list_distinct(", "(") + """
       SELECT ngram, count(*) AS n

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation pipeline composing the text
+  * operators: quality gate → language ID → exact dedup → per-language
+  * corpus stats. Every stage is a narrow column expression or one
+  * hash-shuffle — the canonical 100 TB pre-training cleanup job shape
+  * (filter early, dedup on the reduced set, aggregate last).
+  */
+object Curation {
+
+  /** Quality-gated, deduplicated corpus with predicted language.
+    * Keeps the lowest doc id per distinct text. */
+  def curate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Int = 20,
+      maxPunctRatio: Double = 0.05): DataFrame = {
+    val m = docs.select(
+      col(idCol).as("doc_id"),
+      col(textCol).as("text"),
+      col("lang"),
+      TextAnalysis.qualityMetrics(col(textCol)).as("m"),
+      TextAnalysis.langId(col(textCol)).as("predicted"))
+      .filter(col("m.n_tokens") >= minTokens &&
+        col("m.punct_ratio") < maxPunctRatio)
+    m.groupBy(col("text"))
+      .agg(
+        min(col("doc_id")).as("keep_id"),
+        min_by(col("lang"), col("doc_id")).as("lang"),
+        min_by(col("predicted"), col("doc_id")).as("predicted"),
+        min_by(col("m.n_tokens"), col("doc_id")).as("n_tokens"))
+      .select(col("keep_id"), col("lang"), col("predicted"),
+        col("n_tokens"), col("text"))
+  }
+
+  /** Per-language stats over the curated corpus: volume, token mass,
+    * lang-id agreement — the report a curation run ends with. */
+  def corpusStats(curated: DataFrame): DataFrame =
+    curated.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        count(when(col("predicted") === col("lang"), 1)).as("n_pred_match"))
+      .orderBy(col("lang"))
+}

@@ -87,6 +87,25 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("IVF persisted partitionBy(cid) prunes unprobed partitions on search") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, dir, "embeddings")
+    val ivf = Similarity.buildIvf(emb, "vec_id", "embedding", nlist = 4)
+    val out = java.nio.file.Files.createTempDirectory("ivf").toString + "/idx"
+    ivf.assigned.write.partitionBy("cid").parquet(out)
+    val stored = ivf.copy(assigned = spark.read.parquet(out))
+    val q = emb.filter($"vec_id" === 0L)
+      .select($"embedding").collect().head.getSeq[Float](0)
+    val res = Similarity.searchIvf(stored, q, k = 5, nprobe = 1)
+    val rows = res.collect()
+    assert(rows.nonEmpty && rows.head.getLong(0) == 0L)
+    // the probe joins against a 1-centroid broadcast list: DPP/pruning
+    // means the scan reads at most the probed partition's files
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters"),
+      s"expected partition pruning on cid:\n$plan")
+  }
+
   test("cosine column math matches manual computation") {
     val df = Seq((Array(1f, 2f, 2f), Array(2f, 4f, 4f))).toDF("a", "b")
     val c = df.select(Vectors.cosine($"a", $"b")).collect().head.getDouble(0)
