@@ -123,6 +123,47 @@ object DepthQueries {
       WHERE c_custkey IN (SELECT o_custkey FROM orders
                           WHERE o_totalprice > 1e12)"""),
 
+    // -- TPC-H Q19 shape: equi-join + theta residual (Hive evaluates
+    //    non-equi terms as post-join filters in CommonJoinOperator)
+    dual("q96_theta_residual_join", s"""
+      SELECT p_brand, count(*) AS n, cast(sum($REV) AS double) AS revenue
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE l_quantity BETWEEN p_size - 5 AND p_size + 5
+        AND p_retailprice > 500
+      GROUP BY p_brand
+      ORDER BY p_brand"""),
+
+    // -- TPC-H Q12 shape: join + CASE-bucketed conditional sums
+    dual("q97_case_bucket_join", """
+      SELECT
+        CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 'high' ELSE 'low' END AS prio_class,
+        count(*) AS n,
+        count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned
+      FROM orders
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'
+      GROUP BY 1
+      ORDER BY prio_class"""),
+
+    // -- nested CTEs + window + join composition (operator chaining)
+    dual("q98_cte_window_join", """
+      WITH cust_rank AS (
+        SELECT c_custkey, c_nationkey, c_acctbal,
+          row_number() OVER (PARTITION BY c_nationkey
+                             ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer
+      ), top_cust AS (
+        SELECT * FROM cust_rank WHERE rn <= 5
+      )
+      SELECT n_name, count(*) AS n_top,
+        cast(sum(cast(c_acctbal AS decimal(18,2))) AS double) AS bal
+      FROM top_cust
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name"""),
+
     // -- TPC-H Q8 shape: ratio of conditional exact sums (market share)
     dual("q86_market_share", s"""
       SELECT year(o_orderdate) AS o_year,
