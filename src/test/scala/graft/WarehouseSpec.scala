@@ -134,6 +134,23 @@ class WarehouseSpec extends SparkSpec {
       s"expected row stats, got ${stats.get("Statistics")}")
   }
 
+  test("SHOW PARTITIONS + ALTER TABLE ADD/DROP PARTITION (DDL family)") {
+    val t = "wh_part_ddl"
+    Warehouse.dropTable(spark, t)
+    Warehouse.createTable(
+      Seq((1, "a", 2020), (2, "b", 2021), (3, "c", 2022)).toDF("id", "v", "yr"),
+      t, partitionBy = Seq("yr"))
+    val parts = spark.sql(s"SHOW PARTITIONS $t").collect().map(_.getString(0))
+    assert(parts.sorted.toSeq == Seq("yr=2020", "yr=2021", "yr=2022"))
+    spark.sql(s"ALTER TABLE $t DROP PARTITION (yr=2021)")
+    assert(spark.sql(s"SHOW PARTITIONS $t").count() == 2)
+    assert(spark.table(t).orderBy("id").collect().map(_.getInt(0)).toSeq ==
+      Seq(1, 3), "dropped partition's rows are gone")
+    spark.sql(s"ALTER TABLE $t ADD PARTITION (yr=2030)")
+    assert(spark.sql(s"SHOW PARTITIONS $t").count() == 3)
+    Warehouse.dropTable(spark, t)
+  }
+
   test("SHOW/DESCRIBE surface works through spark.sql") {
     assert(spark.sql("SHOW TABLES").count() > 0)
     assert(spark.sql("DESCRIBE TABLE lineitem").count() >= 11)
