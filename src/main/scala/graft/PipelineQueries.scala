@@ -254,6 +254,27 @@ object PipelineQueries {
         .orderBy("doc_id", "rn")
     },
 
+    // -- context_ngrams with Hive wildcard semantics: words following
+    //    "the" (context = ['the', null] → top wildcard fillers)
+    dfQ("q99_context_ngrams_wildcard", """
+      WITH tok AS (
+        SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> len(x) > 0) AS t
+        FROM documents
+      ), bigrams AS (
+        SELECT t[i] AS w1, t[i+1] AS w2
+        FROM tok, LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+      )
+      SELECT w2 AS filler, count(*) AS n
+      FROM bigrams WHERE w1 = 'the'
+      GROUP BY w2
+      ORDER BY n DESC, filler
+      LIMIT 10""") { (s, d) =>
+      TextAnalysis.contextNgrams(
+        Tables.load(s, d, "documents"), "text",
+        context = Seq(Some("the"), None), k = 10)
+    },
+
     // -- capstone: full curation pipeline (quality gate → lang-id →
     //    exact dedup → per-language stats), oracle replicates each stage
     dfQ("q95_curation_pipeline", """

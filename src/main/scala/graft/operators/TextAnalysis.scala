@@ -84,6 +84,31 @@ object TextAnalysis {
       score.as("quality_score"))
   }
 
+  /** Hive context_ngrams semantics (GenericUDAFContextNGrams, ref
+    * ql/exec/FunctionRegistry.java:386): `context` fixes some n-gram
+    * positions, None marks wildcards; returns the top-k wildcard fillers
+    * by corpus frequency. Re-expressed Spark-first as explode + position
+    * filter + distributed count (exact, vs the reference's single-reducer
+    * estimator). */
+  def contextNgrams(df: org.apache.spark.sql.DataFrame, textCol: String,
+      context: Seq[Option[String]], k: Int): org.apache.spark.sql.DataFrame = {
+    val n = context.length
+    val grams = df.select(explode(
+      TextOps.shingleSet(col(textCol), n, distinct = false)).as("ngram"))
+      .withColumn("w", split(col("ngram"), " "))
+    val fixed = context.zipWithIndex.collect {
+      case (Some(word), i) => col("w").getItem(i) === word
+    }
+    val matched = fixed.foldLeft(grams)((d, cond) => d.filter(cond))
+    val wildcardIdx = context.zipWithIndex.collect { case (None, i) => i }
+    matched
+      .select(concat_ws(" ",
+        wildcardIdx.map(i => col("w").getItem(i)): _*).as("filler"))
+      .groupBy("filler").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("filler"))
+      .limit(k)
+  }
+
   /** Top-k TF-IDF terms per document. Distributed shape: one explode pass
     * builds term frequencies; document frequencies aggregate over the
     * (term, doc) pairs — the DF table is vocabulary-sized, so Catalyst
