@@ -21,13 +21,27 @@ object Warehouse {
     * DROP in a fresh session leaves an orphan location that blocks
     * re-creation (LOCATION_ALREADY_EXISTS). */
   def dropTable(spark: SparkSession, table: String): Unit = {
+    // Resolve the real location from the catalog while the table still
+    // exists — deriving it from the name breaks for qualified "db.t"
+    // (location is <warehouse>/db.db/t, not <warehouse>/db.t).
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc: Option[java.io.File] =
+      if (catalog.tableExists(ident))
+        Some(new java.io.File(catalog.getTableMetadata(ident).location.getPath))
+      else None
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:")
-    val loc = new java.io.File(warehouse, table.toLowerCase)
-    if (loc.exists()) {
+    val dir = loc.getOrElse {
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      val base = ident.database.filter(_ != "default")
+        .map(db => new java.io.File(warehouse, db + ".db"))
+        .getOrElse(new java.io.File(warehouse))
+      new java.io.File(base, ident.table.toLowerCase)
+    }
+    if (dir.exists()) {
       import scala.reflect.io.Directory
-      new Directory(loc).deleteRecursively()
+      new Directory(dir).deleteRecursively()
     }
   }
 
@@ -90,6 +104,13 @@ object Warehouse {
   def update(spark: SparkSession, table: String,
       sets: Map[String, String], where: String): Unit = {
     val partCols = partitionColumns(spark, table)
+    // Hive rejects SET on a partition column (SemanticAnalyzer
+    // updateDelete checks); allowing it here would move rows between
+    // partitions while the touched-partition semi-join still keys on
+    // pre-update values — silently losing the moved rows.
+    val moved = sets.keySet.map(_.toLowerCase).intersect(partCols.map(_.toLowerCase).toSet)
+    require(moved.isEmpty,
+      s"UPDATE cannot set partition column(s) ${moved.mkString(", ")} of $table")
     val current = spark.table(table)
     val updated = sets.foldLeft(current) { case (df, (c, e)) =>
       df.withColumn(c, when(expr(where), expr(e)).otherwise(col(c)))
@@ -104,17 +125,21 @@ object Warehouse {
     }
   }
 
-  /** DELETE FROM table WHERE cond — same partition-granular rewrite. */
+  /** DELETE FROM table WHERE cond — same partition-granular rewrite.
+    * Only rows where the predicate is TRUE are removed; a NULL predicate
+    * keeps the row (SQL three-valued semantics — `not(where)` alone would
+    * drop NULL-predicate rows). */
   def delete(spark: SparkSession, table: String, where: String): Unit = {
     val partCols = partitionColumns(spark, table)
     val current = spark.table(table)
+    val keep = coalesce(expr(where), lit(false)) === lit(false)
     if (partCols.isEmpty) {
-      overwriteUnpartitioned(spark, table, current.filter(not(expr(where))))
+      overwriteUnpartitioned(spark, table, current.filter(keep))
     } else {
       val touched = current.filter(expr(where)).select(partCols.map(col): _*).distinct()
       val replacement = current
         .join(broadcast(touched), partCols, "left_semi")
-        .filter(not(expr(where)))
+        .filter(keep)
       insertOverwriteDynamic(spark, table, replacement)
     }
   }

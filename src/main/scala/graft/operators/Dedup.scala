@@ -37,6 +37,29 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
+    val (pairs, release) = minhashPipeline(
+      df, idCol, textCol, shingleSize, numHashes, bands, threshold, maxBucket)
+    // Eagerly materialize the (small) verified-pair set, truncating the
+    // lineage, so the two working-set caches can be dropped immediately —
+    // repeated calls in a long-lived session must not accumulate blocks.
+    // (Checkpoint blocks are reclaimed by the ContextCleaner once the
+    // returned frame is unreachable, unlike CacheManager-pinned persists.)
+    val out = pairs.localCheckpoint(true)
+    release()
+    out
+  }
+
+  /** The lazy pipeline + a release handle for the two persisted working
+    * sets — shared by the eager public wrapper and plan inspection. */
+  private[graft] def minhashPipeline(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      maxBucket: Int): (DataFrame, () => Unit) = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
 
@@ -60,7 +83,8 @@ object Dedup {
       .select(col("id"), col("pos").as("band"), col("col").as("key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    verifyPairs(candidatePairs(banded, maxBucket), shingled, threshold)
+    val out = verifyPairs(candidatePairs(banded, maxBucket), shingled, threshold)
+    (out, () => { shingled.unpersist(false); banded.unpersist(false); () })
   }
 
   /** SimHash near-dup pairs: 64-bit fingerprint, banded into 16-bit

@@ -25,7 +25,10 @@ case class StatsCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .contains("true")
 
   private def isCountStar(e: Any): Boolean = e match {
-    case Alias(AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, _, _), _) => true
+    // filter must be None: count(*) FILTER (WHERE p) cannot be answered
+    // from the catalog row count (the reference rule likewise only fires
+    // on unfiltered count(*)).
+    case Alias(AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, None, _), _) => true
     case _ => false
   }
 

@@ -65,36 +65,45 @@ object Ingest {
   final case class Session(
       user_id: Long, start_ms: Long, end_ms: Long, n_events: Int, total: Double)
 
-  /** Session windows via mapGroupsWithState (KeyValueGroupedDataset) —
-    * custom state machine: a session closes after `gapMs` of inactivity
-    * (processing-time timeout drives emission). */
+  /** Session windows via flatMapGroupsWithState (KeyValueGroupedDataset) —
+    * custom state machine: a session closes after `gapMs` of inactivity.
+    * The batch's events are sorted and split into runs wherever the
+    * event-time gap exceeds `gapMs` (two sessions arriving in one
+    * micro-batch — e.g. Trigger.AvailableNow or replay — must NOT merge;
+    * same semantics as sessionizeBatch). Closed runs are emitted final;
+    * the last run stays in state (emitted as an in-progress update) with
+    * a processing-time timeout driving its eventual close. */
   def sessionize(
       events: Dataset[Event], gapMs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, Session](
-        GroupStateTimeout.ProcessingTimeTimeout()) {
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Update(), GroupStateTimeout.ProcessingTimeTimeout()) {
         (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Session(user, s.start, s.end, s.n, s.total)
+            Iterator.single(Session(user, s.start, s.end, s.n, s.total))
           } else {
-            val evs = rows.toSeq
-            val lo = evs.map(_.ts.getTime).min
-            val hi = evs.map(_.ts.getTime).max
-            val prev = state.getOption
-            val next = prev match {
-              case Some(p) if lo - p.end <= gapMs =>
-                SessionState(p.start, math.max(p.end, hi),
-                  p.n + evs.size, p.total + evs.map(_.value).sum)
-              case _ =>
-                SessionState(lo, hi, evs.size, evs.map(_.value).sum)
+            val evs = rows.toSeq.sortBy(_.ts.getTime)
+            var runs = state.getOption.toVector
+            for (e <- evs) {
+              val t = e.ts.getTime
+              runs = runs.lastOption match {
+                case Some(r) if t - r.end <= gapMs =>
+                  runs.init :+ SessionState(r.start, math.max(r.end, t),
+                    r.n + 1, r.total + e.value)
+                case _ =>
+                  runs :+ SessionState(t, t, 1, e.value)
+              }
             }
-            state.update(next)
-            state.setTimeoutDuration(gapMs)
-            Session(user, next.start, next.end, next.n, next.total)
+            if (runs.isEmpty) Iterator.empty
+            else {
+              state.update(runs.last)
+              state.setTimeoutDuration(gapMs)
+              runs.iterator.map(s => Session(user, s.start, s.end, s.n, s.total))
+            }
           }
       }
   }

@@ -54,6 +54,13 @@ class ExtensionsSpec extends SparkSpec {
       assert(!filtered.queryExecution.optimizedPlan.toString.contains("LocalRelation"))
       assert(filtered.collect().head.getLong(0) == 19L)
 
+      // count(*) FILTER (WHERE p) cannot be served from catalog stats
+      val filterAgg = spark.sql(
+        s"SELECT count(*) FILTER (WHERE n_nationkey > 5) AS n FROM $t")
+      assert(!filterAgg.queryExecution.optimizedPlan.toString.contains("LocalRelation"),
+        "FILTER-qualified count(*) must not be answered from stats")
+      assert(filterAgg.collect().head.getLong(0) == 19L)
+
       spark.conf.set("spark.graft.statsOptimizer.enabled", "false")
       val off = spark.sql(s"SELECT count(*) FROM $t")
       assert(!off.queryExecution.optimizedPlan.toString.contains("LocalRelation"))

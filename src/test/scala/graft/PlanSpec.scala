@@ -66,10 +66,15 @@ class PlanSpec extends SparkSpec {
 
   test("dedup candidate generation shuffles on band keys, not row data") {
     // the minhash pipeline's only wide exchanges are on (band, key) and the
-    // id-pair join — the shingle arrays never shuffle with the full rows
-    val df = graft.operators.Dedup.minhashNearDups(
-      Tables.load(spark, dir, "documents"), "doc_id", "text")
+    // id-pair join — the shingle arrays never shuffle with the full rows.
+    // Inspect the lazy pipeline (the public wrapper checkpoints eagerly,
+    // truncating the plan to a Scan ExistingRDD).
+    val (df, release) = graft.operators.Dedup.minhashPipeline(
+      Tables.load(spark, dir, "documents"), "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16,
+      threshold = 0.5, maxBucket = 1000)
     val p = df.queryExecution.executedPlan.toString
+    release()
     assert(p.contains("Exchange"), "banding is a shuffle by design")
   }
 

@@ -102,6 +102,33 @@ class StreamingSpec extends SparkSpec {
     assert(out(1).getAs[Long]("user_id") == 2L)
   }
 
+  test("streaming sessionization splits two sessions arriving in one batch") {
+    // Replay / AvailableNow delivers a user's whole history in one
+    // micro-batch; gaps inside the batch must still split sessions.
+    val input = MemoryStream[Ingest.Event](spark, 3)
+    val sessions = Ingest.sessionize(input.toDS(), gapMs = 60000L)
+    val ckpt = tmp("sess-split-ckpt")
+    val query = sessions.writeStream
+      .format("memory").queryName("sess_split_out")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    def ev(min: Int, v: Double) =
+      Ingest.Event(1L, Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), v)
+    // minutes 0,1 = session A; minute 10 = session B (9-min gap > 60s)
+    input.addData(ev(0, 1.0), ev(1, 2.0), ev(10, 4.0))
+    waitFor(spark.table("sess_split_out").count() >= 2)
+    query.stop()
+
+    val out = spark.table("sess_split_out").orderBy("start_ms").collect()
+    assert(out.length == 2, s"one batch must yield two sessions, got ${out.length}")
+    assert(out(0).getAs[Int]("n_events") == 2 &&
+      out(0).getAs[Double]("total") == 3.0, "closed first run: events 0,1")
+    assert(out(1).getAs[Int]("n_events") == 1 &&
+      out(1).getAs[Double]("total") == 4.0, "second run split off in-batch")
+  }
+
   test("batch sessionization splits on inactivity gap") {
     val df = Seq(
       (1L, "2024-01-01 10:00:00", 1.0),

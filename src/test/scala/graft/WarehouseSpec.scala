@@ -114,6 +114,56 @@ class WarehouseSpec extends SparkSpec {
       Seq(1, 3))
   }
 
+  test("DELETE keeps rows whose predicate evaluates to NULL (3VL)") {
+    // SQL DELETE removes only predicate-TRUE rows; NULL predicate keeps.
+    val t = "wh_del_null"
+    Warehouse.dropTable(spark, t)
+    Warehouse.createTable(
+      Seq((1, Some(5)), (2, None), (3, Some(50))).toDF("id", "amt"), t)
+    Warehouse.delete(spark, t, where = "amt > 10")
+    assert(spark.table(t).orderBy("id").collect().map(_.getInt(0)).toSeq ==
+      Seq(1, 2), "NULL-amt row must survive the delete")
+    // partitioned branch: NULL-predicate rows inside a touched partition
+    val tp = "wh_del_null_part"
+    Warehouse.dropTable(spark, tp)
+    Warehouse.createTable(
+      Seq((1, Some(5), 2020), (2, None, 2020), (3, Some(50), 2020),
+        (4, None, 2021)).toDF("id", "amt", "yr"),
+      tp, partitionBy = Seq("yr"))
+    Warehouse.delete(spark, tp, where = "amt > 10")
+    assert(spark.table(tp).orderBy("id").collect().map(_.getInt(0)).toSeq ==
+      Seq(1, 2, 4), "NULL-amt rows survive in touched and untouched partitions")
+  }
+
+  test("UPDATE rejects SET on a partition column (Hive semantics)") {
+    val t = "wh_upd_partcol"
+    Warehouse.dropTable(spark, t)
+    Warehouse.createTable(
+      Seq((1, 10.0, 2020)).toDF("id", "amt", "yr"), t, partitionBy = Seq("yr"))
+    val e = intercept[IllegalArgumentException] {
+      Warehouse.update(spark, t, Map("yr" -> "2021"), "id = 1")
+    }
+    assert(e.getMessage.contains("partition column"))
+  }
+
+  test("dropTable removes the real location for qualified db.table names") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS whdb")
+    val t = "whdb.wh_qual"
+    Warehouse.dropTable(spark, t)
+    Warehouse.createTable(Seq((1, "a")).toDF("id", "v"), t)
+    val loc = new java.io.File(
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(t)).location.getPath)
+    assert(loc.exists(), "table files written")
+    Warehouse.dropTable(spark, t)
+    assert(!loc.exists(), s"location $loc must be removed on drop")
+    // re-create must not hit LOCATION_ALREADY_EXISTS
+    Warehouse.createTable(Seq((2, "b")).toDF("id", "v"), t)
+    assert(spark.table(t).count() == 1)
+    Warehouse.dropTable(spark, t)
+    spark.sql("DROP DATABASE IF EXISTS whdb")
+  }
+
   test("UPDATE on unpartitioned table works via staged rewrite") {
     val t = "wh_upd_flat"
     Warehouse.dropTable(spark, t)
