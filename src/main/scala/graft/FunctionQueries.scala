@@ -254,44 +254,64 @@ object FunctionQueries {
       WHERE c_custkey < 20
       ORDER BY c_custkey"""),
 
-    // -- custom: create_union (UNIONTYPE struct+tag encoding, SURVEY §1.2)
-    noOracle("q45_create_union") { (s, _) =>
-      s.sql("""
-        SELECT o_orderkey, u.tag,
-          CASE WHEN u.tag = 0 THEN u.field0 ELSE cast(u.field1 AS string) END AS value
-        FROM (
-          SELECT o_orderkey,
-            create_union(if(o_totalprice > 100000, 0, 1),
-                         o_orderstatus, o_totalprice) AS u
-          FROM orders WHERE o_orderkey < 100) t
-        ORDER BY o_orderkey""")
-    },
+    // -- custom: create_union (UNIONTYPE struct+tag encoding, SURVEY §1.2).
+    //    The projection is scalar-only, so a DuckDB CASE reproduces it.
+    sqlQ("q45_create_union", """
+      SELECT o_orderkey, u.tag AS tag,
+        CASE WHEN u.tag = 0 THEN u.field0 ELSE cast(u.field1 AS string) END AS value
+      FROM (
+        SELECT o_orderkey,
+          create_union(if(o_totalprice > 100000, 0, 1),
+                       o_orderstatus, o_totalprice) AS u
+        FROM orders WHERE o_orderkey < 100) t
+      ORDER BY o_orderkey""", """
+      SELECT o_orderkey,
+        CASE WHEN o_totalprice > 100000 THEN 0 ELSE 1 END AS tag,
+        CASE WHEN o_totalprice > 100000 THEN o_orderstatus
+             ELSE cast(o_totalprice AS varchar) END AS value
+      FROM orders WHERE o_orderkey < 100
+      ORDER BY o_orderkey"""),
 
     // -- histogram_numeric UDAF (GenericUDAFHistogramNumeric, ref :380;
-    //    Spark has a native port of the same bin-merge algorithm)
-    noOracle("q46_histogram_numeric") { (s, _) =>
-      s.sql("""
-        SELECT l_returnflag, histogram_numeric(l_quantity, 5) AS hist
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
-    },
+    //    Spark has a native port of the same bin-merge algorithm).
+    //    nbins = 50 = |distinct l_quantity| makes the result exact and
+    //    merge-order-independent (every coalesced pair has gap 0), so the
+    //    exploded bins oracle as a plain GROUP BY — the array column is
+    //    flattened to rows for the driver's scalar compare.
+    sqlQ("q46_histogram_numeric", """
+      SELECT l_returnflag, round(b.x, 6) AS bin_x, round(b.y, 6) AS bin_y
+      FROM (SELECT l_returnflag, histogram_numeric(l_quantity, 50) AS hist
+            FROM lineitem GROUP BY l_returnflag) t
+      LATERAL VIEW explode(hist) e AS b
+      ORDER BY l_returnflag, bin_x""", """
+      SELECT l_returnflag,
+        round(cast(l_quantity AS double), 6) AS bin_x,
+        round(cast(count(*) AS double), 6) AS bin_y
+      FROM lineitem GROUP BY 1, l_quantity
+      ORDER BY l_returnflag, bin_x"""),
 
     // -- sentences() text op (FunctionRegistry.java:419; seed of the text
-    //    pipeline) — Spark built-in
-    noOracle("q47_sentences") { (s, _) =>
-      s.sql("""
-        SELECT doc_id, sentences(text) AS sents
-        FROM documents WHERE doc_id < 10 ORDER BY doc_id""")
-    },
+    //    pipeline) — Spark built-in. The corpus is punctuation-free, so
+    //    BreakIterator yields one sentence of whitespace-split words; the
+    //    nested array is canonicalized via to_json for the compare.
+    sqlQ("q47_sentences", """
+      SELECT doc_id, to_json(sentences(text)) AS sents
+      FROM documents WHERE doc_id < 10 ORDER BY doc_id""", """
+      SELECT doc_id,
+        to_json([list_filter(regexp_split_to_array(text, ' +'), x -> x != '')])
+          AS sents
+      FROM documents WHERE doc_id < 10 ORDER BY doc_id"""),
 
-    // -- collect_set/collect_list (ref :382-383), canonicalized by sort
+    // -- collect_set/collect_list (ref :382-383), canonicalized by sort +
+    //    to_json (array columns crash the driver's pandas compare raw)
     sqlQ("q48_collect", """
       SELECT l_returnflag,
-        sort_array(collect_set(l_linestatus)) AS statuses,
+        to_json(sort_array(collect_set(l_linestatus))) AS statuses,
         size(collect_list(l_linestatus)) AS n_all
       FROM lineitem
       GROUP BY l_returnflag ORDER BY l_returnflag""", """
       SELECT l_returnflag,
-        list_sort(list(DISTINCT l_linestatus)) AS statuses,
+        to_json(list_sort(list(DISTINCT l_linestatus))) AS statuses,
         count(l_linestatus) AS n_all
       FROM lineitem
       GROUP BY l_returnflag ORDER BY l_returnflag"""),

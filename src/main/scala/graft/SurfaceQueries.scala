@@ -258,12 +258,18 @@ object SurfaceQueries {
 
     // -- approx_count_distinct (HLL — the modern compute_stats NDV path);
     //    bounded-error check, exact value differs from DuckDB's HLL
-    noOracle("q78_approx_ndv") { (s, _) =>
-      s.sql("""
-        SELECT l_returnflag,
-          approx_count_distinct(l_partkey) AS ndv_approx,
-          count(DISTINCT l_partkey) AS ndv_exact
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
-    }
+    // ndv_exact oracles directly; the HLL++ estimate is oracle'd as a
+    // bounded-relative-error invariant (DuckDB cannot reproduce Spark's
+    // sketch, but it CAN assert the bound holds → `true` on both sides)
+    sqlQ("q78_approx_ndv", """
+      SELECT l_returnflag,
+        count(DISTINCT l_partkey) AS ndv_exact,
+        abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+          <= 0.1 * count(DISTINCT l_partkey) AS approx_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""", """
+      SELECT l_returnflag,
+        count(DISTINCT l_partkey) AS ndv_exact,
+        true AS approx_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 }
