@@ -37,7 +37,8 @@ object Queries {
 
   def all: Seq[Q] =
     RelationalQueries.all ++ WindowQueries.all ++ FunctionQueries.all ++
-      PipelineQueries.all ++ SurfaceQueries.all ++ DepthQueries.all
+      PipelineQueries.all ++ SurfaceQueries.all ++ DepthQueries.all ++
+      GapQueries.all
 
   lazy val byName: Map[String, Q] = {
     val qs = all
