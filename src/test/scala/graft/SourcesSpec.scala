@@ -5,9 +5,10 @@ import org.apache.spark.sql.types._
 import java.nio.file.Files
 
 /** Scan/source/sink parity (SURVEY §2.2): round-trips through every format
-  * the environment provides (parquet, ORC, CSV, JSON, delimited text), the
-  * RegexSerDe equivalent, and schema-on-read semantics. spark-avro is not
-  * in /opt/spark/jars (zero-egress env) — documented in COVERAGE.md. */
+  * the environment provides (parquet, ORC, CSV, JSON, delimited text, and
+  * Avro container files via graft.sources.Avro on the bundled avro core —
+  * spark-avro is not in /opt/spark/jars), the RegexSerDe equivalent, and
+  * schema-on-read semantics. */
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
 
@@ -88,6 +89,64 @@ class SourcesSpec extends SparkSpec {
     assert(back.select(countDistinct($"yr")).collect().head.getLong(0) ==
       orders.select(countDistinct($"yr")).collect().head.getLong(0))
     assert(back.count() == orders.count())
+  }
+
+  test("Avro container round-trip incl. nulls, bytes, arrays (AvroSerDe)") {
+    val out = tmp("avro") + "/mixed"
+    val df = Seq(
+      (1, Some("alpha"), Some(1.5), Array[Byte](1, 2, 3), Seq(1L, 2L)),
+      (2, None, None, Array[Byte](), Seq.empty[Long]),
+      (3, Some("gamma"), Some(-0.25), Array[Byte](-1), Seq(42L))
+    ).toDF("id", "name", "score", "payload", "keys")
+    graft.sources.Avro.write(df, out)
+    assert(new java.io.File(out).listFiles().exists(_.getName.endsWith(".avro")))
+    val back = graft.sources.Avro.read(spark, out)
+    assert(back.schema("name").nullable && back.schema("score").nullable)
+    val got = back.orderBy("id").collect()
+    assert(got.length == 3)
+    assert(got(0).getString(1) == "alpha" && got(1).isNullAt(1))
+    assert(got(0).getAs[Array[Byte]]("payload").toSeq == Seq[Byte](1, 2, 3))
+    assert(got(0).getAs[scala.collection.Seq[Long]]("keys").toSeq == Seq(1L, 2L))
+    assert(got(2).getDouble(2) == -0.25)
+  }
+
+  test("Avro read of a TPC-H table matches the parquet original") {
+    val out = tmp("avro") + "/nation"
+    // nation: int keys + strings — write via our sink, read via our source
+    graft.sources.Avro.write(nation, out)
+    val back = graft.sources.Avro.read(spark, out)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("UNIONTYPE (create_union) survives write→read and tag branching") {
+    // ref: FunctionRegistry.java:405, HiveParser.g:2128 — the struct+tag
+    // encoding must round-trip through the warehouse and branch on tag
+    Tables.register(spark, dir)
+    val t = "src_union_rt"
+    Warehouse.dropTable(spark, t)
+    val df = spark.sql("""
+      SELECT o_orderkey,
+        create_union(if(o_totalprice > 100000, 0, 1),
+                     o_orderstatus, o_totalprice) AS u
+      FROM orders WHERE o_orderkey < 100""")
+    Warehouse.createTable(df, t)
+    val back = spark.table(t)
+    val uType = back.schema("u").dataType.asInstanceOf[StructType]
+    assert(uType.fieldNames.toSeq == Seq("tag", "field0", "field1"))
+    // both branches present, and the active branch reconstructs the source
+    val tags = back.select("u.tag").distinct().collect().map(_.getInt(0)).sorted
+    assert(tags.toSeq == Seq(0, 1))
+    val rebuilt = back.selectExpr("o_orderkey",
+      "CASE WHEN u.tag = 0 THEN u.field0 ELSE cast(u.field1 AS string) END AS v")
+    val expected = spark.sql("""
+      SELECT o_orderkey,
+        CASE WHEN o_totalprice > 100000 THEN o_orderstatus
+             ELSE cast(o_totalprice AS string) END AS v
+      FROM orders WHERE o_orderkey < 100""")
+    assert(rebuilt.orderBy("o_orderkey").collect().toSeq ==
+      expected.orderBy("o_orderkey").collect().toSeq)
+    Warehouse.dropTable(spark, t)
   }
 
   test("compressed write (snappy parquet / zlib orc) stays readable") {
