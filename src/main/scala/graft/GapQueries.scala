@@ -1,6 +1,7 @@
 package graft
 
 import Queries._
+import org.apache.spark.sql.functions._
 
 /** Round-2 evidence-gap closers (VERDICT r01 "What's missing" #4 and
   * "do this" #5/#9): join types, UDTFs, and scalar functions that were
@@ -70,6 +71,29 @@ object GapQueries {
           <= 0.01 * percentile(l_extendedprice, 0.9) AS p90_ok
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""", """
       SELECT l_returnflag, true AS p50_ok, true AS p90_ok
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+
+    // -- real PNG IHDR decode: payloads are planted PNGs whose dimensions
+    //    derive from the key, so the oracle recomputes them arithmetically
+    //    while Spark must extract them from the actual header bytes
+    dfQ("q105_png_headers", """
+      SELECT o_orderkey AS id, 'image' AS kind, 'image/png' AS mime,
+        o_orderkey % 1920 + 32 AS width, o_orderkey % 1080 + 32 AS height
+      FROM orders WHERE o_orderkey < 200 ORDER BY id""") { (s, d) =>
+      val planted = Tables.load(s, d, "orders")
+        .filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey").as("doc_id"),
+          unhex(concat(
+            lit("89504E470D0A1A0A0000000D49484452"),
+            lpad(hex((col("o_orderkey") % 1920 + 32).cast("int")), 8, "0"),
+            lpad(hex((col("o_orderkey") % 1080 + 32).cast("int")), 8, "0"),
+            lit("0806000000"))).as("payload"))
+      graft.operators.Multimodal
+        .withDecodedMeta(planted, "doc_id", "payload", kind = "image")
+        .select(col("id"), col("meta.kind").as("kind"),
+          col("meta.mimeType").as("mime"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
+        .orderBy("id")
+    }
   )
 }

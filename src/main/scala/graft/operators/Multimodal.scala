@@ -1,14 +1,15 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
-  * columns with a typed metadata struct. The Spark side — schema,
-  * partition-parallel batch processing, sizing stats — is real; the
-  * codec itself is STUBBED with a deterministic fake (this container has
-  * no image/audio libraries), clearly marked below. At deployment the
-  * stub body is replaced by a real decoder; every shape around it stays.
+  * columns with a typed metadata struct. PNG (IHDR) and WAV (RIFF fmt)
+  * headers are decoded for REAL — pure byte-reading column expressions,
+  * fully codegen'd, no library. Formats beyond those fall back to a
+  * clearly-marked deterministic stub (this container has no image/audio
+  * codec libraries); the Spark side — schema, partition-parallel batch
+  * processing, sizing stats — is real either way.
   */
 object Multimodal {
 
@@ -17,35 +18,87 @@ object Multimodal {
       kind: String,        // "image" | "audio" | "video"
       mimeType: String,
       width: Int, height: Int,
-      durationMs: Long)
+      durationMs: Long,
+      sampleRateHz: Int, channels: Int)
 
   final case class MediaRow(id: Long, content: Array[Byte], meta: MediaMeta)
 
-  /** Wrap a (id, binary) DataFrame into the canonical media schema with
-    * metadata extracted by the (stub) decoder — pure column expressions,
-    * one pass, no shuffle. */
+  // ---- real header decoding: byte-level reads as column expressions ----
+
+  /** Big-endian uint32 read at 1-based byte position. */
+  private def beUint32(bin: Column, pos: Int): Column =
+    conv(hex(substring(bin, pos, 4)), 16, 10).cast("long")
+  private def byteAt(bin: Column, pos: Int): Column =
+    conv(hex(substring(bin, pos, 1)), 16, 10).cast("long")
+  /** Little-endian uint16/uint32 reads at 1-based byte position. */
+  private def leUint16(bin: Column, pos: Int): Column =
+    byteAt(bin, pos) + byteAt(bin, pos + 1) * 256L
+  private def leUint32(bin: Column, pos: Int): Column =
+    leUint16(bin, pos) + leUint16(bin, pos + 2) * 65536L
+
+  /** PNG signature (spec §5.2) + IHDR width/height at offsets 16/20. */
+  def isPng(bin: Column): Column =
+    length(bin) >= 24 && upper(hex(substring(bin, 1, 8))) === "89504E470D0A1A0A"
+  def pngWidth(bin: Column): Column = beUint32(bin, 17).cast("int")
+  def pngHeight(bin: Column): Column = beUint32(bin, 21).cast("int")
+
+  /** RIFF/WAVE header: "RIFF" @0, "WAVE" @8, canonical fmt chunk @12 —
+    * channels @22 (LE16), sample rate @24 (LE32), byte rate @28 (LE32). */
+  def isWav(bin: Column): Column =
+    length(bin) >= 44 &&
+      upper(hex(substring(bin, 1, 4))) === "52494646" &&
+      upper(hex(substring(bin, 9, 8))) === "57415645666D7420"
+  def wavChannels(bin: Column): Column = leUint16(bin, 23).cast("int")
+  def wavSampleRate(bin: Column): Column = leUint32(bin, 25).cast("int")
+  /** Duration from payload size / byte rate (44-byte canonical header). */
+  def wavDurationMs(bin: Column): Column = {
+    val byteRate = leUint32(bin, 29)
+    when(byteRate > 0,
+      ((length(bin).cast("long") - 44L) * 1000L / byteRate).cast("long"))
+      .otherwise(lit(0L))
+  }
+
+  /** Wrap a (id, binary) DataFrame into the canonical media schema.
+    * Recognized headers (PNG, WAV) are decoded for real; anything else
+    * gets the stub metadata — one pass of codegen'd expressions, no
+    * shuffle either way. */
   def withDecodedMeta(df: DataFrame, idCol: String, binCol: String,
       kind: String): DataFrame = {
-    // ---- STUB decode ----------------------------------------------------
-    // A real build decodes headers (e.g. PNG IHDR / WAV fmt chunk). The
+    val bin = col(binCol)
+    // ---- STUB decode (unrecognized formats only) ------------------------
+    // A real build adds more header parsers (JPEG SOF, MP4 mvhd, ...); the
     // deterministic fake derives plausible dimensions from a content hash
     // so downstream partitioning/grouping logic is exercised honestly.
-    val h = xxhash64(col(binCol))
-    val width = (pmod(h, lit(1920L)) + 32).cast("int")
-    val height = (pmod(xxhash64(col(binCol), lit(1)), lit(1080L)) + 32).cast("int")
-    val durationMs = when(lit(kind) === "image", lit(0L))
+    val h = xxhash64(bin)
+    val stubWidth = (pmod(h, lit(1920L)) + 32).cast("int")
+    val stubHeight = (pmod(xxhash64(bin, lit(1)), lit(1080L)) + 32).cast("int")
+    val stubDuration = when(lit(kind) === "image", lit(0L))
       .otherwise(pmod(h, lit(600000L)))
+    val stubMeta = struct(
+      lit(kind).as("kind"),
+      lit(s"application/x-$kind").as("mimeType"),
+      stubWidth.as("width"), stubHeight.as("height"),
+      stubDuration.as("durationMs"),
+      lit(0).as("sampleRateHz"), lit(0).as("channels"))
     // ---- END STUB -------------------------------------------------------
+    val pngMeta = struct(
+      lit("image").as("kind"), lit("image/png").as("mimeType"),
+      pngWidth(bin).as("width"), pngHeight(bin).as("height"),
+      lit(0L).as("durationMs"),
+      lit(0).as("sampleRateHz"), lit(0).as("channels"))
+    val wavMeta = struct(
+      lit("audio").as("kind"), lit("audio/wav").as("mimeType"),
+      lit(0).as("width"), lit(0).as("height"),
+      wavDurationMs(bin).as("durationMs"),
+      wavSampleRate(bin).as("sampleRateHz"), wavChannels(bin).as("channels"))
     df.select(
       col(idCol).cast("long").as("id"),
-      col(binCol).as("content"),
-      struct(
-        lit(kind).as("kind"),
-        lit(s"application/x-$kind").as("mimeType"),
-        width.as("width"), height.as("height"),
-        durationMs.as("durationMs")).as("meta"),
-      length(col(binCol)).as("n_bytes"),
-      sha2(col(binCol), 256).as("content_sha256"))
+      bin.as("content"),
+      when(isPng(bin), pngMeta)
+        .when(isWav(bin), wavMeta)
+        .otherwise(stubMeta).as("meta"),
+      length(bin).as("n_bytes"),
+      sha2(bin, 256).as("content_sha256"))
   }
 
   /** Batch feature extraction over media rows via mapPartitions — the
@@ -77,7 +130,8 @@ object Multimodal {
     df.withColumn("meta", struct(
       col("meta.kind"), col("meta.mimeType"),
       lit(w).as("width"), lit(hgt).as("height"),
-      col("meta.durationMs")))
+      col("meta.durationMs"),
+      col("meta.sampleRateHz"), col("meta.channels")))
 
   /** Frame sampling for video rows: explode into (id, frame_idx) stubs at
     * a fixed rate; real impl replaces the payload with the decoded frame. */

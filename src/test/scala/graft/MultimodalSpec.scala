@@ -37,8 +37,8 @@ class MultimodalSpec extends SparkSpec {
 
   test("extractFeatures runs partition-parallel with normalized output") {
     val ds = Seq(
-      MediaRow(1L, Array[Byte](0, 1, 2, 3), MediaMeta("image", "x", 8, 8, 0)),
-      MediaRow(2L, Array[Byte](5, 5, 5, 5), MediaMeta("image", "x", 8, 8, 0)))
+      MediaRow(1L, Array[Byte](0, 1, 2, 3), MediaMeta("image", "x", 8, 8, 0, 0, 0)),
+      MediaRow(2L, Array[Byte](5, 5, 5, 5), MediaMeta("image", "x", 8, 8, 0, 0, 0)))
       .toDS().repartition(2)
     val feats = Multimodal.extractFeatures(ds, dim = 4).orderBy("id").collect()
     assert(feats.length == 2)
@@ -54,6 +54,59 @@ class MultimodalSpec extends SparkSpec {
     val n = frames.count()
     val dur = media.select($"meta.durationMs").collect().head.getLong(0)
     assert(n == dur / 60000L + 1)
+  }
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(33) // sig + len + IHDR + 13-byte body
+    bb.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    bb.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    bb.putInt(w).putInt(h)
+    bb.put(Array[Byte](8, 6, 0, 0, 0)) // bit depth, color type, ...
+    bb.array()
+  }
+
+  private def wavBytes(sampleRate: Int, channels: Int, nBytes: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + nBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val byteRate = sampleRate * channels * 2
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + nBytes)
+    bb.put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+    bb.putInt(16).putShort(1).putShort(channels.toShort)
+    bb.putInt(sampleRate).putInt(byteRate)
+    bb.putShort((channels * 2).toShort).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(nBytes)
+    bb.array()
+  }
+
+  test("real PNG IHDR header decode: width/height from the actual bytes") {
+    val df = Seq((1L, pngBytes(640, 480)), (2L, pngBytes(1920, 1080)))
+      .toDF("id", "payload")
+    val out = Multimodal.withDecodedMeta(df, "id", "payload", "image")
+      .select($"id", $"meta.*").orderBy("id").collect()
+    assert(out(0).getAs[String]("kind") == "image")
+    assert(out(0).getAs[String]("mimeType") == "image/png")
+    assert(out(0).getAs[Int]("width") == 640 && out(0).getAs[Int]("height") == 480)
+    assert(out(1).getAs[Int]("width") == 1920 && out(1).getAs[Int]("height") == 1080)
+  }
+
+  test("real WAV fmt header decode: rate, channels, duration from bytes") {
+    // 16000 Hz stereo 16-bit, 64000 data bytes → 1 second
+    val df = Seq((1L, wavBytes(16000, 2, 64000)), (2L, wavBytes(8000, 1, 4000)))
+      .toDF("id", "payload")
+    val out = Multimodal.withDecodedMeta(df, "id", "payload", "audio")
+      .select($"id", $"meta.*").orderBy("id").collect()
+    assert(out(0).getAs[String]("mimeType") == "audio/wav")
+    assert(out(0).getAs[Int]("sampleRateHz") == 16000)
+    assert(out(0).getAs[Int]("channels") == 2)
+    assert(out(0).getAs[Long]("durationMs") == 1000L)
+    assert(out(1).getAs[Int]("sampleRateHz") == 8000)
+    assert(out(1).getAs[Long]("durationMs") == 250L)
+  }
+
+  test("non-PNG/WAV payloads still get deterministic stub metadata") {
+    val out = Multimodal.withDecodedMeta(bin, "id", "payload", "image")
+      .select($"meta.mimeType").distinct().collect().map(_.getString(0))
+    assert(out.toSeq == Seq("application/x-image"))
   }
 
   test("resize rewrites dimensions, keeps kind and duration") {
