@@ -38,13 +38,20 @@ object Bench {
     runOnce("q01_agg_filter") // JVM/IO warmup, untimed
 
     val selected = if (args.nonEmpty) headline.filter(args.contains) else headline
+    // Two runs per query, second one reported: the first pays plan
+    // compilation + codegen, so round-over-round deltas track engine
+    // changes instead of JIT noise (VERDICT r01 bench-hygiene note).
     val results = selected.map { name =>
-      val t0 = System.nanoTime()
-      try runOnce(name)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      var t = 0.0
+      (0 until 2).foreach { _ =>
+        val t0 = System.nanoTime()
+        try runOnce(name)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        t = (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

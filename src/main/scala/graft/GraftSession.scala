@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
 /** User-facing session bootstrap — the engine's `EngineSession` (SURVEY
   * §7 M1): one call gives a SparkSession with the Hive-gap functions, the
@@ -39,4 +39,38 @@ object GraftSession {
     Tables.register(s, dir)
     s
   }
+
+  /** Paged result fetch over a query — the HiveServer2 result-paging
+    * lifecycle (reference: service/cli/CLIService.java fetchResults,
+    * FetchOrientation.java FETCH_NEXT/FETCH_FIRST;
+    * jdbc/HiveStatement.java:421): rows stream to the driver one
+    * partition at a time via toLocalIterator, never a full collect. */
+  final class ResultPager private[GraftSession] (df: DataFrame, pageSize: Int) {
+    require(pageSize > 0, "pageSize must be positive")
+    private var it = df.toLocalIterator()
+    private var pos = 0L
+
+    /** FETCH_NEXT: up to pageSize rows; empty when exhausted. */
+    def fetchNext(): Seq[Row] = {
+      val buf = Vector.newBuilder[Row]
+      var n = 0
+      while (n < pageSize && it.hasNext) { buf += it.next(); n += 1 }
+      pos += n
+      buf.result()
+    }
+
+    /** FETCH_FIRST: rewind to the start (re-executes, as HS2 does when
+      * the result isn't cached) and return the first page. */
+    def fetchFirst(): Seq[Row] = {
+      it = df.toLocalIterator()
+      pos = 0L
+      fetchNext()
+    }
+
+    def position: Long = pos
+    def hasMore: Boolean = it.hasNext
+  }
+
+  def pager(df: DataFrame, pageSize: Int = 1000): ResultPager =
+    new ResultPager(df, pageSize)
 }

@@ -35,6 +35,29 @@ class GraftSessionSpec extends SparkSpec {
     }
   }
 
+  test("ResultPager pages a 10k-row result without a full collect") {
+    import spark.implicits._
+    val df = spark.range(0, 10000).select($"id", ($"id" * 2).as("v"))
+      .orderBy("id")
+    val pager = GraftSession.pager(df, pageSize = 1024)
+    var total = 0L
+    var pages = 0
+    var first: Long = -1
+    var page = pager.fetchNext()
+    while (page.nonEmpty) {
+      if (pages == 0) first = page.head.getLong(0)
+      total += page.size
+      pages += 1
+      assert(page.size <= 1024)
+      page = pager.fetchNext()
+    }
+    assert(total == 10000 && pages == 10 && first == 0L)
+    assert(pager.position == 10000 && !pager.hasMore)
+    // FETCH_FIRST rewinds to the first page
+    val again = pager.fetchFirst()
+    assert(again.head.getLong(0) == 0L && pager.position == 1024)
+  }
+
   test("Hive-parity pins for built-ins the reference registers") {
     // soundex (FunctionRegistry.java:191), reflect (:269), factorial (:212)
     val r = spark.sql("""SELECT soundex('Robert'), soundex('Rupert'),
