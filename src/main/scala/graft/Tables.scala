@@ -15,11 +15,18 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects; read the raw int64 and truncate to micros (what
-      // DuckDB's ts::TIMESTAMP cast does too, so oracles agree).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+      // rejects at schema inference; an explicit user schema typed LONG
+      // reads the raw int64 without touching session conf (the previous
+      // global `nanosAsLong` toggle leaked into shared sessions), then
+      // truncates to micros (what DuckDB's ts::TIMESTAMP cast does too,
+      // so oracles agree).
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      spark.read.schema(schema).parquet(s"$dir/events.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")

@@ -131,12 +131,16 @@ object HiveCompat {
     fileCache.computeIfAbsent(path, p =>
       scala.io.Source.fromFile(p).getLines().toSet)
 
-  /** in_file(str, filename) — true iff str equals a full line of the file. */
+  /** in_file(str, filename) — true iff str equals a full line of the file.
+    * Evaluated as InSet (hash-set membership, same as Hive's
+    * GenericUDFInFile), not an In(literal...) chain: a million-line file
+    * must not become a million-node expression tree. */
   def inFile(args: Seq[Expression]): Expression = {
     require(args(1).foldable, "in_file filename must be a constant")
     val path = args(1).eval().toString
-    val lines = lookupFile(path).toSeq.sorted
-    In(args.head, lines.map(Literal(_)))
+    val lines = lookupFile(path)
+    InSet(args.head,
+      lines.map(l => org.apache.spark.unsafe.types.UTF8String.fromString(l): Any))
   }
 
   val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
