@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Hadoop SequenceFile source/sink carrying Hive-style delimited rows —
+  * the reference's default `STORED AS SEQUENCEFILE` layout
+  * (ql/io/HiveSequenceFileOutputFormat.java + LazySimpleSerDe rows in
+  * the Text value, empty key). Round 1 dropped this as legacy; the
+  * Hadoop classes ship with Spark, so the format is supported for real:
+  * genuinely interoperable container bytes, distributed read (one task
+  * per split — SequenceFile is sync-marker splittable and
+  * `sc.sequenceFile` uses the splitting Hadoop InputFormat), and the
+  * delimited payload parsed by Spark's codegen'd CSV reader with
+  * LazySimpleSerDe conventions (`^A` delimiter, `\N` nulls).
+  */
+object SequenceFiles {
+
+  val DefaultDelimiter = "" // LazySimpleSerDe ctrl-A
+  val NullSequence = "\\N"
+
+  /** Read SequenceFile[Text, Text] whose values are delimited rows. */
+  def readDelimited(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      delimiter: String = DefaultDelimiter): DataFrame = {
+    val values: Dataset[String] = spark.createDataset(
+      spark.sparkContext.sequenceFile[String, String](path).map(_._2))(
+      Encoders.STRING)
+    spark.read
+      .schema(schema)
+      .option("sep", delimiter)
+      .option("nullValue", NullSequence)
+      .csv(values)
+  }
+
+  /** Write the frame as SequenceFile[Text, Text]: empty key, delimited
+    * row in the value (Hive's FileSinkOperator layout for
+    * SEQUENCEFILE tables). One output file per partition. */
+  def writeDelimited(
+      df: DataFrame,
+      path: String,
+      delimiter: String = DefaultDelimiter): Unit = {
+    val rendered = df.columns.map(c =>
+      coalesce(col(c).cast("string"), lit(NullSequence)))
+    val lines = df.select(concat_ws(delimiter, rendered: _*).as("line"))
+      .as[String](Encoders.STRING)
+    lines.rdd.map(l => ("", l)).saveAsSequenceFile(path)
+  }
+}

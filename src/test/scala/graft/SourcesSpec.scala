@@ -149,6 +149,28 @@ class SourcesSpec extends SparkSpec {
     Warehouse.dropTable(spark, t)
   }
 
+  test("SequenceFile round-trip with ^A-delimited rows and \\N nulls") {
+    // STORED AS SEQUENCEFILE: Text,Text container + LazySimpleSerDe rows
+    val out = tmp("seq") + "/nation"
+    graft.sources.SequenceFiles.writeDelimited(nation, out)
+    val back = graft.sources.SequenceFiles.readDelimited(
+      spark, out, nation.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+    // nulls round-trip as \N
+    val out2 = tmp("seq") + "/nulls"
+    val df = Seq((1, Some("a")), (2, None)).toDF("id", "v")
+    graft.sources.SequenceFiles.writeDelimited(df, out2)
+    val got = graft.sources.SequenceFiles.readDelimited(spark, out2, df.schema)
+      .orderBy("id").collect()
+    assert(got(0).getString(1) == "a" && got(1).isNullAt(1))
+    // the files really are Hadoop SequenceFiles (magic bytes "SEQ")
+    val part = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val magic = java.nio.file.Files.readAllBytes(part.toPath).take(3)
+    assert(new String(magic, "US-ASCII") == "SEQ")
+  }
+
   test("compressed write (snappy parquet / zlib orc) stays readable") {
     val o1 = tmp("comp") + "/p"
     nation.write.option("compression", "snappy").parquet(o1)
