@@ -94,6 +94,95 @@ object GapQueries {
           col("meta.mimeType").as("mime"),
           col("meta.width").as("width"), col("meta.height").as("height"))
         .orderBy("id")
+    },
+
+    // -- PII detection + redaction (curation stage): PII is planted
+    //    deterministically from the key on both sides; Spark must find
+    //    and redact it with the real regexes, DuckDB replicates them
+    //    (RE2-compatible patterns, 'g' flag for global replace)
+    dfQ("q106_pii_redact", """
+      WITH planted AS (
+        SELECT doc_id,
+          text || ' mail u' || doc_id ||
+          '@ex.com ip 10.0.' || (doc_id % 256) ||
+          '.7 tel 555-123-4567 ssn 123-45-' ||
+          lpad(cast(doc_id % 10000 AS varchar), 4, '0') AS text
+        FROM documents WHERE doc_id < 100)
+      SELECT doc_id,
+        len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssns,
+        len(regexp_extract_all(text,
+          '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phones,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+          '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+          '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted
+      FROM planted
+      ORDER BY doc_id""") { (s, d) =>
+      val planted = Tables.load(s, d, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" mail u"), col("doc_id"), lit("@ex.com ip 10.0."),
+            col("doc_id") % 256, lit(".7 tel 555-123-4567 ssn 123-45-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+      graft.operators.Pii.withRedaction(planted, "text")
+        .select(col("doc_id"),
+          col("pii.n_emails").as("n_emails"), col("pii.n_ssns").as("n_ssns"),
+          col("pii.n_phones").as("n_phones"), col("text").as("redacted"))
+        .orderBy("doc_id")
+    },
+
+    // -- symmetric int8 embedding quantization: the quantized ints and
+    //    scale oracle exactly (identical IEEE arithmetic both engines,
+    //    explicit floor-half-up rounding); the dequantization error bound
+    //    is checked as an invariant
+    dfQ("q107_int8_quant", """
+      WITH q AS (
+        SELECT vec_id, embedding,
+          list_max(list_transform(embedding,
+            x -> abs(cast(x AS double)))) / 127.0 AS q_scale
+        FROM embeddings)
+      SELECT vec_id,
+        to_json(list_transform(embedding,
+          x -> cast(floor(cast(x AS double)/q_scale + 0.5) AS int))) AS qvec,
+        q_scale AS scale, true AS dq_ok
+      FROM q ORDER BY vec_id""") { (s, d) =>
+      import graft.operators.Vectors
+      val q = Vectors.withInt8Quantized(
+        Tables.load(s, d, "embeddings"), "embedding")
+      val dq = Vectors.dequantize(col("q_vec"), col("q_scale"))
+      val maxErr = aggregate(
+        zip_with(col("embedding"), dq, (x, y) => abs(x.cast("double") - y)),
+        lit(0.0), (acc, v) => greatest(acc, v))
+      q.select(col("vec_id"), to_json(col("q_vec")).as("qvec"),
+        col("q_scale").as("scale"),
+        (maxErr <= col("q_scale") * 0.5000001).as("dq_ok"))
+        .orderBy("vec_id")
+    },
+
+    // -- mean pooling per label: element-wise decimal-exact average,
+    //    compared row-wise per (label, pos) — no JSON float formatting
+    //    in the compare path
+    dfQ("q108_mean_pool", """
+      SELECT label, pos,
+        round(cast(sum(cast(e AS decimal(27,12))) AS double) / count(*), 6)
+          AS avg_e
+      FROM (
+        SELECT label, generate_subscripts(embedding, 1) AS pos,
+          unnest(embedding) AS e
+        FROM embeddings)
+      GROUP BY label, pos
+      ORDER BY label, pos""") { (s, d) =>
+      import graft.operators.Vectors
+      Vectors.meanPool(Tables.load(s, d, "embeddings"),
+        Seq("label"), "embedding")
+        .select(col("label"),
+          posexplode(col("mean_vec")).as(Seq("pos", "avg_e")))
+        .select(col("label"), (col("pos") + 1).as("pos"),
+          round(col("avg_e"), 6).as("avg_e"))
+        .orderBy("label", "pos")
     }
   )
 }

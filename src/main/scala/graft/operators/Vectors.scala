@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dense-vector column math over array<float>/array<double> columns,
@@ -40,4 +40,52 @@ object Vectors {
       b.as("band"),
       call_function("shiftright", sig, b * lit(bitsPerBand))
         .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("key")))
+
+  def maxAbs(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, v) => greatest(acc, abs(v.cast("double"))))
+
+  /** L2-normalize: the norm is computed in a separate projection column
+    * (not inside the transform lambda, which would re-evaluate the
+    * O(d) aggregate per element → O(d²) per row). */
+  def withL2Normalized(df: DataFrame, vecCol: String,
+      outCol: String = "unit_vec"): DataFrame =
+    df.withColumn("_norm", norm(col(vecCol)))
+      .withColumn(outCol,
+        when(col("_norm") === 0.0,
+          transform(col(vecCol), _ => lit(0.0)))
+          .otherwise(transform(col(vecCol), x => x.cast("double") / col("_norm"))))
+      .drop("_norm")
+
+  /** Symmetric int8 quantization (scale = maxabs/127) — the standard 4×
+    * memory cut for embedding storage/ANN at 100 TB. Rounding is
+    * floor(x/scale + 0.5): explicit, engine-portable half-up. */
+  def withInt8Quantized(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("q_scale", maxAbs(col(vecCol)) / 127.0)
+      .withColumn("q_vec",
+        when(col("q_scale") === 0.0, transform(col(vecCol), _ => lit(0)))
+          .otherwise(transform(col(vecCol),
+            x => floor(x.cast("double") / col("q_scale") + 0.5).cast("int"))))
+
+  def dequantize(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
+
+  /** Element-wise mean vector per group (mean pooling): posexplode →
+    * per-dimension decimal-exact average → reassemble in position order.
+    * Two shuffles on (keys, pos) then (keys); cardinality is
+    * |groups| × dim, independent of row count — scale-safe. */
+  def meanPool(df: DataFrame, keyCols: Seq[String], vecCol: String,
+      outCol: String = "mean_vec"): DataFrame = {
+    val keys = keyCols.map(col)
+    val perDim = df
+      .select(keys :+ posexplode(col(vecCol)).as(Seq("pos", "e")): _*)
+      .groupBy(keys :+ col("pos"): _*)
+      .agg((sum(col("e").cast("decimal(27,12)")).cast("double") /
+        count(lit(1))).as("avg_e"))
+    perDim
+      .groupBy(keys: _*)
+      .agg(array_sort(collect_list(struct(col("pos"), col("avg_e"))))
+        .as("_pairs"))
+      .withColumn(outCol, transform(col("_pairs"), p => p.getField("avg_e")))
+      .drop("_pairs")
+  }
 }

@@ -115,6 +115,40 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(o) < 1e-12)
   }
 
+  test("l2-normalize yields unit vectors; zero vector stays zero") {
+    val df = Seq((1L, Array(3f, 4f)), (2L, Array(0f, 0f))).toDF("id", "v")
+    val out = Vectors.withL2Normalized(df, "v", "u").orderBy("id")
+      .select(Vectors.norm($"u")).collect().map(_.getDouble(0))
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(out(1) == 0.0)
+  }
+
+  test("int8 quantize/dequantize bounds the error at half a scale step") {
+    val df = Seq((1L, Array(0.9f, -0.45f, 0.001f, 0f))).toDF("id", "v")
+    val q = Vectors.withInt8Quantized(df, "v")
+    val row = q.select($"q_vec", $"q_scale").collect().head
+    val scale = row.getDouble(1)
+    val ints = row.getAs[scala.collection.Seq[Int]](0)
+    assert(ints.head == 127, "max element maps to 127")
+    assert(ints.forall(i => i >= -127 && i <= 127))
+    val err = q.select(
+      aggregate(zip_with($"v", Vectors.dequantize($"q_vec", $"q_scale"),
+        (x, y) => abs(x.cast("double") - y)),
+        lit(0.0), (a, b) => greatest(a, b))).collect().head.getDouble(0)
+    assert(err <= scale / 2 + 1e-12)
+  }
+
+  test("meanPool averages element-wise per group in position order") {
+    val df = Seq(
+      (1, Array(1f, 10f)), (1, Array(3f, 30f)), (2, Array(5f, 7f)))
+      .toDF("g", "v")
+    val out = Vectors.meanPool(df, Seq("g"), "v").orderBy("g").collect()
+    assert(out(0).getAs[scala.collection.Seq[Double]]("mean_vec").toSeq ==
+      Seq(2.0, 20.0))
+    assert(out(1).getAs[scala.collection.Seq[Double]]("mean_vec").toSeq ==
+      Seq(5.0, 7.0))
+  }
+
   test("langid picks the right stopword profile and zh via CJK") {
     val df = Seq(
       "the cat is in the garden and it is warm",
