@@ -60,6 +60,20 @@ object Ingest {
       .select(col("window.start").as("wstart"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact dedup — the streaming counterpart of
+    * `operators.Dedup.exact`: duplicates of a key arriving within the
+    * watermark window are dropped; dedup state is evicted once the
+    * watermark passes, so state stays bounded on unbounded streams
+    * (dropDuplicatesWithinWatermark's contract). */
+  def dedupStream(
+      stream: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      watermarkDelay: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, end: Long, n: Int, total: Double)
   final case class Session(

@@ -129,6 +129,27 @@ class StreamingSpec extends SparkSpec {
       out(1).getAs[Double]("total") == 4.0, "second run split off in-batch")
   }
 
+  test("streaming dedup drops duplicate keys within the watermark") {
+    val input = MemoryStream[(String, Timestamp, Double)](spark, 4)
+    val stream = input.toDF().toDF("k", "ts", "v")
+    val out = Ingest.dedupStream(stream, Seq("k"), "ts", "10 minutes")
+    val ckpt = tmp("dedup-ckpt")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // duplicate key "a" inside one batch AND across batches
+    input.addData(("a", t(0), 1.0), ("a", t(1), 2.0), ("b", t(0), 3.0))
+    q.processAllAvailable()
+    input.addData(("a", t(2), 4.0), ("c", t(3), 5.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val keys = spark.table("dedup_out").collect().map(_.getString(0)).sorted
+    assert(keys.toSeq == Seq("a", "b", "c"),
+      s"each key must survive exactly once, got ${keys.mkString(",")}")
+  }
+
   test("batch sessionization splits on inactivity gap") {
     val df = Seq(
       (1L, "2024-01-01 10:00:00", 1.0),
