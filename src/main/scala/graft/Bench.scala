@@ -15,7 +15,9 @@ object Bench {
     "q12_distinct_agg", "q22_grouping_sets", "q23_window_rank",
     "q31_events_tumble", "q36_explode_words", "q50_dedup_exact",
     "q51_dedup_minhash", "q55_ann_bruteforce", "q57_token_count",
-    "q62_ngrams_top", "q83_multi_correlated", "q86_market_share")
+    "q62_ngrams_top", "q83_multi_correlated", "q86_market_share",
+    "q89_tfidf", "q95_curation_pipeline", "q106_pii_redact",
+    "q107_int8_quant")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** text_profile(text) → struct of raw per-row text statistics, computed
+  * in ONE pass over the string: char count, [a-z0-9]-run token count and
+  * summed token length (on the lowercased text — identical semantics to
+  * `split(lower(text), '[^a-z0-9]+')`), ASCII punctuation/digit/upper
+  * counts (Java `\p{Punct}` class), per-language stopword hits, and CJK
+  * presence. TextAnalysis.qualityMetrics/langId derive their ratios and
+  * argmax from this single struct — previously each metric embedded its
+  * own interpreted higher-order-function tree (lambda ExprIds differ per
+  * instance, so common-subexpression elimination never merged them). */
+case class TextProfile(child: Expression, profiles: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("sum_tok_len", LongType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("n_digit", IntegerType, nullable = false),
+    StructField("n_upper", IntegerType, nullable = false),
+    StructField("hits", ArrayType(IntegerType, containsNull = false),
+      nullable = false),
+    StructField("has_cjk", BooleanType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    profiles.map { words =>
+      val s = new java.util.HashSet[String](words.size * 2)
+      words.foreach(s.add)
+      s
+    }.toArray
+
+  @inline private def isPunct(c: Char): Boolean =
+    (c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
+      (c >= '[' && c <= '`') || (c >= '{' && c <= '~')
+  @inline private def isLowerAlnum(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].toString
+    var nPunct = 0; var nDigit = 0; var nUpper = 0; var hasCjk = false
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (isPunct(c)) nPunct += 1
+      if (c >= '0' && c <= '9') nDigit += 1
+      if (c >= 'A' && c <= 'Z') nUpper += 1
+      if (c >= '一' && c <= '鿿') hasCjk = true
+      i += 1
+    }
+    val s = raw.toLowerCase
+    var nToks = 0; var sumTokLen = 0L
+    val counts = new Array[Int](sets.length)
+    i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && !isLowerAlnum(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && isLowerAlnum(s.charAt(i))) i += 1
+      if (i > start) {
+        nToks += 1
+        sumTokLen += i - start
+        val tok = s.substring(start, i)
+        var j = 0
+        while (j < sets.length) {
+          if (sets(j).contains(tok)) counts(j) += 1
+          j += 1
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](raw.codePointCount(0, raw.length), nToks, sumTokLen,
+        nPunct, nDigit, nUpper,
+        UnsafeArrayData.fromPrimitiveArray(counts), hasCjk))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

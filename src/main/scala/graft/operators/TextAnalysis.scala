@@ -28,22 +28,33 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
     "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"))
 
-  private def stopHits(toks: Column, lang: String): Column =
-    size(filter(toks, t => array_contains(
-      array(stops(lang).map(lit): _*), t)))
+  private val profileLangs = Seq("en", "de", "fr", "es")
+
+  /** All raw per-row text statistics in one native pass — see
+    * graft.functions.TextProfile (the HOF compositions this replaces are
+    * interpreted per token, and their lambda ExprIds defeat
+    * common-subexpression elimination). The two instances built by
+    * qualityMetrics and langId over the same column ARE CSE-merged
+    * (no lambdas → structurally equal). */
+  private def textProfile(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    toCol(graft.functions.TextProfile(toExpr(c), profileLangs.map(stops)))
+  }
 
   /** Heuristic language ID: CJK-codepoint presence short-circuits to zh;
     * otherwise argmax of stopword-profile hits, 'und' when nothing hits. */
   def langId(c: Column): Column = {
-    val toks = TextOps.tokens(c)
-    val scores = Seq("en", "de", "fr", "es").map(l => (l, stopHits(toks, l)))
+    val p = textProfile(c)
+    val scores = profileLangs.zipWithIndex.map { case (l, i) =>
+      (l, p.getField("hits").getItem(i))
+    }
     val best = scores.tail.foldLeft(
       struct(lit(scores.head._1).as("lang"), scores.head._2.as("n"))) {
       case (acc, (l, n)) =>
         when(n > acc.getField("n"), struct(lit(l).as("lang"), n.as("n")))
           .otherwise(acc)
     }
-    when(c.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+    when(p.getField("has_cjk"), lit("zh"))
       .when(best.getField("n") > 0, best.getField("lang"))
       .otherwise(lit("und"))
   }
@@ -52,23 +63,19 @@ object TextAnalysis {
     * punctuation/digit/uppercase/stopword ratios, and a [0,1] composite
     * score (length-normalized, penalizing punct/digit-heavy text). */
   def qualityMetrics(c: Column): Column = {
-    val toks = TextOps.tokens(c)
-    val nChars = length(c).cast("double")
-    val nToks = size(toks).cast("double")
+    val p = textProfile(c)
+    val nChars = p.getField("n_chars").cast("double")
+    val nToks = p.getField("n_tokens").cast("double")
     val meanTokLen = when(nToks > 0,
-      aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / nToks)
-      .otherwise(lit(0.0))
+      p.getField("sum_tok_len").cast("double") / nToks).otherwise(lit(0.0))
     val punctRatio = when(nChars > 0,
-      (nChars - length(regexp_replace(c, "[\\p{Punct}]", ""))) / nChars)
-      .otherwise(lit(0.0))
+      p.getField("n_punct").cast("double") / nChars).otherwise(lit(0.0))
     val digitRatio = when(nChars > 0,
-      (nChars - length(regexp_replace(c, "[0-9]", ""))) / nChars)
-      .otherwise(lit(0.0))
+      p.getField("n_digit").cast("double") / nChars).otherwise(lit(0.0))
     val upperRatio = when(nChars > 0,
-      (nChars - length(regexp_replace(c, "[A-Z]", ""))) / nChars)
-      .otherwise(lit(0.0))
+      p.getField("n_upper").cast("double") / nChars).otherwise(lit(0.0))
     val enStopRatio = when(nToks > 0,
-      stopHits(toks, "en").cast("double") / nToks).otherwise(lit(0.0))
+      p.getField("hits").getItem(0).cast("double") / nToks).otherwise(lit(0.0))
     val lengthScore = least(nToks / 100.0, lit(1.0))
     val score = greatest(lit(0.0), least(lit(1.0),
       lengthScore * (lit(1.0) - punctRatio * 2) * (lit(1.0) - digitRatio)
