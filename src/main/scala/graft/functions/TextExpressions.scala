@@ -83,3 +83,48 @@ case class TextProfile(child: Expression, profiles: Seq[Seq[String]])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** token_counts(text) → struct<n_ws:int, n_bpe:int> in one pass:
+  * whitespace-delimited token count (runs of non-`\s`) and the BPE-ish
+  * count (letter runs + digit runs + each single other non-space char —
+  * the `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` alternation without
+  * materializing the match array per row). */
+case class TokenCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_ws", IntegerType, nullable = false),
+    StructField("n_bpe", IntegerType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  @inline private def isLetter(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+  @inline private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var nWs = 0; var nBpe = 0
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      if (i < len) {
+        nWs += 1
+        while (i < len && !isWs(s.charAt(i))) {
+          val c = s.charAt(i)
+          nBpe += 1
+          if (isLetter(c)) { while (i < len && isLetter(s.charAt(i))) i += 1 }
+          else if (isDigit(c)) { while (i < len && isDigit(s.charAt(i))) i += 1 }
+          else i += 1
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nWs, nBpe))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

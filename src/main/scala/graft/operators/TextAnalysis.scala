@@ -12,14 +12,19 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Both token counts in one native pass (graft.functions.TokenCounts);
+    * the two public entry points read fields of the same CSE-able call. */
+  private def tokenCounts(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    toCol(graft.functions.TokenCounts(toExpr(c)))
+  }
+
   /** Whitespace token count. */
-  def tokenCountWs(c: Column): Column =
-    size(filter(split(c, "\\s+"), t => length(t) > 0))
+  def tokenCountWs(c: Column): Column = tokenCounts(c).getField("n_ws")
 
   /** BPE-ish token count: letter runs, digit runs, and single punctuation
     * marks counted separately (approximates subword tokenizer cost). */
-  def tokenCountBpe(c: Column): Column =
-    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+  def tokenCountBpe(c: Column): Column = tokenCounts(c).getField("n_bpe")
 
   // Small per-language stopword profiles (public common function words).
   private val stops: Map[String, Seq[String]] = Map(
