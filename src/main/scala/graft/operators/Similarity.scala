@@ -96,4 +96,36 @@ object Similarity {
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
+
+  /** Quantized inverted lists: the assigned table stores int8 vectors
+    * (+ per-row scale) instead of floats — a 4× cut in the index's
+    * resident size, the practical enabler for keeping hot IVF partitions
+    * cached at 100 TB. Centroids stay float (they're tiny and probed
+    * per query). */
+  def quantizeIvf(ivf: Ivf): Ivf = {
+    val q = Vectors.withInt8Quantized(ivf.assigned, "vec")
+    Ivf(q.select(col("id"), col("cid"), col("q_vec"), col("q_scale")),
+      ivf.centroids)
+  }
+
+  /** Search over quantized inverted lists: ints are dequantized on the
+    * fly inside the probed partitions only. (Cosine is scale-invariant,
+    * so quantization affects results only by the ≤ scale/2 per-element
+    * rounding error.) */
+  def searchIvfQuantized(
+      ivf: Ivf, query: Seq[Float], k: Int, nprobe: Int): DataFrame = {
+    val q = lit(query.toArray)
+    val probeCids = ivf.centroids
+      .select(col("cid"), Vectors.cosine(col("cvec"), q).as("csim"))
+      .orderBy(col("csim").desc)
+      .limit(nprobe)
+      .select("cid")
+    ivf.assigned
+      .join(broadcast(probeCids), "cid")
+      .select(col("id"),
+        Vectors.cosine(
+          Vectors.dequantize(col("q_vec"), col("q_scale")), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
 }

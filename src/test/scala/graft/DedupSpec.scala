@@ -87,6 +87,25 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("quantized IVF matches float IVF ranking within rounding error") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.filter($"vec_id" === 0L)
+      .select($"embedding").collect().head.getSeq[Float](0)
+    val ivf = Similarity.buildIvf(emb, "vec_id", "embedding", nlist = 4)
+    val f = Similarity.searchIvf(ivf, q, k = 10, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val qv = Similarity.quantizeIvf(ivf)
+    val g = Similarity.searchIvfQuantized(qv, q, k = 10, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val common = f.keySet.intersect(g.keySet)
+    assert(common.size >= 8, s"int8 must not change top-10 much: $common")
+    common.foreach { id =>
+      assert(math.abs(f(id) - g(id)) < 0.05,
+        s"cosine drift too large for $id: ${f(id)} vs ${g(id)}")
+    }
+  }
+
   test("IVF persisted partitionBy(cid) prunes unprobed partitions on search") {
     val dir = "/root/testdata/sf0.001"
     val emb = Tables.load(spark, dir, "embeddings")
