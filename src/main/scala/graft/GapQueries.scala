@@ -183,6 +183,38 @@ object GapQueries {
         .select(col("label"), (col("pos") + 1).as("pos"),
           round(col("avg_e"), 6).as("avg_e"))
         .orderBy("label", "pos")
-    }
+    },
+
+    // -- ScriptOperator with column-subset serde: two columns serialized
+    //    tab-delimited into the script, one selected back out (q69 covers
+    //    the identity /bin/cat path; this exercises the field mapping)
+    sqlQ("q109_transform_fields", """
+      SELECT cast(k AS bigint) AS o_orderkey, status
+      FROM (
+        SELECT TRANSFORM(o_orderkey, o_orderstatus)
+        USING 'cut -f1,2' AS (k STRING, status STRING)
+        FROM orders WHERE o_orderkey < 100) t
+      ORDER BY o_orderkey""", """
+      SELECT o_orderkey, o_orderstatus AS status
+      FROM orders WHERE o_orderkey < 100
+      ORDER BY o_orderkey"""),
+
+    // -- time-interval RANGE window frame (PTF boundary spec
+    //    ValueBoundarySpec over timestamps): trailing 1-day sum per user
+    sqlQ("q110_range_interval_window", """
+      SELECT user_id, ts,
+        cast(sum(cast(value AS decimal(18,2))) OVER (
+          PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW)
+          AS double) AS day_sum
+      FROM events
+      ORDER BY user_id, ts""", """
+      SELECT user_id, ts,
+        cast(sum(cast(value AS decimal(18,2))) OVER (
+          PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL '1 day' PRECEDING AND CURRENT ROW)
+          AS double) AS day_sum
+      FROM events
+      ORDER BY user_id, ts""")
   )
 }

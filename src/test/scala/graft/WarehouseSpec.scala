@@ -205,4 +205,45 @@ class WarehouseSpec extends SparkSpec {
     assert(spark.sql("SHOW TABLES").count() > 0)
     assert(spark.sql("DESCRIBE TABLE lineitem").count() >= 11)
   }
+
+  test("MSCK REPAIR TABLE discovers partitions dropped into the location") {
+    // Hive's metastore-check DDL (DDLTask msck): files landed out-of-band
+    // under partition directories become visible after repair
+    val t = "wh_msck"
+    Warehouse.dropTable(spark, t)
+    Warehouse.createTable(
+      Seq((1, "a", 2020)).toDF("id", "v", "yr"), t, partitionBy = Seq("yr"))
+    val loc = new java.io.File(
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(t)).location.getPath)
+    // land a new partition's files directly on storage
+    Seq((9, "z", 2030)).toDF("id", "v", "yr")
+      .write.partitionBy("yr").mode("append").parquet(loc.getPath + "_stage")
+    val staged = new java.io.File(loc.getPath + "_stage/yr=2030")
+    java.nio.file.Files.move(staged.toPath,
+      new java.io.File(loc, "yr=2030").toPath)
+    assert(spark.sql(s"SHOW PARTITIONS $t").count() == 1, "not yet visible")
+    spark.sql(s"MSCK REPAIR TABLE $t")
+    assert(spark.sql(s"SHOW PARTITIONS $t").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("yr=2020", "yr=2030"))
+    assert(spark.table(t).count() == 2, "repaired partition's rows readable")
+    Warehouse.dropTable(spark, t)
+  }
+
+  test("SHOW CREATE TABLE round-trips a partitioned table definition") {
+    val t = "wh_showcreate"
+    Warehouse.dropTable(spark, t)
+    Warehouse.createTable(
+      Seq((1, "a", 2020)).toDF("id", "v", "yr"), t, partitionBy = Seq("yr"))
+    val ddl = spark.sql(s"SHOW CREATE TABLE $t").collect().head.getString(0)
+    assert(ddl.contains("PARTITIONED BY") && ddl.toLowerCase.contains("parquet"))
+    // the emitted DDL re-creates an equivalent (empty) table
+    val t2 = "wh_showcreate2"
+    Warehouse.dropTable(spark, t2)
+    spark.sql(ddl.replaceFirst(s"(?i)TABLE .*?$t", s"TABLE $t2"))
+    assert(spark.table(t2).schema == spark.table(t).schema)
+    assert(Warehouse.partitionColumns(spark, t2) == Seq("yr"))
+    Warehouse.dropTable(spark, t)
+    Warehouse.dropTable(spark, t2)
+  }
 }
