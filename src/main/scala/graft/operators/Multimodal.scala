@@ -42,6 +42,12 @@ object Multimodal {
   def pngWidth(bin: Column): Column = beUint32(bin, 17).cast("int")
   def pngHeight(bin: Column): Column = beUint32(bin, 21).cast("int")
 
+  /** GIF87a/GIF89a: "GIF8" @0, logical-screen width/height LE16 @6/@8. */
+  def isGif(bin: Column): Column =
+    length(bin) >= 10 && upper(hex(substring(bin, 1, 4))) === "47494638"
+  def gifWidth(bin: Column): Column = leUint16(bin, 7).cast("int")
+  def gifHeight(bin: Column): Column = leUint16(bin, 9).cast("int")
+
   /** RIFF/WAVE header: "RIFF" @0, "WAVE" @8, canonical fmt chunk @12 —
     * channels @22 (LE16), sample rate @24 (LE32), byte rate @28 (LE32). */
   def isWav(bin: Column): Column =
@@ -86,6 +92,11 @@ object Multimodal {
       pngWidth(bin).as("width"), pngHeight(bin).as("height"),
       lit(0L).as("durationMs"),
       lit(0).as("sampleRateHz"), lit(0).as("channels"))
+    val gifMeta = struct(
+      lit("image").as("kind"), lit("image/gif").as("mimeType"),
+      gifWidth(bin).as("width"), gifHeight(bin).as("height"),
+      lit(0L).as("durationMs"),
+      lit(0).as("sampleRateHz"), lit(0).as("channels"))
     val wavMeta = struct(
       lit("audio").as("kind"), lit("audio/wav").as("mimeType"),
       lit(0).as("width"), lit(0).as("height"),
@@ -95,6 +106,7 @@ object Multimodal {
       col(idCol).cast("long").as("id"),
       bin.as("content"),
       when(isPng(bin), pngMeta)
+        .when(isGif(bin), gifMeta)
         .when(isWav(bin), wavMeta)
         .otherwise(stubMeta).as("meta"),
       length(bin).as("n_bytes"),

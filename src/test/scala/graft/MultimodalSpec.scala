@@ -89,6 +89,22 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).getAs[Int]("width") == 1920 && out(1).getAs[Int]("height") == 1080)
   }
 
+  test("real GIF header decode: LE16 logical screen dims") {
+    def gif(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(13)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("GIF89a".getBytes("US-ASCII"))
+      bb.putShort(w.toShort).putShort(h.toShort)
+      bb.put(Array[Byte](0, 0, 0))
+      bb.array()
+    }
+    val df = Seq((1L, gif(320, 200))).toDF("id", "payload")
+    val out = Multimodal.withDecodedMeta(df, "id", "payload", "image")
+      .select($"meta.*").collect().head
+    assert(out.getAs[String]("mimeType") == "image/gif")
+    assert(out.getAs[Int]("width") == 320 && out.getAs[Int]("height") == 200)
+  }
+
   test("real WAV fmt header decode: rate, channels, duration from bytes") {
     // 16000 Hz stereo 16-bit, 64000 data bytes → 1 second
     val df = Seq((1L, wavBytes(16000, 2, 64000)), (2L, wavBytes(8000, 1, 4000)))
