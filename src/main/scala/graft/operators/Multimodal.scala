@@ -42,6 +42,14 @@ object Multimodal {
   def pngWidth(bin: Column): Column = beUint32(bin, 17).cast("int")
   def pngHeight(bin: Column): Column = beUint32(bin, 21).cast("int")
 
+  /** JPEG: dimensions from the SOF marker segment (variable offset —
+    * native marker-walk expression graft.functions.JpegDims; null when
+    * the payload has no SOF). */
+  def jpegDims(bin: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    toCol(graft.functions.JpegDims(toExpr(bin)))
+  }
+
   /** GIF87a/GIF89a: "GIF8" @0, logical-screen width/height LE16 @6/@8. */
   def isGif(bin: Column): Column =
     length(bin) >= 10 && upper(hex(substring(bin, 1, 4))) === "47494638"
@@ -97,6 +105,12 @@ object Multimodal {
       gifWidth(bin).as("width"), gifHeight(bin).as("height"),
       lit(0L).as("durationMs"),
       lit(0).as("sampleRateHz"), lit(0).as("channels"))
+    val jpeg = jpegDims(bin)
+    val jpegMeta = struct(
+      lit("image").as("kind"), lit("image/jpeg").as("mimeType"),
+      jpeg.getField("width").as("width"), jpeg.getField("height").as("height"),
+      lit(0L).as("durationMs"),
+      lit(0).as("sampleRateHz"), lit(0).as("channels"))
     val wavMeta = struct(
       lit("audio").as("kind"), lit("audio/wav").as("mimeType"),
       lit(0).as("width"), lit(0).as("height"),
@@ -107,6 +121,7 @@ object Multimodal {
       bin.as("content"),
       when(isPng(bin), pngMeta)
         .when(isGif(bin), gifMeta)
+        .when(jpeg.isNotNull, jpegMeta)
         .when(isWav(bin), wavMeta)
         .otherwise(stubMeta).as("meta"),
       length(bin).as("n_bytes"),

@@ -105,6 +105,29 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getAs[Int]("width") == 320 && out.getAs[Int]("height") == 200)
   }
 
+  test("real JPEG SOF decode walks markers to the dims at variable offset") {
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(2 + 18 + 13 + 2)
+      bb.putShort(0xffd8.toShort)                      // SOI
+      bb.putShort(0xffe0.toShort).putShort(16)         // APP0, len 16
+      bb.put("JFIF".getBytes("US-ASCII")).put(Array.fill[Byte](10)(0))
+      bb.putShort(0xffc0.toShort).putShort(11)         // SOF0, len 11
+      bb.put(8.toByte)                                 // precision
+      bb.putShort(h.toShort).putShort(w.toShort)       // height, width (BE)
+      bb.put(Array[Byte](1, 0x11, 0, 0))               // 1 component
+      bb.putShort(0xffd9.toShort)                      // EOI
+      bb.array()
+    }
+    val df = Seq((1L, jpeg(800, 600)), (2L, "notjpeg".getBytes("US-ASCII")))
+      .toDF("id", "payload")
+    val out = Multimodal.withDecodedMeta(df, "id", "payload", "image")
+      .select($"id", $"meta.*").orderBy("id").collect()
+    assert(out(0).getAs[String]("mimeType") == "image/jpeg")
+    assert(out(0).getAs[Int]("width") == 800 && out(0).getAs[Int]("height") == 600)
+    assert(out(1).getAs[String]("mimeType") == "application/x-image",
+      "non-media payload falls back to the stub")
+  }
+
   test("real WAV fmt header decode: rate, channels, duration from bytes") {
     // 16000 Hz stereo 16-bit, 64000 data bytes → 1 second
     val df = Seq((1L, wavBytes(16000, 2, 64000)), (2L, wavBytes(8000, 1, 4000)))
