@@ -215,6 +215,37 @@ object GapQueries {
           RANGE BETWEEN INTERVAL '1 day' PRECEDING AND CURRENT ROW)
           AS double) AS day_sum
       FROM events
-      ORDER BY user_id, ts""")
+      ORDER BY user_id, ts"""),
+
+    // -- ewah_bitmap UDAF family (GenericUDAFEWAHBitmap + and/or/empty
+    //    UDFs): bitmap cardinalities and set algebra oracle as DISTINCT
+    //    counts / INTERSECT in plain SQL
+    sqlQ("q111_bitmap_family", """
+      SELECT l_returnflag,
+        bitmap_count(ewah_bitmap(l_linenumber)) AS ndv_all,
+        bitmap_count(ewah_bitmap_and(
+          ewah_bitmap(CASE WHEN l_linestatus = 'F' THEN l_linenumber END),
+          ewah_bitmap(CASE WHEN l_linestatus = 'O' THEN l_linenumber END))) AS ndv_both,
+        ewah_bitmap_empty(
+          ewah_bitmap(CASE WHEN l_quantity < 0 THEN l_linenumber END)) AS none_neg
+      FROM lineitem
+      GROUP BY l_returnflag ORDER BY l_returnflag""", """
+      WITH stats AS (
+        SELECT l_returnflag,
+          count(DISTINCT l_linenumber) AS ndv_all,
+          count(*) FILTER (WHERE l_quantity < 0) = 0 AS none_neg
+        FROM lineitem GROUP BY l_returnflag),
+      inboth AS (
+        SELECT l_returnflag, count(*) AS ndv_both FROM (
+          SELECT DISTINCT l_returnflag, l_linenumber FROM lineitem
+          WHERE l_linestatus = 'F'
+          INTERSECT
+          SELECT DISTINCT l_returnflag, l_linenumber FROM lineitem
+          WHERE l_linestatus = 'O')
+        GROUP BY l_returnflag)
+      SELECT s.l_returnflag, s.ndv_all,
+        coalesce(b.ndv_both, 0) AS ndv_both, s.none_neg
+      FROM stats s LEFT JOIN inboth b USING (l_returnflag)
+      ORDER BY s.l_returnflag""")
   )
 }

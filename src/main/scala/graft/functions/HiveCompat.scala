@@ -155,8 +155,9 @@ object HiveCompat {
     "in_file" -> inFile _
   )
 
-  def register(spark: SparkSession): Unit = registrations.foreach { case (name, b) =>
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, b, "scala_udf")
-  }
+  def register(spark: SparkSession): Unit =
+    (registrations ++ BitmapExpressions.registrations).foreach { case (name, b) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, b, "scala_udf")
+    }
 }

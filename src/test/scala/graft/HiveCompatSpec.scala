@@ -73,6 +73,27 @@ class HiveCompatSpec extends SparkSpec {
     } finally f.delete()
   }
 
+  test("ewah_bitmap UDAF merges partial bitmaps across partitions") {
+    import spark.implicits._
+    // 200 keys spread over 8 partitions forces partial buffers + merge
+    spark.range(0, 1000).select((($"id" % 200)).as("k"))
+      .repartition(8).createOrReplaceTempView("bm_src")
+    val r = spark.sql("""
+      SELECT bitmap_count(ewah_bitmap(k)) AS ndv,
+        ewah_bitmap_empty(ewah_bitmap(CASE WHEN k < 0 THEN k END)) AS e,
+        bitmap_count(ewah_bitmap_and(
+          ewah_bitmap(CASE WHEN k < 120 THEN k END),
+          ewah_bitmap(CASE WHEN k >= 100 THEN k END))) AS inter,
+        bitmap_count(ewah_bitmap_or(
+          ewah_bitmap(CASE WHEN k < 50 THEN k END),
+          ewah_bitmap(CASE WHEN k >= 150 THEN k END))) AS uni
+      FROM bm_src""").collect().head
+    assert(r.getLong(0) == 200L)
+    assert(r.getBoolean(1), "no negatives -> empty bitmap")
+    assert(r.getLong(2) == 20L, "intersection [100,120)")
+    assert(r.getLong(3) == 100L, "union [0,50) + [150,200)")
+  }
+
   test("mask functions stay codegen-compatible (no UDF in plan)") {
     val plan = spark.sql("SELECT mask_first_n(c, 2) FROM VALUES ('AbC1') t(c)")
       .queryExecution.executedPlan.toString
