@@ -246,6 +246,25 @@ object GapQueries {
       SELECT s.l_returnflag, s.ndv_all,
         coalesce(b.ndv_both, 0) AS ndv_both, s.none_neg
       FROM stats s LEFT JOIN inboth b USING (l_returnflag)
-      ORDER BY s.l_returnflag""")
+      ORDER BY s.l_returnflag"""),
+
+    // -- LATERAL VIEW OUTER: rows whose generator input is empty survive
+    //    with NULL (HiveParser KW_OUTER lateral view; q36-q39 cover the
+    //    inner variant)
+    sqlQ("q112_lateral_view_outer", """
+      WITH base AS (
+        SELECT doc_id, filter(split(text, ' '), x -> length(x) >= 8) AS arr
+        FROM documents WHERE doc_id < 50)
+      SELECT doc_id, w
+      FROM base LATERAL VIEW OUTER explode(arr) e AS w
+      ORDER BY doc_id, w""", """
+      WITH base AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> len(x) >= 8) AS arr
+        FROM documents WHERE doc_id < 50)
+      SELECT doc_id, unnest(arr) AS w FROM base WHERE len(arr) > 0
+      UNION ALL
+      SELECT doc_id, NULL AS w FROM base WHERE len(arr) = 0
+      ORDER BY doc_id, w""")
   )
 }
