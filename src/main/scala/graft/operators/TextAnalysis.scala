@@ -132,8 +132,14 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol).as("doc_id"),
       explode(TextOps.tokens(col(textCol))).as("term"))
+    // tf is the working set both branches need (its groups ARE the
+    // distinct (doc, term) pairs, so df-counting needs no second explode
+    // over the corpus); materialize it once — exchange reuse does not
+    // fire across the join's probe/broadcast branches, so without this
+    // the explode+shuffle would run twice
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = df.count()
     val scored = tf.join(broadcast(dfreq), "term")
       .withColumn("score", round(
