@@ -11,11 +11,13 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    graft.functions.HiveCompat.registrations.foreach { case (name, builder) =>
-      ext.injectFunction((
-        FunctionIdentifier(name),
-        new ExpressionInfo("graft", name),
-        builder))
+    (graft.functions.HiveCompat.registrations ++
+      graft.functions.BitmapExpressions.registrations).foreach {
+      case (name, builder) =>
+        ext.injectFunction((
+          FunctionIdentifier(name),
+          new ExpressionInfo("graft", name),
+          builder))
     }
     ext.injectOptimizerRule(s => graft.plans.StatsCountRule(s))
   }

@@ -19,6 +19,19 @@ object Dedup {
   def exact(df: DataFrame, keyCols: Seq[String]): DataFrame =
     df.dropDuplicates(keyCols)
 
+  /** Deterministic exact dedup: per key group, keep the row minimal on
+    * `orderCol`. dropDuplicates keeps an ARBITRARY row — output varies
+    * with partitioning/cluster size, which a reproducible training-data
+    * pipeline can't accept. Same single-shuffle shape (min_by partial
+    * aggregation), no window. */
+  def exactKeepMin(df: DataFrame, keyCols: Seq[String],
+      orderCol: String): DataFrame = {
+    val all = struct(df.columns.map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min_by(all, col(orderCol)).as("_row"))
+      .select(df.columns.map(c => col(s"_row.$c").as(c)): _*)
+  }
+
   /** Candidate pairs whose band key collides, verified by exact Jaccard
     * over word-shingle sets. Returns (id_a, id_b, jaccard) with
     * id_a < id_b and jaccard ≥ threshold.

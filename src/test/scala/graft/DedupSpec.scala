@@ -134,6 +134,15 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(o) < 1e-12)
   }
 
+  test("exactKeepMin deterministically keeps the lowest-id row per key") {
+    val df = Seq((5L, "dup", "e"), (1L, "dup", "a"), (3L, "dup", "c"),
+      (2L, "solo", "b")).toDF("id", "text", "v").repartition(4)
+    val out = Dedup.exactKeepMin(df, Seq("text"), "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(out.toSeq == Seq((1L, "a"), (2L, "b")),
+      "keeps the min-id row with ALL its columns")
+  }
+
   test("l2-normalize yields unit vectors; zero vector stays zero") {
     val df = Seq((1L, Array(3f, 4f)), (2L, Array(0f, 0f))).toDF("id", "v")
     val out = Vectors.withL2Normalized(df, "v", "u").orderBy("id")

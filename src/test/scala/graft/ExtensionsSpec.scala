@@ -25,6 +25,11 @@ class ExtensionsSpec extends SparkSpec {
       assert(s2 ne shared, "must be a fresh session")
       val r = s2.sql("SELECT mask_first_n('Abc123', 3) AS m").collect().head
       assert(r.getString(0) == "Xxx123")
+      // aggregate injection path (UDAF via extensions config)
+      val b = s2.sql(
+        "SELECT bitmap_count(ewah_bitmap(x)) FROM VALUES (1),(2),(2) t(x)")
+        .collect().head
+      assert(b.getLong(0) == 2L)
       // the rule is installed too (conf off → no rewrite, no error)
       assert(s2.sql("SELECT count(*) FROM VALUES (1),(2) t(x)")
         .collect().head.getLong(0) == 2L)
