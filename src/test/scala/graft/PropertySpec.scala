@@ -92,6 +92,73 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native TextProfile ≡ the HOF/regexp formulas it replaced") {
+    import graft.operators.TextAnalysis
+    val texts = Seq.fill(60)(sentence(1 + rnd.nextInt(50))) ++ Seq(
+      "", "a", "UPPER lower 123!!", "punct,,,only---", "mixed Ab1 Cd2 の漢字",
+      "the der le el und is est y", "  \t\n spaced \r out  ")
+    val df = texts.toDF("text")
+    // original (pre-native) formulas, inline
+    val toks = filter(split(lower($"text"), "[^a-z0-9]+"), t => length(t) > 0)
+    val nChars = length($"text").cast("double")
+    val nToks = size(toks).cast("double")
+    val composed = struct(
+      nChars.cast("long"),
+      nToks.cast("long"),
+      when(nToks > 0, aggregate(toks, lit(0L), (a, t) => a + length(t))
+        .cast("double") / nToks).otherwise(0.0),
+      when(nChars > 0,
+        (nChars - length(regexp_replace($"text", "[\\p{Punct}]", ""))) / nChars)
+        .otherwise(0.0),
+      when(nChars > 0,
+        (nChars - length(regexp_replace($"text", "[0-9]", ""))) / nChars)
+        .otherwise(0.0),
+      when(nChars > 0,
+        (nChars - length(regexp_replace($"text", "[A-Z]", ""))) / nChars)
+        .otherwise(0.0))
+    val native = TextAnalysis.qualityMetrics($"text")
+    val rows = df.select(native.as("n"), composed.as("c")).collect()
+    rows.foreach { r =>
+      val n = r.getStruct(0); val c = r.getStruct(1)
+      assert(n.getLong(0) == c.getLong(0), s"n_chars: $n vs $c")
+      assert(n.getLong(1) == c.getLong(1), s"n_tokens: $n vs $c")
+      (2 to 5).foreach(i =>
+        assert(math.abs(n.getDouble(i) - c.getDouble(i)) < 1e-12,
+          s"field $i: $n vs $c"))
+    }
+    // langId agrees with the original CJK/argmax definition
+    val cjk = df.select(TextAnalysis.langId($"text").as("l"),
+      $"text".rlike("[\\u4e00-\\u9fff]").as("isCjk")).collect()
+    cjk.foreach(r => if (r.getBoolean(1)) assert(r.getString(0) == "zh"))
+  }
+
+  test("native TokenCounts ≡ split/regexp_extract_all formulas") {
+    val texts = Seq.fill(80)(sentence(1 + rnd.nextInt(30))) ++ Seq(
+      "", "  ", "a-b.c,d", "x1y2z3", "!!!", "tabs\there\nand 42.5 end ")
+    val df = texts.toDF("text")
+    val diff = df.select(
+      graft.operators.TextAnalysis.tokenCountWs($"text").as("nws"),
+      graft.operators.TextAnalysis.tokenCountBpe($"text").as("nbpe"),
+      size(filter(split($"text", "\\s+"), t => length(t) > 0)).as("cws"),
+      size(regexp_extract_all($"text",
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("cbpe"))
+      .filter($"nws" =!= $"cws" || $"nbpe" =!= $"cbpe").collect()
+    assert(diff.isEmpty, s"mismatch: ${diff.take(3).mkString}")
+  }
+
+  test("JpegDims never throws on arbitrary byte soup") {
+    val payloads = Seq.fill(100) {
+      val n = rnd.nextInt(64)
+      val b = new Array[Byte](n); rnd.nextBytes(b)
+      // half the time, start with a JPEG SOI to exercise the walker
+      if (rnd.nextBoolean() && n >= 2) { b(0) = 0xff.toByte; b(1) = 0xd8.toByte }
+      b
+    }
+    val out = payloads.toDF("b")
+      .select(graft.operators.Multimodal.jpegDims($"b")).collect()
+    assert(out.length == 100) // no exceptions; dims null or plausible
+  }
+
   test("mask preserves length and masks exactly the three char classes") {
     for (_ <- 0 until 50) {
       val s = Random.alphanumeric.take(1 + rnd.nextInt(30)).mkString +
