@@ -176,6 +176,43 @@ object DepthQueries {
       JOIN nation ON s_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY year(o_orderdate)
-      ORDER BY o_year""")
+      ORDER BY o_year"""),
+
+    // -- TPC-H Q7 shape (volume shipping): supplier-nation × customer-
+    //    nation pair flows, both directions, per year — two dimension
+    //    joins feeding a pair filter + grouped exact-decimal revenue
+    dual("q113_nation_volume", """
+      SELECT supp_nation, cust_nation, l_year,
+        cast(sum(volume) AS double) AS revenue
+      FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          year(l_shipdate) AS l_year,
+          cast(l_extendedprice AS decimal(12,2)) *
+            (1 - cast(l_discount AS decimal(12,2))) AS volume
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) shipping
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year"""),
+
+    // -- TPC-H Q19 shape: OR-of-ANDs join predicate (brand × size band ×
+    //    quantity band) — the classic disjunctive-pushdown stress; the
+    //    part side of each disjunct must still prune at the scan
+    dual("q114_disjunctive_join", """
+      SELECT cast(sum(cast(l_extendedprice AS decimal(12,2)) *
+        (1 - cast(l_discount AS decimal(12,2)))) AS double) AS revenue
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE
+        (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+          AND l_quantity BETWEEN 1 AND 21)
+        OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+          AND l_quantity BETWEEN 10 AND 40)
+        OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+          AND l_quantity BETWEEN 20 AND 50)""")
   )
 }
