@@ -265,6 +265,33 @@ object GapQueries {
       SELECT doc_id, unnest(arr) AS w FROM base WHERE len(arr) > 0
       UNION ALL
       SELECT doc_id, NULL AS w FROM base WHERE len(arr) = 0
-      ORDER BY doc_id, w""")
+      ORDER BY doc_id, w"""),
+
+    // -- within-doc n-gram repetition ratio (C4/Gopher-style boilerplate
+    //    signal): fraction of trigram occurrences that repeat
+    dfQ("q115_repetition_ratio", """
+      WITH tok AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                      x -> len(x) > 0) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_transform(range(1, len(t) - 1),
+          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s
+        FROM tok WHERE len(t) >= 3)
+      SELECT doc_id,
+        round(1.0 - len(list_distinct(s))::DOUBLE / len(s), 6) AS rep_ratio
+      FROM sh WHERE len(s) > 0
+      ORDER BY doc_id""") { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          round(graft.operators.TextAnalysis.repetitionRatio(col("text"), 3), 6)
+            .as("rep_ratio"),
+          size(graft.operators.TextOps.shingleSet(col("text"), 3,
+            distinct = false)).as("_n"))
+        .filter(col("_n") > 0)
+        .drop("_n")
+        .orderBy("doc_id")
+    }
   )
 }

@@ -151,6 +151,17 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("score"), col("rn"))
   }
 
+  /** Within-document n-gram repetition ratio — the C4/Gopher-style
+    * boilerplate signal: fraction of word n-grams that repeat an earlier
+    * occurrence (0 = all distinct, →1 = highly repetitive). ShingleSet is
+    * a lambda-free native expression, so the two instances CSE-merge. */
+  def repetitionRatio(c: Column, n: Int = 3): Column = {
+    val all = TextOps.shingleSet(c, n, distinct = false)
+    when(size(all) > 0,
+      lit(1.0) - size(array_distinct(all)).cast("double") / size(all))
+      .otherwise(lit(0.0))
+  }
+
   /** 64-bit content fingerprint: xxhash64 of whitespace-normalized,
     * lowercased text — equal fingerprints ⇔ near-certain exact dup
     * modulo whitespace/case. */

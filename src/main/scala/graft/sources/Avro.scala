@@ -104,7 +104,9 @@ object Avro {
     val files = listFiles(path)
     require(files.nonEmpty, s"no .avro files under $path")
     val struct = toStructType(openSchema(files.head))
-    val width = struct.size
+    // resolve by field NAME, not position: part files written by different
+    // jobs may order fields differently under the same logical schema
+    val names = struct.fieldNames
     val parallelism = math.min(files.size, spark.sparkContext.defaultParallelism)
     val rows = spark.sparkContext.parallelize(files, parallelism).flatMap { f =>
       val reader = new DataFileReader[GenericRecord](
@@ -118,7 +120,7 @@ object Avro {
         }
         def next(): Row = {
           val rec = it.next()
-          Row.fromSeq((0 until width).map(i => fromAvro(rec.get(i))))
+          Row.fromSeq(names.toIndexedSeq.map(n => fromAvro(rec.get(n))))
         }
       }
     }
