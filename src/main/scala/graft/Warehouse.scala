@@ -26,10 +26,16 @@ object Warehouse {
     // (location is <warehouse>/db.db/t, not <warehouse>/db.t).
     val catalog = spark.sessionState.catalog
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    // EXTERNAL tables keep their data on DROP (Hive semantics) — only
+    // MANAGED locations may be removed.
     val loc: Option[java.io.File] =
-      if (catalog.tableExists(ident))
-        Some(new java.io.File(catalog.getTableMetadata(ident).location.getPath))
-      else None
+      if (catalog.tableExists(ident)) {
+        val meta = catalog.getTableMetadata(ident)
+        if (meta.tableType ==
+            org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL)
+          return { spark.sql(s"DROP TABLE IF EXISTS $table"); () }
+        Some(new java.io.File(meta.location.getPath))
+      } else None
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val dir = loc.getOrElse {
       val warehouse = spark.conf.get("spark.sql.warehouse.dir")
@@ -140,7 +146,26 @@ object Warehouse {
       val replacement = current
         .join(broadcast(touched), partCols, "left_semi")
         .filter(keep)
+      // dynamic overwrite only rewrites partitions PRESENT in the data:
+      // a touched partition whose rows are all deleted contributes no
+      // rows and would silently keep its old files — drop those
+      // explicitly. Both partition sets are computed BEFORE the
+      // overwrite (afterwards the stale partition still looks populated).
+      val touchedRows = touched.collect()
+      val expected = replacement
+        .select(partCols.map(col): _*).distinct().collect().toSet
       insertOverwriteDynamic(spark, table, replacement)
+      touchedRows.filterNot(expected).foreach { p =>
+        val spec = partCols.zipWithIndex.map { case (c, i) =>
+          val v = p.get(i)
+          val rendered = v match {
+            case s: String => s"'${s.replace("'", "''")}'"
+            case other => other.toString
+          }
+          s"$c=$rendered"
+        }.mkString(", ")
+        spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($spec)")
+      }
     }
   }
 

@@ -27,6 +27,17 @@ case class BitmapAgg(
     extends TypedImperativeAggregate[BitSet] {
 
   override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"ewah_bitmap requires an integral key, got ${other.catalogString}")
+    }
+  }
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
 
@@ -35,9 +46,10 @@ case class BitmapAgg(
   override def update(buf: BitSet, input: InternalRow): BitSet = {
     val v = child.eval(input)
     if (v != null) {
-      val i = v.asInstanceOf[Number].intValue()
-      require(i >= 0, s"bitmap_agg requires non-negative keys, got $i")
-      buf.set(i)
+      val l = v.asInstanceOf[Number].longValue()
+      require(l >= 0 && l <= Int.MaxValue,
+        s"ewah_bitmap requires keys in [0, ${Int.MaxValue}], got $l")
+      buf.set(l.toInt)
     }
     buf
   }

@@ -139,7 +139,10 @@ object HiveCompat {
     require(args(1).foldable, "in_file filename must be a constant")
     val path = args(1).eval().toString
     val lines = lookupFile(path)
-    InSet(args.head,
+    // InSet skips the analyzer's implicit coercion (the old In(literal…)
+    // form cast a non-string probe to string) — cast explicitly so
+    // in_file(n_nationkey, f) compares "7" = "7", not Int vs UTF8String
+    InSet(Cast(args.head, StringType),
       lines.map(l => org.apache.spark.unsafe.types.UTF8String.fromString(l): Any))
   }
 

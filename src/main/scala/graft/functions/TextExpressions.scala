@@ -117,7 +117,9 @@ case class TokenCounts(child: Expression)
           nBpe += 1
           if (isLetter(c)) { while (i < len && isLetter(s.charAt(i))) i += 1 }
           else if (isDigit(c)) { while (i < len && isDigit(s.charAt(i))) i += 1 }
-          else i += 1
+          // count one per CODE POINT, as the regex alternation does — a
+          // surrogate pair (emoji) is one "other" token, not two
+          else i += Character.charCount(s.codePointAt(i))
         }
       }
     }

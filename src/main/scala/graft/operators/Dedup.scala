@@ -20,15 +20,19 @@ object Dedup {
     df.dropDuplicates(keyCols)
 
   /** Deterministic exact dedup: per key group, keep the row minimal on
-    * `orderCol`. dropDuplicates keeps an ARBITRARY row — output varies
-    * with partitioning/cluster size, which a reproducible training-data
-    * pipeline can't accept. Same single-shuffle shape (min_by partial
-    * aggregation), no window. */
+    * `orderCol` (NULL ordering values sort last, so a group whose rows
+    * all have NULL order still keeps a real row). dropDuplicates keeps
+    * an ARBITRARY row — output varies with partitioning/cluster size,
+    * which a reproducible training-data pipeline can't accept. Fully
+    * deterministic when `orderCol` is unique per group (an id); equal
+    * ordering values fall back to merge order. Same single-shuffle
+    * shape (min_by partial aggregation), no window. */
   def exactKeepMin(df: DataFrame, keyCols: Seq[String],
       orderCol: String): DataFrame = {
     val all = struct(df.columns.map(col): _*)
+    val ord = struct(col(orderCol).isNull.as("_null"), col(orderCol).as("_v"))
     df.groupBy(keyCols.map(col): _*)
-      .agg(min_by(all, col(orderCol)).as("_row"))
+      .agg(min_by(all, ord).as("_row"))
       .select(df.columns.map(c => col(s"_row.$c").as(c)): _*)
   }
 

@@ -111,13 +111,13 @@ object Avro {
     val rows = spark.sparkContext.parallelize(files, parallelism).flatMap { f =>
       val reader = new DataFileReader[GenericRecord](
         new File(f), new GenericDatumReader[GenericRecord]())
+      // close on task completion, not only on iterator exhaustion — a
+      // limit/take abandons the iterator and would leak the file handle
+      Option(TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => reader.close()))
       val it = reader.iterator()
       new Iterator[Row] {
-        def hasNext: Boolean = {
-          val h = it.hasNext
-          if (!h) reader.close()
-          h
-        }
+        def hasNext: Boolean = it.hasNext
         def next(): Row = {
           val rec = it.next()
           Row.fromSeq(names.toIndexedSeq.map(n => fromAvro(rec.get(n))))

@@ -17,7 +17,7 @@ import org.apache.spark.sql.types.StructType
   */
 object SequenceFiles {
 
-  val DefaultDelimiter = "" // LazySimpleSerDe ctrl-A
+  val DefaultDelimiter = "\u0001" // LazySimpleSerDe ctrl-A
   val NullSequence = "\\N"
 
   /** Read SequenceFile[Text, Text] whose values are delimited rows. */
@@ -33,6 +33,11 @@ object SequenceFiles {
       .schema(schema)
       .option("sep", delimiter)
       .option("nullValue", NullSequence)
+      // LazySimpleSerDe rows are unquoted/unescaped (the sink writes
+      // values verbatim) — disable the CSV parser's quote handling or a
+      // value starting with '"' swallows delimiters
+      .option("quote", "\u0000")
+      .option("escape", "\u0000")
       .csv(values)
   }
 

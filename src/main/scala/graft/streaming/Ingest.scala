@@ -106,8 +106,11 @@ object Ingest {
               val t = e.ts.getTime
               runs = runs.lastOption match {
                 case Some(r) if t - r.end <= gapMs =>
-                  runs.init :+ SessionState(r.start, math.max(r.end, t),
-                    r.n + 1, r.total + e.value)
+                  // a late event may precede the stored run's start —
+                  // extend backwards too (sessionizeBatch over the same
+                  // rows reports the true earliest timestamp)
+                  runs.init :+ SessionState(math.min(r.start, t),
+                    math.max(r.end, t), r.n + 1, r.total + e.value)
                 case _ =>
                   runs :+ SessionState(t, t, 1, e.value)
               }

@@ -141,6 +141,14 @@ class DedupSpec extends SparkSpec {
       .orderBy("id").collect().map(r => (r.getLong(0), r.getString(2)))
     assert(out.toSeq == Seq((1L, "a"), (2L, "b")),
       "keeps the min-id row with ALL its columns")
+    // NULL ordering values sort last; an all-NULL group keeps a REAL row
+    val withNulls = Seq((Some(9L), "k", "x"), (None, "k", "y"),
+      (None, "solo", "z")).toDF("id", "text", "v")
+    val got = Dedup.exactKeepMin(withNulls, Seq("text"), "id")
+      .orderBy("text").collect()
+    assert(got(0).getLong(0) == 9L, "non-NULL order wins over NULL")
+    assert(got(1).getString(1) == "solo" && got(1).getString(2) == "z",
+      "all-NULL-order group must keep a real row, not fabricate NULLs")
   }
 
   test("l2-normalize yields unit vectors; zero vector stays zero") {

@@ -70,6 +70,13 @@ class HiveCompatSpec extends SparkSpec {
     try {
       assert(one(s"SELECT in_file('alpha', '${f.getAbsolutePath}')").getBoolean(0))
       assert(!one(s"SELECT in_file('alp', '${f.getAbsolutePath}')").getBoolean(0))
+      // non-string probe is coerced to string (In-literal coercion parity)
+      val nf = java.io.File.createTempFile("infile-num", ".txt")
+      java.nio.file.Files.writeString(nf.toPath, "7\n42\n")
+      try {
+        assert(one(s"SELECT in_file(7, '${nf.getAbsolutePath}')").getBoolean(0))
+        assert(!one(s"SELECT in_file(8, '${nf.getAbsolutePath}')").getBoolean(0))
+      } finally nf.delete()
     } finally f.delete()
   }
 

@@ -134,7 +134,8 @@ class PropertySpec extends SparkSpec {
 
   test("native TokenCounts ≡ split/regexp_extract_all formulas") {
     val texts = Seq.fill(80)(sentence(1 + rnd.nextInt(30))) ++ Seq(
-      "", "  ", "a-b.c,d", "x1y2z3", "!!!", "tabs\there\nand 42.5 end ")
+      "", "  ", "a-b.c,d", "x1y2z3", "!!!", "tabs\there\nand 42.5 end ",
+      "emoji 😀 and 🎉🎉 pair")
     val df = texts.toDF("text")
     val diff = df.select(
       graft.operators.TextAnalysis.tokenCountWs($"text").as("nws"),

@@ -164,6 +164,14 @@ class SourcesSpec extends SparkSpec {
     val got = graft.sources.SequenceFiles.readDelimited(spark, out2, df.schema)
       .orderBy("id").collect()
     assert(got(0).getString(1) == "a" && got(1).isNullAt(1))
+    // values are unquoted: a leading double-quote must round-trip verbatim
+    val out3 = tmp("seq") + "/quotes"
+    val dq = Seq((1, "\"quoted start"), (2, "mid\"dle")).toDF("id", "v")
+    graft.sources.SequenceFiles.writeDelimited(dq, out3)
+    val backq = graft.sources.SequenceFiles.readDelimited(spark, out3, dq.schema)
+      .orderBy("id").collect()
+    assert(backq(0).getString(1) == "\"quoted start")
+    assert(backq(1).getString(1) == "mid\"dle")
     // the files really are Hadoop SequenceFiles (magic bytes "SEQ")
     val part = new java.io.File(out).listFiles()
       .filter(_.getName.startsWith("part-")).head

@@ -150,6 +150,31 @@ class StreamingSpec extends SparkSpec {
       s"each key must survive exactly once, got ${keys.mkString(",")}")
   }
 
+  test("streaming sessionization extends a session backwards for late events") {
+    val input = MemoryStream[Ingest.Event](spark, 5)
+    val sessions = Ingest.sessionize(input.toDS(), gapMs = 60000L)
+    val ckpt = tmp("sess-late-ckpt")
+    val query = sessions.writeStream
+      .format("memory").queryName("sess_late_out")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    def at(sec: Int) = Timestamp.valueOf(f"2024-01-01 10:00:${sec}%02d")
+    input.addData(Ingest.Event(1L, at(30), 1.0))
+    waitFor(spark.table("sess_late_out").count() >= 1)
+    // late event 30s EARLIER than the stored run's start, within the gap
+    input.addData(Ingest.Event(1L, at(0), 2.0))
+    waitFor(spark.table("sess_late_out").count() >= 2)
+    query.stop()
+
+    val merged = spark.table("sess_late_out").collect()
+      .maxBy(_.getAs[Int]("n_events"))
+    assert(merged.getAs[Int]("n_events") == 2)
+    assert(merged.getAs[Long]("start_ms") ==
+      at(0).getTime, "session start must extend to the earliest event")
+  }
+
   test("batch sessionization splits on inactivity gap") {
     val df = Seq(
       (1L, "2024-01-01 10:00:00", 1.0),

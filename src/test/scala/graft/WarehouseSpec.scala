@@ -135,6 +135,33 @@ class WarehouseSpec extends SparkSpec {
       Seq(1, 2, 4), "NULL-amt rows survive in touched and untouched partitions")
   }
 
+  test("DELETE that empties an entire partition removes it (not a no-op)") {
+    // dynamic overwrite only rewrites partitions present in the written
+    // data — a fully-deleted partition must be dropped explicitly
+    val t = "wh_del_empty_part"
+    Warehouse.dropTable(spark, t)
+    Warehouse.createTable(
+      Seq((1, 2020), (2, 2020), (3, 2021)).toDF("id", "yr"),
+      t, partitionBy = Seq("yr"))
+    Warehouse.delete(spark, t, where = "yr = 2020")
+    assert(spark.table(t).collect().map(_.getInt(0)).toSeq == Seq(3),
+      "all 2020 rows must actually be gone")
+    assert(spark.sql(s"SHOW PARTITIONS $t").collect().map(_.getString(0))
+      .toSeq == Seq("yr=2021"), "emptied partition dropped from catalog")
+  }
+
+  test("dropTable keeps data of EXTERNAL tables (Hive semantics)") {
+    val loc = java.nio.file.Files.createTempDirectory("wh-ext").toString
+    Seq((1, "a")).toDF("id", "v").write.mode("overwrite").parquet(loc)
+    val t = "wh_external"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (id INT, v STRING) USING parquet LOCATION '$loc'")
+    Warehouse.dropTable(spark, t)
+    assert(!spark.catalog.tableExists(t))
+    assert(spark.read.parquet(loc).count() == 1,
+      "external data must survive the drop")
+  }
+
   test("UPDATE rejects SET on a partition column (Hive semantics)") {
     val t = "wh_upd_partcol"
     Warehouse.dropTable(spark, t)
