@@ -169,7 +169,7 @@ object Warehouse {
     }
   }
 
-  private def overwriteUnpartitioned(spark: SparkSession, table: String,
+  private[graft] def overwriteUnpartitioned(spark: SparkSession, table: String,
       replacement: DataFrame): Unit = {
     // stage to a scratch location first: the rewrite reads the same files
     // it is about to replace (Spark rejects direct self-overwrite)

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Join-shape helpers for skew beyond what AQE's runtime splitting can
+  * reach (reference: SkewJoinHandler ql/exec/SkewJoinHandler.java:74 and
+  * the compile-time hive.optimize.skewjoin plan split). AQE handles
+  * skewed SHUFFLE partitions; explicit salting is the remaining tool
+  * when a single join KEY is hot and the build side is too large to
+  * broadcast — the standard 100 TB mitigation.
+  */
+object Joins {
+
+  /** Equi-join `fact ⋈ dim` on `key`, with the fact side salted into
+    * `saltFactor` sub-keys and the dim side replicated once per salt —
+    * a hot key's rows spread over `saltFactor` tasks instead of one.
+    * Result is exactly `fact.join(dim, key)` (inner). The fact salt is
+    * derived deterministically from a unique fact column so repeated
+    * runs place rows identically.
+    *
+    * Cost model: dim is duplicated saltFactor× through the shuffle —
+    * use for moderate dims with a hot fact key; broadcast tiny dims
+    * instead (no shuffle at all).
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      uniqueFactCol: String,
+      saltFactor: Int = 8): DataFrame = {
+    require(saltFactor > 0, "saltFactor must be positive")
+    val salted = fact.withColumn("_salt",
+      pmod(xxhash64(col(uniqueFactCol)), lit(saltFactor)).cast("int"))
+    val replicated = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+}

@@ -60,6 +60,44 @@ object Ingest {
       .select(col("window.start").as("wstart"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Continuous keyed upsert into a table via foreachBatch — the
+    * streaming MERGE pattern (reference analogue: Hive streaming
+    * mutation API, hcatalog/streaming/mutate): each micro-batch keeps
+    * its latest row per key (by `orderCol`), replaces same-key rows in
+    * the target, appends new keys. The rewrite is idempotent per key,
+    * so checkpointed batch replays converge (at-least-once side effect,
+    * exactly-once observable state). */
+  def startUpsert(
+      stream: DataFrame,
+      ep: Endpoint,
+      keyCols: Seq[String],
+      orderCol: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ep.checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.functions._
+        val all = struct(batch.columns.map(col): _*)
+        val ord = struct(col(orderCol).isNull.as("_null"), col(orderCol).as("_v"))
+        val latest = batch
+          .groupBy(keyCols.map(col): _*)
+          .agg(max_by(all, ord).as("_row"))
+          .select(batch.columns.map(c => col(s"_row.$c").as(c)): _*)
+        if (!spark.catalog.tableExists(ep.table)) {
+          latest.write.saveAsTable(ep.table)
+        } else {
+          val current = spark.table(ep.table)
+          val merged = current
+            .join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
+            .unionByName(latest)
+          graft.Warehouse.overwriteUnpartitioned(spark, ep.table, merged)
+        }
+        ()
+      }
+      .start()
+
   /** Streaming exact dedup — the streaming counterpart of
     * `operators.Dedup.exact`: duplicates of a key arriving within the
     * watermark window are dropped; dedup state is evicted once the

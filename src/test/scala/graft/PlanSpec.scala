@@ -78,6 +78,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange"), "banding is a shuffle by design")
   }
 
+  test("salted join equals the plain join and spreads the hot key") {
+    import spark.implicits._
+    // one hot key with 50k rows; dim too large to list per-row
+    val fact = spark.range(0, 60000)
+      .select($"id".as("rid"),
+        when($"id" < 50000, lit(7L)).otherwise(pmod($"id", lit(100))).as("k"),
+        ($"id" * 2).as("v"))
+    val dim = spark.range(0, 100).select($"id".as("k"), ($"id" + 1000).as("w"))
+    val plain = fact.join(dim, Seq("k"))
+    val salted = graft.operators.Joins.saltedJoin(fact, dim, "k", "rid", 8)
+    assert(salted.count() == plain.count())
+    // exact same result set
+    assert(salted.select("k", "rid", "v", "w").exceptAll(
+      plain.select("k", "rid", "v", "w")).isEmpty)
+    // the hot key's rows really do land in multiple salt buckets
+    val buckets = fact.withColumn("_salt",
+      pmod(xxhash64($"rid"), lit(8))).filter($"k" === 7L)
+      .select("_salt").distinct().count()
+    assert(buckets >= 6, s"hot key must spread over salts, got $buckets")
+  }
+
   test("AQE splits skewed join partitions at runtime (SkewJoinHandler)") {
     import spark.implicits._
     // one hot key carries ~90% of rows — the compile-time-undetectable

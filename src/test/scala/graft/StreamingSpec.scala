@@ -129,6 +129,38 @@ class StreamingSpec extends SparkSpec {
       out(1).getAs[Double]("total") == 4.0, "second run split off in-batch")
   }
 
+  test("streaming upsert keeps latest row per key across batches") {
+    val input = MemoryStream[(Long, Long, String)](spark, 6)
+    val stream = input.toDF().toDF("k", "seq", "v")
+    val table = s"upsert_target_${System.nanoTime()}"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val ep = Ingest.Endpoint(table, tmp("upsert-ckpt"))
+    val q = Ingest.startUpsert(stream, ep, Seq("k"), "seq",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+
+    // reads race the rewrite's file swap — treat transient read errors
+    // as "not yet" (a MERGE reader refreshes and retries the same way)
+    def settled(b: => Boolean): Boolean =
+      try { spark.catalog.refreshTable(table); b }
+      catch { case _: Throwable => false }
+
+    // batch 1: two keys, one with an in-batch overwrite (seq 2 wins)
+    input.addData((1L, 1L, "a"), (1L, 2L, "a2"), (2L, 1L, "b"))
+    waitFor(spark.catalog.tableExists(table) &&
+      settled(spark.table(table).count() == 2))
+    // batch 2: update key 1, insert key 3
+    input.addData((1L, 3L, "c"), (3L, 1L, "d"))
+    waitFor(settled(spark.table(table).count() == 3 &&
+      spark.table(table).filter($"k" === 1L).collect()
+        .headOption.exists(_.getString(2) == "c")))
+    q.stop()
+
+    val rows = spark.table(table).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(rows.toSeq == Seq((1L, "c"), (2L, "b"), (3L, "d")))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     val input = MemoryStream[(String, Timestamp, Double)](spark, 4)
     val stream = input.toDF().toDF("k", "ts", "v")
