@@ -43,21 +43,25 @@ object Bench {
     // Two runs per query, second one reported: the first pays plan
     // compilation + codegen, so round-over-round deltas track engine
     // changes instead of JIT noise (VERDICT r01 bench-hygiene note).
+    // a failed query reports -1, not its time-to-failure — otherwise a
+    // fast crash reads as a speedup in round-over-round comparison
     val results = selected.map { name =>
       var t = 0.0
+      var ok = true
       (0 until 2).foreach { _ =>
         val t0 = System.nanoTime()
         try runOnce(name)
         catch { case e: Throwable =>
+          ok = false
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         t = (System.nanoTime() - t0) / 1e9
       }
-      name -> t
+      name -> (if (ok) t else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

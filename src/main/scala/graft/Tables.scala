@@ -34,16 +34,21 @@ object Tables {
 
   // Re-registering views per query would re-read parquet footers; cache by
   // (session, dir) so a Verify/Bench run over N queries registers once.
-  private val registered =
-    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+  // Weak keys: identityHashCode strings are reused after GC (a fresh
+  // session could silently skip registration) and would leak one entry
+  // per discarded session forever.
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.util.Set[String]]())
 
   /** Register all testdata tables as temp views (idempotent per session+dir). */
   def register(spark: SparkSession, dir: String): Unit = {
-    val key = System.identityHashCode(spark) + "|" + dir
-    if (!registered.contains(key)) {
+    val dirs = registered.synchronized {
+      registered.computeIfAbsent(spark, _ => new java.util.HashSet[String]())
+    }
+    if (!dirs.contains(dir)) {
       Functions.register(spark)
       names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-      registered.add(key) // only after full success, so a failure retries
+      dirs.add(dir) // only after full success, so a failure retries
     }
   }
 }

@@ -52,7 +52,10 @@ case class ShingleSet(child: Expression, n: Int, distinct: Boolean)
   override def nullIntolerant: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString.toLowerCase
+    // Locale.ROOT: a tr_TR default locale would map 'I' to dotless ı,
+    // silently dropping tokens vs the locale-independent SQL lower()
+    val s = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT)
     val toks = new java.util.ArrayList[String]()
     var i = 0
     val len = s.length

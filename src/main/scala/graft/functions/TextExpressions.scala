@@ -54,7 +54,7 @@ case class TextProfile(child: Expression, profiles: Seq[Seq[String]])
       if (c >= '一' && c <= '鿿') hasCjk = true
       i += 1
     }
-    val s = raw.toLowerCase
+    val s = raw.toLowerCase(java.util.Locale.ROOT)
     var nToks = 0; var sumTokLen = 0L
     val counts = new Array[Int](sets.length)
     i = 0

@@ -18,11 +18,12 @@ object Curation {
       idCol: String,
       textCol: String,
       minTokens: Int = 20,
-      maxPunctRatio: Double = 0.05): DataFrame = {
+      maxPunctRatio: Double = 0.05,
+      langCol: String = "lang"): DataFrame = {
     val m = docs.select(
       col(idCol).as("doc_id"),
       col(textCol).as("text"),
-      col("lang"),
+      col(langCol).as("lang"),
       TextAnalysis.qualityMetrics(col(textCol)).as("m"),
       TextAnalysis.langId(col(textCol)).as("predicted"))
       .filter(col("m.n_tokens") >= minTokens &&

@@ -113,9 +113,14 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
+    // token-less docs (CJK-only, punctuation-only) all hash to 0 and
+    // would report every such pair as a hamming-0 dup — exclude them,
+    // same guard as minhashNearDups
     val hashed = df.select(
       col(idCol).as("id"),
-      TextOps.simhash64(TextOps.tokens(col(textCol))).as("simhash"))
+      TextOps.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("id"), TextOps.simhash64(col("toks")).as("simhash"))
 
     val banded = hashed.select(col("id"),
       explode(Vectors.signatureBands(col("simhash"), 4, 16)).as("bk"))

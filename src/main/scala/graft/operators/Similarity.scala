@@ -24,7 +24,7 @@ object Similarity {
       query: Seq[Float], k: Int): DataFrame = {
     val q = lit(query.toArray)
     df.select(col(idCol).as("id"),
-        Vectors.cosine(col(vecCol), q).as("cosine"))
+        safeCosine(col(vecCol), q).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
@@ -37,7 +37,7 @@ object Similarity {
       .select(col(vecCol).as("qvec"))
     df.crossJoin(broadcast(q))
       .select(col(idCol).as("id"),
-        Vectors.cosine(col(vecCol), col("qvec")).as("cosine"))
+        safeCosine(col(vecCol), col("qvec")).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
@@ -60,25 +60,44 @@ object Similarity {
     var assigned: DataFrame = null
     for (_ <- 0 until math.max(iters, 1)) {
       assigned = assignToCentroids(base, centroids)
-      // recompute means: explode dims, average per (cid, pos), re-collect
+      // recompute means: explode dims, average per (cid, pos), re-collect.
+      // Exact-decimal sum → double division: partial-merge order must not
+      // perturb centroids (the repo-wide float-determinism contract) or
+      // borderline vectors flip assignments between runs.
       centroids = assigned
         .select(col("cid"), posexplode(col("vec")))
         .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("col").cast("double")).as("m"))
+        .agg((sum(col("col").cast("decimal(27,12)")).cast("double") /
+          count(lit(1))).as("m"))
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"),
           transform(col("pm"), p => p.getField("m").cast("float")).as("cvec"))
     }
-    Ivf(assignToCentroids(base, centroids), centroids)
+    // materialize: the index is queried repeatedly — without this every
+    // searchIvf action re-runs all Lloyd iterations from lineage
+    val builtCentroids = centroids.localCheckpoint(true)
+    val builtAssigned = assignToCentroids(base, builtCentroids)
+      .localCheckpoint(true)
+    Ivf(builtAssigned, builtCentroids)
   }
+
+  /** Cosine that ranks zero vectors last instead of first: 0/0 = NaN and
+    * Spark sorts NaN above every double, so an unguarded zero embedding
+    * would top every similarity ranking. */
+  private def safeCosine(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    nanvl(Vectors.cosine(a, b), lit(-1.0))
 
   private def assignToCentroids(base: DataFrame, centroids: DataFrame): DataFrame =
     base.crossJoin(broadcast(centroids))
       .select(col("id"), col("vec"), col("cid"),
-        Vectors.cosine(col("vec"), col("cvec")).as("sim"))
+        safeCosine(col("vec"), col("cvec")).as("sim"))
       .groupBy("id")
-      .agg(max_by(struct(col("cid"), col("vec"), col("sim")), col("sim")).as("best"))
+      // tie-break equal sims on cid so assignment is deterministic under
+      // any merge order (duplicate seed vectors make exact ties real)
+      .agg(max_by(struct(col("cid"), col("vec"), col("sim")),
+        struct(col("sim"), col("cid"))).as("best"))
       .select(col("id"), col("best.vec").as("vec"), col("best.cid").as("cid"))
 
   /** Probe the nprobe nearest centroid lists for a query vector. */
@@ -86,13 +105,13 @@ object Similarity {
       ivf: Ivf, query: Seq[Float], k: Int, nprobe: Int): DataFrame = {
     val q = lit(query.toArray)
     val probeCids = ivf.centroids
-      .select(col("cid"), Vectors.cosine(col("cvec"), q).as("csim"))
-      .orderBy(col("csim").desc)
+      .select(col("cid"), safeCosine(col("cvec"), q).as("csim"))
+      .orderBy(col("csim").desc, col("cid"))  // deterministic at ties
       .limit(nprobe)
       .select("cid")
     ivf.assigned
       .join(broadcast(probeCids), "cid")   // partition pruning at scale
-      .select(col("id"), Vectors.cosine(col("vec"), q).as("cosine"))
+      .select(col("id"), safeCosine(col("vec"), q).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
@@ -116,15 +135,16 @@ object Similarity {
       ivf: Ivf, query: Seq[Float], k: Int, nprobe: Int): DataFrame = {
     val q = lit(query.toArray)
     val probeCids = ivf.centroids
-      .select(col("cid"), Vectors.cosine(col("cvec"), q).as("csim"))
-      .orderBy(col("csim").desc)
+      .select(col("cid"), safeCosine(col("cvec"), q).as("csim"))
+      .orderBy(col("csim").desc, col("cid"))
       .limit(nprobe)
       .select("cid")
     ivf.assigned
       .join(broadcast(probeCids), "cid")
       .select(col("id"),
-        Vectors.cosine(
-          Vectors.dequantize(col("q_vec"), col("q_scale")), q).as("cosine"))
+        nanvl(Vectors.cosine(
+          Vectors.dequantize(col("q_vec"), col("q_scale")), q), lit(-1.0))
+          .as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
