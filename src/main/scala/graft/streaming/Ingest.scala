@@ -60,6 +60,33 @@ object Ingest {
       .select(col("window.start").as("wstart"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Stream-stream time-bounded equi-join: rows from the two streams
+    * match on `keyCol` when their event times are within `joinWindow`
+    * of each other; watermarks bound the buffered state on both sides
+    * (additive capability — the reference has no stream operators;
+    * SURVEY §2.7). Output columns: key, l_ts, r_ts, then the remaining
+    * left/right columns prefixed l_/r_. */
+  def streamJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      watermarkDelay: String,
+      joinWindow: String): DataFrame = {
+    def side(df: DataFrame, p: String): DataFrame =
+      df.withWatermark(tsCol, watermarkDelay)
+        .select(col(keyCol).as(if (p == "l") keyCol else s"${p}_$keyCol") +:
+          df.columns.filterNot(_ == keyCol).map(c => col(c).as(s"${p}_$c")): _*)
+    val l = side(left, "l")
+    val r = side(right, "r")
+    l.join(r,
+      col(keyCol) === col(s"r_$keyCol") &&
+        col(s"r_$tsCol").between(
+          expr(s"l_$tsCol - INTERVAL $joinWindow"),
+          expr(s"l_$tsCol + INTERVAL $joinWindow")))
+      .drop(s"r_$keyCol")
+  }
+
   /** Continuous keyed upsert into a table via foreachBatch — the
     * streaming MERGE pattern (reference analogue: Hive streaming
     * mutation API, hcatalog/streaming/mutate): each micro-batch keeps

@@ -129,6 +129,31 @@ class StreamingSpec extends SparkSpec {
       out(1).getAs[Double]("total") == 4.0, "second run split off in-batch")
   }
 
+  test("stream-stream join matches keys within the time window only") {
+    val clicks = MemoryStream[(Long, Timestamp, String)](spark, 7)
+    val buys = MemoryStream[(Long, Timestamp, Double)](spark, 8)
+    val joined = Ingest.streamJoin(
+      clicks.toDF().toDF("user", "ts", "page"),
+      buys.toDF().toDF("user", "ts", "amount"),
+      "user", "ts", watermarkDelay = "1 hour", joinWindow = "10 minutes")
+    val ckpt = tmp("ssj-ckpt")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    clicks.addData((1L, t(0), "home"), (2L, t(0), "search"))
+    // user 1 buys within 10 min (match); user 2 buys 30 min later (no)
+    buys.addData((1L, t(5), 9.99), (2L, t(30), 5.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ssj_out").collect()
+    assert(rows.length == 1, s"only the in-window pair joins: ${rows.toSeq}")
+    assert(rows.head.getAs[Long]("user") == 1L)
+    assert(rows.head.getAs[String]("l_page") == "home")
+    assert(rows.head.getAs[Double]("r_amount") == 9.99)
+  }
+
   test("streaming upsert keeps latest row per key across batches") {
     val input = MemoryStream[(Long, Long, String)](spark, 6)
     val stream = input.toDF().toDF("k", "seq", "v")
