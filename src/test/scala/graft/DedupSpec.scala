@@ -87,6 +87,35 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("simhash ignores token-less docs (no false hamming-0 pairs)") {
+    // CJK-only and punctuation-only docs have zero [a-z0-9] tokens; all
+    // would hash to 0 and pair with each other without the guard
+    val base = Seq.tabulate(30)(i => s"token$i word$i filler$i").mkString(" ")
+    val df = Seq(
+      (1L, "金糸雀の鳴き声が響く"), (2L, "!!! --- ???"), (3L, "完全に異なる文書"),
+      (4L, base + " ending one"),
+      (5L, base + " ending two"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(df, "doc_id", "text", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!pairs.exists(p => Set(1L, 2L, 3L)(p._1) || Set(1L, 2L, 3L)(p._2)),
+      s"token-less docs must not pair: ${pairs.toSeq}")
+    assert(pairs.contains((4L, 5L)), "real near-dups still found")
+  }
+
+  test("IVF build is deterministic: identical assignments across builds") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, dir, "embeddings").repartition(7)
+    def buildAssignments(): Map[Long, Int] =
+      Similarity.buildIvf(emb, "vec_id", "embedding", nlist = 4)
+        .assigned.collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Int]("cid")).toMap
+    val a = buildAssignments()
+    val b = buildAssignments()
+    assert(a == b, "decimal-exact centroids + cid tie-break must make " +
+      "assignment independent of partial-merge order")
+  }
+
   test("quantized IVF matches float IVF ranking within rounding error") {
     val dir = "/root/testdata/sf0.001"
     val emb = Tables.load(spark, dir, "embeddings")
