@@ -126,9 +126,21 @@ object Warehouse {
     } else {
       // rewrite only partitions containing matched rows
       val touched = current.filter(expr(where)).select(partCols.map(col): _*).distinct()
-      val replacement = updated.join(broadcast(touched), partCols, "left_semi")
+      val replacement = semiJoinOnPartitions(updated, touched, partCols)
       insertOverwriteDynamic(spark, table, replacement)
     }
+  }
+
+  /** Left-semi restrict `df` to the partitions in `touched`, NULL-SAFE:
+    * a plain equi-join would never match the NULL partition
+    * (__HIVE_DEFAULT_PARTITION__), silently exempting its rows from
+    * UPDATE/DELETE rewrites. */
+  private def semiJoinOnPartitions(df: DataFrame, touched: DataFrame,
+      partCols: Seq[String]): DataFrame = {
+    val renamed = touched.select(
+      partCols.map(c => col(c).as(s"_t_$c")): _*)
+    val cond = partCols.map(c => col(c) <=> col(s"_t_$c")).reduce(_ && _)
+    df.join(broadcast(renamed), cond, "left_semi")
   }
 
   /** DELETE FROM table WHERE cond — same partition-granular rewrite.
@@ -143,8 +155,7 @@ object Warehouse {
       overwriteUnpartitioned(spark, table, current.filter(keep))
     } else {
       val touched = current.filter(expr(where)).select(partCols.map(col): _*).distinct()
-      val replacement = current
-        .join(broadcast(touched), partCols, "left_semi")
+      val replacement = semiJoinOnPartitions(current, touched, partCols)
         .filter(keep)
       // dynamic overwrite only rewrites partitions PRESENT in the data:
       // a touched partition whose rows are all deleted contributes no
@@ -155,16 +166,17 @@ object Warehouse {
       val expected = replacement
         .select(partCols.map(col): _*).distinct().collect().toSet
       insertOverwriteDynamic(spark, table, replacement)
+      // drop via the catalog API, not rendered SQL: literal rendering
+      // breaks on NULL values, dates, and backslash escapes
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
       touchedRows.filterNot(expected).foreach { p =>
-        val spec = partCols.zipWithIndex.map { case (c, i) =>
-          val v = p.get(i)
-          val rendered = v match {
-            case s: String => s"'${s.replace("'", "''")}'"
-            case other => other.toString
-          }
-          s"$c=$rendered"
-        }.mkString(", ")
-        spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($spec)")
+        val spec: Map[String, String] = partCols.zipWithIndex.map {
+          case (c, i) =>
+            c -> (if (p.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"
+                  else p.get(i).toString)
+        }.toMap
+        spark.sessionState.catalog.dropPartitions(ident, Seq(spec),
+          ignoreIfNotExists = true, purge = false, retainData = false)
       }
     }
   }
@@ -172,10 +184,21 @@ object Warehouse {
   private[graft] def overwriteUnpartitioned(spark: SparkSession, table: String,
       replacement: DataFrame): Unit = {
     // stage to a scratch location first: the rewrite reads the same files
-    // it is about to replace (Spark rejects direct self-overwrite)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-rewrite").toString
-    replacement.write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).insertInto(table)
+    // it is about to replace (Spark rejects direct self-overwrite).
+    // Columns are aligned to the table schema — insertInto is positional,
+    // and callers (e.g. the upsert merge) may carry a reordered frame.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rewrite")
+    try {
+      align(spark, table, replacement)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      spark.read.parquet(tmp.toString)
+        .write.mode(SaveMode.Overwrite).insertInto(table)
+    } finally {
+      // the staged copy is a full table snapshot — never orphan it (a
+      // per-batch streaming upsert would fill the disk)
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
   }
 
   def partitionColumns(spark: SparkSession, table: String): Seq[String] =

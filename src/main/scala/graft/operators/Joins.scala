@@ -30,10 +30,13 @@ object Joins {
       uniqueFactCol: String,
       saltFactor: Int = 8): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
-    val salted = fact.withColumn("_salt",
+    val saltCol = "_graft_salt"
+    require(!fact.columns.contains(saltCol) && !dim.columns.contains(saltCol),
+      s"inputs must not already have a $saltCol column")
+    val salted = fact.withColumn(saltCol,
       pmod(xxhash64(col(uniqueFactCol)), lit(saltFactor)).cast("int"))
-    val replicated = dim.withColumn("_salt",
+    val replicated = dim.withColumn(saltCol,
       explode(sequence(lit(0), lit(saltFactor - 1))))
-    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+    salted.join(replicated, Seq(key, saltCol)).drop(saltCol)
   }
 }

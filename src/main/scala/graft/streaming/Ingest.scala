@@ -90,10 +90,14 @@ object Ingest {
   /** Continuous keyed upsert into a table via foreachBatch — the
     * streaming MERGE pattern (reference analogue: Hive streaming
     * mutation API, hcatalog/streaming/mutate): each micro-batch keeps
-    * its latest row per key (by `orderCol`), replaces same-key rows in
-    * the target, appends new keys. The rewrite is idempotent per key,
-    * so checkpointed batch replays converge (at-least-once side effect,
-    * exactly-once observable state). */
+    * its latest row per key (by `orderCol`, NULL orders rank lowest),
+    * replaces same-key rows in the target (NULL keys match null-safely),
+    * appends new keys. The merge is idempotent per key, so checkpointed
+    * batch replays converge. The table rewrite itself is staged but not
+    * transactional (plain parquet, no ACID table format): a crash
+    * between the stage and the final commit can leave the target
+    * needing a rebuild — the same caveat as any non-ACID INSERT
+    * OVERWRITE. */
   def startUpsert(
       stream: DataFrame,
       ep: Endpoint,
@@ -107,7 +111,8 @@ object Ingest {
         val spark = batch.sparkSession
         import org.apache.spark.sql.functions._
         val all = struct(batch.columns.map(col): _*)
-        val ord = struct(col(orderCol).isNull.as("_null"), col(orderCol).as("_v"))
+        // isNotNull under max_by: real order values must outrank NULLs
+        val ord = struct(col(orderCol).isNotNull.as("_has"), col(orderCol).as("_v"))
         val latest = batch
           .groupBy(keyCols.map(col): _*)
           .agg(max_by(all, ord).as("_row"))
@@ -116,8 +121,13 @@ object Ingest {
           latest.write.saveAsTable(ep.table)
         } else {
           val current = spark.table(ep.table)
+          // null-safe anti join: a NULL key must REPLACE the existing
+          // NULL-key row, not accumulate one duplicate per batch
+          val keys = latest.select(
+            keyCols.map(c => col(c).as(s"_k_$c")): _*)
+          val cond = keyCols.map(c => col(c) <=> col(s"_k_$c")).reduce(_ && _)
           val merged = current
-            .join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
+            .join(keys, cond, "left_anti")
             .unionByName(latest)
           graft.Warehouse.overwriteUnpartitioned(spark, ep.table, merged)
         }

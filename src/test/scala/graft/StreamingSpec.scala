@@ -186,6 +186,43 @@ class StreamingSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("streaming upsert survives non-leading keys and NULL orders/keys") {
+    // (seq, k, v): key is NOT the first column — the merge's anti join
+    // moves keys around, and positional insertInto must not swap values
+    val input = MemoryStream[(Option[Long], Option[Long], String)](spark, 9)
+    val stream = input.toDF().toDF("seq", "k", "v")
+    val table = s"upsert_hard_${System.nanoTime()}"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val ep = Ingest.Endpoint(table, tmp("upsert-hard-ckpt"))
+    val q = Ingest.startUpsert(stream, ep, Seq("k"), "seq",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+    def settled(b: => Boolean): Boolean =
+      try { spark.catalog.refreshTable(table); b }
+      catch { case _: Throwable => false }
+
+    input.addData((Some(10L), Some(1L), "a"), (None, Some(2L), "b"))
+    waitFor(spark.catalog.tableExists(table) &&
+      settled(spark.table(table).count() == 2))
+    // batch 2: real seq must beat NULL seq for key 2; NULL key upserts
+    input.addData((Some(5L), Some(2L), "b2"), (None, Some(2L), "junk"),
+      (Some(1L), None, "nk1"))
+    waitFor(settled(spark.table(table).count() == 3))
+    input.addData((Some(2L), None, "nk2"))
+    waitFor(settled(spark.table(table).filter($"k".isNull).collect()
+      .exists(_.getString(2) == "nk2")))
+    q.stop()
+
+    val rows = spark.table(table).collect()
+      .map(r => (Option(r.get(1)).map(_.toString).getOrElse("null"),
+        r.getString(2))).toMap
+    assert(rows("1") == "a", "column order preserved through the merge")
+    assert(rows("2") == "b2", "real order value outranks NULL")
+    assert(rows("null") == "nk2", "NULL key replaced, not duplicated")
+    assert(spark.table(table).filter($"k" === 1L).collect()
+      .head.getAs[Long]("seq") == 10L, "seq landed in the seq column")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     val input = MemoryStream[(String, Timestamp, Double)](spark, 4)
     val stream = input.toDF().toDF("k", "ts", "v")

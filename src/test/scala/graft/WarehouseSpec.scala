@@ -150,6 +150,35 @@ class WarehouseSpec extends SparkSpec {
       .toSeq == Seq("yr=2021"), "emptied partition dropped from catalog")
   }
 
+  test("DELETE works on date-partitioned tables incl. emptying a partition") {
+    val t = "wh_del_date_part"
+    Warehouse.dropTable(spark, t)
+    Warehouse.createTable(
+      Seq((1, "2024-01-01"), (2, "2024-01-01"), (3, "2024-02-01"))
+        .toDF("id", "d_s")
+        .select($"id", $"d_s".cast("date").as("d")),
+      t, partitionBy = Seq("d"))
+    Warehouse.delete(spark, t, where = "d = date'2024-01-01'")
+    assert(spark.table(t).collect().map(_.getInt(0)).toSeq == Seq(3))
+    assert(spark.sql(s"SHOW PARTITIONS $t").count() == 1,
+      "emptied DATE partition dropped (no SQL-literal rendering)")
+  }
+
+  test("DELETE and UPDATE reach rows in the NULL partition") {
+    val t = "wh_null_part"
+    Warehouse.dropTable(spark, t)
+    Warehouse.createTable(
+      Seq((1, Some("a")), (2, None), (3, None)).toDF("id", "p"),
+      t, partitionBy = Seq("p"))
+    // the predicate matches a row living in p=NULL
+    Warehouse.delete(spark, t, where = "id = 2")
+    assert(spark.table(t).orderBy("id").collect().map(_.getInt(0)).toSeq ==
+      Seq(1, 3), "row in the NULL partition must actually be deleted")
+    Warehouse.update(spark, t, Map("id" -> "30"), "id = 3")
+    assert(spark.table(t).orderBy("id").collect().map(_.getInt(0)).toSeq ==
+      Seq(1, 30), "row in the NULL partition must actually be updated")
+  }
+
   test("dropTable keeps data of EXTERNAL tables (Hive semantics)") {
     val loc = java.nio.file.Files.createTempDirectory("wh-ext").toString
     Seq((1, "a")).toDF("id", "v").write.mode("overwrite").parquet(loc)
