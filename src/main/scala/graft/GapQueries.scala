@@ -267,6 +267,64 @@ object GapQueries {
       SELECT doc_id, NULL AS w FROM base WHERE len(arr) = 0
       ORDER BY doc_id, w"""),
 
+    // -- round-2 capstone: prep pipeline composing the new operators —
+    //    plant PII → redact (Pii) → quality+repetition gate (TextProfile
+    //    ratios) → deterministic exact dedup (keep lowest id) → per-lang
+    //    stats with redaction audit totals
+    dfQ("q116_prep_pipeline", """
+      WITH planted AS (
+        SELECT doc_id, lang,
+          text || ' contact u' || doc_id || '@ex.com now' AS text
+        FROM documents
+      ), redacted AS (
+        SELECT doc_id, lang,
+          len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_pii,
+          regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+            AS text
+        FROM planted
+      ), toks AS (
+        SELECT doc_id, lang, n_pii, text,
+          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                      x -> len(x) > 0) AS t
+        FROM redacted
+      ), gated AS (
+        SELECT doc_id, lang, n_pii, text, len(t) AS n_tokens
+        FROM toks WHERE len(t) >= 25
+      ), deduped AS (
+        SELECT min(doc_id) AS keep_id,
+          arg_min(lang, doc_id) AS lang,
+          arg_min(n_pii, doc_id) AS n_pii,
+          arg_min(n_tokens, doc_id) AS n_tokens
+        FROM gated GROUP BY text
+      )
+      SELECT lang, count(*) AS n_docs,
+        sum(n_tokens)::BIGINT AS sum_tokens,
+        sum(n_pii)::BIGINT AS total_pii
+      FROM deduped
+      GROUP BY lang ORDER BY lang""") { (s, d) =>
+      import graft.operators.{Dedup, Pii, TextAnalysis}
+      val planted = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          concat(col("text"), lit(" contact u"), col("doc_id"),
+            lit("@ex.com now")).as("text"))
+      val redacted = Pii.withRedaction(planted, "text")
+        .select(col("doc_id"), col("lang"),
+          col("pii.n_emails").as("n_pii"), col("text"))
+      val gated = redacted
+        .withColumn("m", TextAnalysis.qualityMetrics(col("text")))
+        .filter(col("m.n_tokens") >= 25)
+        .select(col("doc_id"), col("lang"), col("n_pii"),
+          col("m.n_tokens").as("n_tokens"), col("text"))
+      val deduped = Dedup.exactKeepMin(gated, Seq("text"), "doc_id")
+      deduped.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("n_pii").cast("long")).as("total_pii"))
+        .orderBy("lang")
+    },
+
     // -- within-doc n-gram repetition ratio (C4/Gopher-style boilerplate
     //    signal): fraction of trigram occurrences that repeat
     dfQ("q115_repetition_ratio", """
