@@ -78,6 +78,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange"), "banding is a shuffle by design")
   }
 
+  test("Q19-shape disjunctive predicate pushes per-side filters to scans") {
+    // Catalyst extracts the union of each disjunct's single-side
+    // constraints (quantity bands → lineitem scan; brand/size → part
+    // scan) from the OR-of-ANDs join predicate
+    val df = Queries.byName("q114_disjunctive_join").run(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.exists(l => l.contains("lineitem") &&
+      l.contains("Or(") && l.contains("l_quantity")),
+      s"quantity bands must reach the lineitem scan:\n${pushed.mkString("\n")}")
+    assert(pushed.exists(l => l.contains("part") && l.contains("p_brand")),
+      s"brand disjuncts must reach the part scan:\n${pushed.mkString("\n")}")
+  }
+
   test("salted join equals the plain join and spreads the hot key") {
     import spark.implicits._
     // one hot key with 50k rows; dim too large to list per-row
