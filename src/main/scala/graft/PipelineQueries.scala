@@ -2,7 +2,7 @@ package graft
 
 import Queries._
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, TextOps}
+import graft.operators.{Curation, Decontaminate, Dedup, Multimodal, Similarity, TextAnalysis, TextOps}
 
 /** LLM-training-data pipeline operators over documents/embeddings:
   * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine),
@@ -341,6 +341,64 @@ object PipelineQueries {
         .groupBy("ngram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram"))
         .limit(10)
+    },
+
+    // -- benchmark decontamination: corpus docs sharing 8-gram spans with
+    //    an eval set (= first 40 tokens of every doc_id%10==7 doc, so
+    //    contamination is planted by construction: the source pages are
+    //    still in the corpus). Eval gram dictionary broadcasts; the
+    //    corpus streams through one broadcast hash join, no text shuffle.
+    dfQ("q117_decontaminate", """
+      WITH tok AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                      x -> len(x) > 0) AS t
+        FROM documents
+      ), grams AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 6),
+          i -> array_to_string(t[i:i+7], ' '))) AS g
+        FROM tok
+      ), ev AS (
+        SELECT t[1:40] AS t40 FROM tok WHERE doc_id % 10 = 7
+      ), eval_grams AS (
+        SELECT DISTINCT unnest(list_transform(range(1, len(t40) - 6),
+          i -> array_to_string(t40[i:i+7], ' '))) AS ngram
+        FROM ev
+      )
+      SELECT doc_id, count(*) AS n_hits
+      FROM (SELECT doc_id, unnest(g) AS ngram FROM grams) c
+      JOIN eval_grams USING (ngram)
+      GROUP BY doc_id
+      ORDER BY doc_id""") { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val evalSet = docs.filter(col("doc_id") % 10 === 7)
+        .select(concat_ws(" ",
+          slice(TextOps.tokens(col("text")), 1, 40)).as("text"))
+      Decontaminate.overlap(docs, evalSet, "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    },
+
+    // -- domain blocklist filter: first gate of a web-corpus pipeline.
+    //    URLs are planted from `source` on both sides; Spark extracts the
+    //    host with real parse_url, the oracle recomputes it arithmetically
+    dfQ("q118_domain_filter", """
+      WITH u AS (
+        SELECT doc_id, source || '.example.com' AS host
+        FROM documents
+      )
+      SELECT host, count(*) AS n_docs
+      FROM u
+      WHERE host NOT IN ('src3.example.com', 'src7.example.com')
+      GROUP BY host
+      ORDER BY host""") { (s, d) =>
+      val withUrl = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          concat(lit("https://"), col("source"), lit(".example.com/p/"),
+            col("doc_id")).as("url"))
+      Curation.domainFilter(withUrl, "url",
+        Seq("src3.example.com", "src7.example.com"))
+        .groupBy("host").agg(count(lit(1)).as("n_docs"))
+        .orderBy("host")
     }
   )
 }

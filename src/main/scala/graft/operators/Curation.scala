@@ -38,6 +38,24 @@ object Curation {
         col("n_tokens"), col("text"))
   }
 
+  /** Drop documents whose URL host is on a blocklist (spam/SEO domain
+    * filtering — the first gate of a web-corpus pipeline). Blocklists
+    * are thousands of hosts while the corpus is TBs, so the blocklist
+    * broadcasts and the corpus streams through a broadcast LEFT ANTI
+    * hash join with no shuffle. Adds a `host` column. */
+  def domainFilter(
+      docs: DataFrame,
+      urlCol: String,
+      blockedHosts: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val blocked = blockedHosts.toDF("blocked_host")
+    docs
+      .withColumn("host", parse_url(col(urlCol), lit("HOST")))
+      .join(broadcast(blocked), col("host") === col("blocked_host"),
+        "left_anti")
+  }
+
   /** Per-language stats over the curated corpus: volume, token mass,
     * lang-id agreement — the report a curation run ends with. */
   def corpusStats(curated: DataFrame): DataFrame =
