@@ -350,6 +350,71 @@ object GapQueries {
         .filter(col("_n") > 0)
         .drop("_n")
         .orderBy("doc_id")
+    },
+
+    // -- backward as-of join (time-series state lookup; Spark has no AsOf
+    //    node): each click picks the user's most recent purchase value.
+    //    Union-tag + running last() — one shuffle, no range explosion.
+    //    DuckDB's native ASOF LEFT JOIN is the oracle.
+    dfQ("q119_asof_join", """
+      WITH clicks AS (
+        SELECT event_id, user_id, ts::TIMESTAMP AS ts
+        FROM events WHERE event_type = 'click'
+      ), purchases AS (
+        SELECT user_id, ts::TIMESTAMP AS ts, value
+        FROM events WHERE event_type = 'purchase'
+      )
+      SELECT c.event_id, c.user_id, p.value AS last_purchase
+      FROM clicks c ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+      ORDER BY c.event_id""") { (s, d) =>
+      import graft.operators.AsOfJoin
+      val ev = Tables.load(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      AsOfJoin.backward(clicks, purchases, Seq("user_id"),
+          leftTs = "ts", rightTs = "ts", payload = Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          col("value").as("last_purchase"))
+        .orderBy("event_id")
+    },
+
+    // -- bucketized range join (point-in-interval without the
+    //    BroadcastNestedLoop scale-killer): events against planted
+    //    maintenance windows derived from region keys on both sides
+    //    (window r = [2024-01-01 + 6r days, +4 days), epoch micros)
+    dfQ("q120_range_join", """
+      WITH f AS (
+        SELECT event_id, value, epoch_us(ts::TIMESTAMP) AS p FROM events
+      ), r AS (
+        SELECT r_regionkey AS window_id,
+          1704067200000000 + r_regionkey * 518400000000 AS start_us,
+          1704067200000000 + r_regionkey * 518400000000
+            + 345600000000 AS end_us
+        FROM region
+      )
+      SELECT window_id, count(*) AS n_events,
+        cast(sum(cast(value as decimal(18,6))) as double) AS total_value
+      FROM f JOIN r ON f.p >= r.start_us AND f.p < r.end_us
+      GROUP BY window_id
+      ORDER BY window_id""") { (s, d) =>
+      import graft.operators.RangeJoin
+      val facts = Tables.load(s, d, "events")
+        .select(col("event_id"), col("value"), unix_micros(col("ts")).as("p"))
+      val ranges = Tables.load(s, d, "region")
+        .select(col("r_regionkey").cast("long").as("window_id"))
+        .withColumn("start_us",
+          lit(1704067200000000L) + col("window_id") * lit(518400000000L))
+        .withColumn("end_us", col("start_us") + lit(345600000000L))
+      RangeJoin.pointInRange(facts, "p", ranges, "start_us", "end_us",
+          bucketWidth = 86400000000L) // 1-day buckets ≈ window width / 4
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("total_value"))
+        .orderBy("window_id")
     }
   )
 }
