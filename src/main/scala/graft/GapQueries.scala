@@ -309,9 +309,15 @@ object GapQueries {
         .select(col("doc_id"), col("lang"),
           concat(col("text"), lit(" contact u"), col("doc_id"),
             lit("@ex.com now")).as("text"))
-      val redacted = Pii.withRedaction(planted, "text")
-        .select(col("doc_id"), col("lang"),
-          col("pii.n_emails").as("n_pii"), col("text"))
+      // email-only redaction, matching the oracle's single class: the
+      // full Pii.redact also rewrites SSN/phone/IP patterns, which the
+      // oracle doesn't model — parity must be structural, not an
+      // accident of the corpus being digit-pattern-free
+      val redacted = planted.select(col("doc_id"), col("lang"),
+        size(regexp_extract_all(col("text"), lit(Pii.Email), lit(0)))
+          .as("n_pii"),
+        regexp_replace(col("text"), lit(Pii.Email), lit("<EMAIL>"))
+          .as("text"))
       val gated = redacted
         .withColumn("m", TextAnalysis.qualityMetrics(col("text")))
         .filter(col("m.n_tokens") >= 25)

@@ -38,13 +38,25 @@ object AsOfJoin {
       payload: Seq[String],
       tieBreak: Option[Column] = None): DataFrame = {
     val leftCols = left.columns.toSeq
-    require(!leftCols.contains("__asof_tag"), "reserved column name")
+    val reserved = Set("__asof_ts", "__asof_tag", "__asof_tie", "__asof_state")
+    require(!(leftCols ++ right.columns).exists(reserved.contains),
+      "input uses a reserved __asof_* column name")
+    require(payload.intersect(leftCols.filterNot(on.contains)).isEmpty,
+      "payload names collide with left columns — rename one side")
+
+    // ASOF's key equality and `leftTs >= rightTs` never match a NULL key
+    // or NULL rightTs; drop those right rows up front (ascending sort
+    // puts NULLs first, so they would otherwise precede every fact and
+    // leak state). Facts with NULL keys/ts then see an empty state
+    // stream and keep NULL payloads — left-outer semantics.
+    val matchableRight = right.filter(
+      on.map(col(_).isNotNull).reduce(_ && _) && col(rightTs).isNotNull)
 
     // Payload travels as ONE struct column: a fact row's state is NULL
     // (no struct), while a dim row whose payload values are legitimately
     // NULL still carries a non-null struct — so `last(ignoreNulls)`
     // never leaks an older value over a real NULL state.
-    val taggedRight = right.select(
+    val taggedRight = matchableRight.select(
       on.map(col) ++ Seq(
         col(rightTs).as("__asof_ts"), lit(0).as("__asof_tag"),
         tieBreak.getOrElse(lit(0L)).as("__asof_tie"),

@@ -49,9 +49,13 @@ object Curation {
       blockedHosts: Seq[String]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val blocked = blockedHosts.toDF("blocked_host")
+    val blocked = blockedHosts.map(_.toLowerCase).toDF("blocked_host")
+    // hosts compare case-insensitively (RFC 3986); an unparseable URL
+    // (NULL host) fails CLOSED — NULL === blocked is never true, so
+    // without the explicit filter the anti join would keep the row
     docs
-      .withColumn("host", parse_url(col(urlCol), lit("HOST")))
+      .withColumn("host", lower(try_parse_url(col(urlCol), lit("HOST"))))
+      .filter(col("host").isNotNull)
       .join(broadcast(blocked), col("host") === col("blocked_host"),
         "left_anti")
   }

@@ -15,9 +15,9 @@ import org.apache.spark.sql.functions._
   * filter. One hash shuffle, work proportional to true matches plus
   * bucket slack; each (fact, range) pair meets in exactly one bucket so
   * no dedup pass is needed. Pick bucketWidth ≈ typical range width.
-  *
-  * Domain must be non-negative (epoch micros etc.): `div` truncates
-  * toward zero, so negative points would misalign with their buckets.
+  * Negative domains are safe: `div` truncates toward zero on both
+  * sides, and truncation is monotonic, so s <= p < e still implies
+  * bucket(p) ∈ [bucket(s), bucket(e-1)].
   */
 object RangeJoin {
 
@@ -29,11 +29,17 @@ object RangeJoin {
       endCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val fb = facts.withColumn("__bucket", expr(s"$pointCol div $bucketWidth"))
+    val fb = facts.withColumn("__bucket",
+      expr(s"`$pointCol` div $bucketWidth"))
+    // empty/inverted ranges ([s, e) with e <= s) must cost nothing:
+    // unguarded, sequence() would auto-step -1 and fan them across
+    // descending junk buckets (correct output, quadratic-ish waste)
     val rb = ranges.withColumn("__bucket",
-      explode(sequence(
-        expr(s"$startCol div $bucketWidth"),
-        expr(s"($endCol - 1) div $bucketWidth"))))
+      explode(when(col(endCol) > col(startCol),
+        sequence(
+          expr(s"`$startCol` div $bucketWidth"),
+          expr(s"(`$endCol` - 1) div $bucketWidth")))
+        .otherwise(array().cast("array<long>"))))
     fb.join(rb, Seq("__bucket"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bucket")

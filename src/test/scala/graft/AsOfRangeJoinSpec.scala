@@ -66,4 +66,48 @@ class AsOfRangeJoinSpec extends SparkSpec {
     val out = RangeJoin.pointInRange(facts, "p", ranges, "s", "e", 10L)
     assert(out.count() == 1L)
   }
+
+  test("asof backward: NULL keys and NULL timestamps never match (SQL semantics)") {
+    val facts = Seq(
+      (1L, Option("u"), Option(5L)),   // normal
+      (2L, None, Option(5L)),          // NULL key → no match possible
+      (3L, Option("u"), None)          // NULL ts → `NULL >= x` is never true
+    ).toDF("id", "k", "ts")
+    val states = Seq(
+      (Option("u"), Option(3L), "a"),
+      (Option("u"), None, "nullts"),   // unmatched-able: would sort first and leak
+      (None, Option(1L), "nullkey")
+    ).toDF("k", "ts", "s")
+    val out = AsOfJoin.backward(facts, states, Seq("k"), "ts", "ts", Seq("s"))
+      .select("id", "s").collect().map(r => (r.getLong(0), r.get(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a"), (2L, null), (3L, null)))
+  }
+
+  test("asof backward: colliding payload/left column names are rejected") {
+    val facts = Seq((1L, "u", 5L, "x")).toDF("id", "k", "ts", "s")
+    val states = Seq(("u", 3L, "a")).toDF("k", "ts", "s")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(facts, states, Seq("k"), "ts", "ts", Seq("s"))
+    }
+  }
+
+  test("range join: empty or inverted ranges produce no buckets") {
+    val facts = Seq((1L, 30L)).toDF("id", "p")
+    val ranges = Seq(("empty", 30L, 30L), ("inverted", 1000L, 0L))
+      .toDF("r", "s", "e")
+    val withBuckets = RangeJoin.pointInRange(facts, "p", ranges, "s", "e", 10L)
+    assert(withBuckets.count() == 0L)
+  }
+
+  test("domainFilter: unparseable URLs fail closed, hosts match case-insensitively") {
+    import graft.operators.Curation
+    val docs = Seq(
+      (1L, "https://good.example.com/a"),
+      (2L, "https://SPAM.example.com/b"), // uppercase variant of blocked host
+      (3L, "not a url at all")            // NULL host → dropped, not kept
+    ).toDF("doc_id", "url")
+    val kept = Curation.domainFilter(docs, "url", Seq("spam.example.com"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L))
+  }
 }
