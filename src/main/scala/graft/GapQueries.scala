@@ -421,6 +421,37 @@ object GapQueries {
           sum(col("value").cast("decimal(18,6)")).cast("double")
             .as("total_value"))
         .orderBy("window_id")
+    },
+
+    // -- gap sessionization, batch mode: the oracle row for the
+    //    flatMapGroupsWithState streaming path (same lag + running
+    //    session-id semantics; StreamingSpec asserts stream/batch parity).
+    //    `total` (raw double sum) is excluded — merge-order-sensitive.
+    dfQ("q121_sessionize", """
+      WITH e AS (
+        SELECT user_id, epoch_ms(ts::TIMESTAMP) AS ts_ms FROM events
+      ), d AS (
+        SELECT user_id, ts_ms,
+          CASE WHEN lag(ts_ms) OVER w IS NULL
+                 OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0
+          END AS brk
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+      ), s AS (
+        SELECT user_id, ts_ms,
+          count(*) FILTER (WHERE brk = 1) OVER (
+            PARTITION BY user_id ORDER BY ts_ms
+            ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM d
+      )
+      SELECT user_id, session_id, min(ts_ms) AS start_ms,
+        max(ts_ms) AS end_ms, count(*) AS n_events
+      FROM s GROUP BY user_id, session_id
+      ORDER BY user_id, session_id""") { (s, d) =>
+      graft.streaming.Ingest.sessionizeBatch(
+          Tables.load(s, d, "events"), "user_id", "ts", gapMs = 1800000L)
+        .select(col("user_id"), col("session_id"), col("start_ms"),
+          col("end_ms"), col("n_events").cast("long").as("n_events"))
+        .orderBy("user_id", "session_id")
     }
   )
 }

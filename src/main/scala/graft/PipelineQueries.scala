@@ -399,6 +399,25 @@ object PipelineQueries {
         Seq("src3.example.com", "src7.example.com"))
         .groupBy("host").agg(count(lit(1)).as("n_docs"))
         .orderBy("host")
+    },
+
+    // -- deterministic stratified downsampling (data mixing): keep 50%
+    //    of en, 30% of zh, everything else — decided by id bucket, not
+    //    rand(), so re-runs select identical rows. The oracle uses the
+    //    same modulo buckets; the xxhash64 default is spec-tested.
+    dfQ("q122_stratified_sample", """
+      SELECT lang, count(*) AS n_kept
+      FROM documents
+      WHERE (doc_id % 10) < CASE lang
+        WHEN 'en' THEN 5 WHEN 'zh' THEN 3 ELSE 10 END
+      GROUP BY lang
+      ORDER BY lang""") { (s, d) =>
+      import graft.operators.Sampling
+      Sampling.stratified(Tables.load(s, d, "documents"), "lang", "doc_id",
+          Map("en" -> 0.5, "zh" -> 0.3), buckets = 10,
+          bucketExpr = Some(pmod(col("doc_id"), lit(10))))
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")
     }
   )
 }

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data mixing: the keep/drop
+  * decision is a pure function of the row's id, not of rand() or
+  * partition layout, so a retried task, a repartitioned input, or a
+  * re-run pipeline selects exactly the same rows (idempotence is what
+  * makes downsampling composable with exactly-once ingest).
+  *
+  * Per-stratum rates make it the source/language re-weighting primitive
+  * of a pre-training mix ("keep 50% of web, 100% of books"). Pure
+  * per-row filter: no shuffle, codegen'd, scan-bound at any scale.
+  */
+object Sampling {
+
+  /** Keep each row with probability `rates(stratum)` (else
+    * `defaultRate`), decided by hashing the id into `buckets` and
+    * keeping the low-bucket fraction. `bucketExpr` overrides the
+    * bucketing function (default: xxhash64 of the id — uniform even
+    * when ids cluster). Rates are exact per bucket: rate 0.25 with
+    * 10000 buckets keeps exactly buckets [0, 2500). */
+  def stratified(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0,
+      buckets: Int = 10000,
+      bucketExpr: Option[Column] = None): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    (rates.values ++ Seq(defaultRate)).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"rate out of [0,1]: $r"))
+    val bucket = bucketExpr.getOrElse(pmod(xxhash64(col(idCol)), lit(buckets)))
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(col(strataCol) === lit(k), lit(r)).otherwise(acc)
+    }
+    // floor(rate*buckets) keeps the rate exact in bucket units
+    df.filter(bucket < floor(rate * buckets))
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = (0L until 1000L).map(i =>
+    (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "de"))
+    .toDF("id", "lang")
+
+  test("hash-based selection is deterministic and repartition-invariant") {
+    val a = Sampling.stratified(corpus, "lang", "id", Map("en" -> 0.5))
+      .select("id").collect().map(_.getLong(0)).sorted
+    val b = Sampling.stratified(corpus.repartition(17), "lang", "id",
+        Map("en" -> 0.5))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b), "same rows must be kept under any partitioning")
+  }
+
+  test("per-stratum rates are honored (exact with modulo buckets)") {
+    val kept = Sampling.stratified(corpus, "lang", "id",
+        Map("en" -> 0.5, "zh" -> 0.25), buckets = 4,
+        bucketExpr = Some(pmod(col("id"), lit(4))))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en ids ≡ 0 mod 3: buckets {0,1} of 4 → about half; exact per id set
+    val en = (0L until 1000L).filter(i => i % 3 == 0 && i % 4 < 2).size
+    val zh = (0L until 1000L).filter(i => i % 3 == 1 && i % 4 < 1).size
+    val de = (0L until 1000L).count(i => i % 3 == 2)
+    assert(kept == Map("en" -> en.toLong, "zh" -> zh.toLong, "de" -> de.toLong))
+  }
+
+  test("hash buckets hit the target rate approximately on clustered ids") {
+    // sequential ids are the adversarial case for modulo; xxhash64 must
+    // still land within a loose tolerance of the nominal rate
+    val n = Sampling.stratified(corpus, "lang", "id", Map.empty,
+      defaultRate = 0.5).count()
+    assert(n > 400 && n < 600, s"expected ~500 of 1000 kept, got $n")
+  }
+
+  test("NULL stratum falls back to the default rate") {
+    val docs = Seq((Option("en"), 1L), (None, 2L), (None, 3L))
+      .toDF("lang", "id")
+    val kept = Sampling.stratified(docs, "lang", "id",
+        Map("en" -> 0.0), defaultRate = 1.0,
+        bucketExpr = Some(pmod(col("id"), lit(10))))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(2L, 3L), "en dropped at rate 0, NULLs kept at default")
+  }
+}
