@@ -418,6 +418,30 @@ object PipelineQueries {
           bucketExpr = Some(pmod(col("doc_id"), lit(10))))
         .groupBy("lang").agg(count(lit(1)).as("n_kept"))
         .orderBy("lang")
+    },
+
+    // -- Unicode NFC normalization + whitespace cleanup (native
+    //    NfcNormalize expression; Spark has no normalization built-in).
+    //    Decomposed "e"+U+0301 is planted on both sides; DuckDB's
+    //    nfc_normalize is the oracle, so composition is actually proven
+    dfQ("q123_normalize_text", """
+      WITH planted AS (
+        SELECT doc_id,
+          text || '  cafe' || chr(769) || '  no' || chr(776) || 'el ' AS t
+        FROM documents
+      )
+      SELECT doc_id,
+        trim(regexp_replace(nfc_normalize(t), '\s+', ' ', 'g')) AS norm,
+        length(trim(regexp_replace(nfc_normalize(t), '\s+', ' ', 'g'))) AS n
+      FROM planted
+      ORDER BY doc_id""") { (s, d) =>
+      val planted = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit("  cafe\u0301  no\u0308el ")).as("t"))
+      planted.select(col("doc_id"),
+          TextOps.cleanText(col("t")).as("norm"),
+          length(TextOps.cleanText(col("t"))).as("n"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -130,3 +130,32 @@ case class TokenCounts(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** nfc_normalize(text): Unicode canonical composition (NFC) — the
+  * standard first step of text cleaning (decomposed "e"+U+0301 and
+  * composed "é" must dedup/fingerprint/shingle identically). Spark has
+  * no normalization built-in; this wraps `java.text.Normalizer` as a
+  * native expression with a fast-path skip: `Normalizer.isNormalized`
+  * is O(n) with no allocation, and real-world corpora are already
+  * mostly NFC, so the common case never copies the string.
+  *
+  * Reference seed: Hive's string canon functions (lower/upper et al.,
+  * ql/udf/UDFLower.java) stop at case; NFC is the LLM-pipeline
+  * extension of the same per-row shape.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

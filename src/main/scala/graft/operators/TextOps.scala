@@ -48,6 +48,18 @@ object TextOps {
   def bandHashes(sig: Column, bands: Int): Column =
     toCol(graft.functions.BandHashes(toExpr(sig), bands))
 
+  /** Unicode NFC canonical composition (native expression; Spark has no
+    * normalization built-in). Composed and decomposed spellings must
+    * agree before any dedup/fingerprint/shingle step. */
+  def nfcNormalize(text: Column): Column =
+    toCol(graft.functions.NfcNormalize(toExpr(text)))
+
+  /** Standard text cleanup: NFC, then whitespace runs collapsed to one
+    * space, then trimmed. Composed from the native NFC expression and
+    * codegen'd built-ins. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(nfcNormalize(text), "\\s+", " "))
+
   /** 64-bit SimHash over a token array (native expression, per-row). */
   def simhash64(toks: Column): Column =
     toCol(graft.functions.SimHash64(toExpr(toks)))

@@ -50,3 +50,33 @@ class SamplingSpec extends SparkSpec {
     assert(kept.toSeq == Seq(2L, 3L), "en dropped at rate 0, NULLs kept at default")
   }
 }
+
+class NormalizeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.TextOps
+
+  test("NFC composes decomposed sequences; composed input is unchanged") {
+    val df = Seq(
+      ("decomposed", "cafe\u0301"),
+      ("composed", "caf\u00e9"),
+      ("ascii", "plain text")
+    ).toDF("k", "s")
+    val out = df.select(col("k"), TextOps.nfcNormalize(col("s")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("decomposed") == "caf\u00e9", "NFC must compose e+U+0301 into U+00E9")
+    assert(out("composed") == "caf\u00e9")
+    assert(out("ascii") == "plain text")
+  }
+
+  test("cleanText collapses whitespace runs and trims after NFC") {
+    val out = Seq("  á   b\t\nc  ").toDF("s")
+      .select(TextOps.cleanText(col("s"))).collect().head.getString(0)
+    assert(out == "á b c")
+  }
+
+  test("nfcNormalize is null-safe") {
+    val out = Seq(Option.empty[String]).toDF("s")
+      .select(TextOps.nfcNormalize(col("s"))).collect().head
+    assert(out.isNullAt(0))
+  }
+}
