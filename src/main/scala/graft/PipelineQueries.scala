@@ -442,6 +442,30 @@ object PipelineQueries {
           TextOps.cleanText(col("t")).as("norm"),
           length(TextOps.cleanText(col("t"))).as("n"))
         .orderBy("doc_id")
+    },
+
+    // -- weighted resampling (mixture spec): en×1.5, zh×3, de×0 — the
+    //    oversampling half of data mixing. Deterministic fractional
+    //    copies via the same modulo buckets as q122.
+    dfQ("q124_weighted_resample", """
+      WITH w AS (
+        SELECT lang,
+          CASE lang WHEN 'en' THEN 1 WHEN 'zh' THEN 3 WHEN 'de' THEN 0
+            ELSE 1 END
+          + CASE WHEN lang = 'en' AND (doc_id % 10) < 5 THEN 1 ELSE 0
+            END AS copies
+        FROM documents
+      )
+      SELECT lang, sum(copies)::BIGINT AS n_rows
+      FROM w GROUP BY lang
+      HAVING sum(copies) > 0
+      ORDER BY lang""") { (s, d) =>
+      import graft.operators.Sampling
+      Sampling.resampleByWeight(Tables.load(s, d, "documents"),
+          "lang", "doc_id", Map("en" -> 1.5, "zh" -> 3.0, "de" -> 0.0),
+          buckets = 10, bucketExpr = Some(pmod(col("doc_id"), lit(10))))
+        .groupBy("lang").agg(count(lit(1)).as("n_rows"))
+        .orderBy("lang")
     }
   )
 }

@@ -39,4 +39,38 @@ object Sampling {
     // floor(rate*buckets) keeps the rate exact in bucket units
     df.filter(bucket < floor(rate * buckets))
   }
+
+  /** Deterministic weighted resampling: weight 2.5 repeats every row
+    * twice and a stable half of the rows a third time (decided by the
+    * same id-hash buckets, so re-runs emit identical copies). Weights
+    * < 1 downsample, > 1 oversample — one operator covers the whole
+    * mixture spec of a training run. Adds `copy_id` (0-based) so
+    * downstream global shuffles can still distinguish the repeats.
+    * Pure generator expression: no shuffle, output size = Σ weights. */
+  def resampleByWeight(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double = 1.0,
+      buckets: Int = 10000,
+      bucketExpr: Option[Column] = None): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    (weights.values ++ Seq(defaultWeight)).foreach(w =>
+      require(w >= 0.0, s"negative weight: $w"))
+    val bucket = bucketExpr.getOrElse(pmod(xxhash64(col(idCol)), lit(buckets)))
+    val weight = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, w)) =>
+      when(col(strataCol) === lit(k), lit(w)).otherwise(acc)
+    }
+    // copies = floor(w) everywhere, +1 for buckets below frac(w)·buckets.
+    // Guard zero copies: sequence(0, -1) auto-steps DOWN to [0, -1]
+    // instead of returning empty, which would keep weight-0 rows.
+    val base = floor(weight).cast("int")
+    val extra = when(
+      bucket < floor((weight - floor(weight)) * buckets), 1).otherwise(0)
+    val copies = base + extra
+    df.withColumn("copy_id",
+      explode(when(copies > 0, sequence(lit(0), copies - 1))
+        .otherwise(array().cast("array<int>"))))
+  }
 }

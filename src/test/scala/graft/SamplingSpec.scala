@@ -49,6 +49,26 @@ class SamplingSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).sorted
     assert(kept.toSeq == Seq(2L, 3L), "en dropped at rate 0, NULLs kept at default")
   }
+
+  test("resampleByWeight: integer, fractional, and zero weights") {
+    val docs = Seq((0L, "en"), (1L, "en"), (5L, "en"), (2L, "zh"), (3L, "de"))
+      .toDF("id", "lang")
+    val out = Sampling.resampleByWeight(docs, "lang", "id",
+        Map("en" -> 1.5, "zh" -> 3.0, "de" -> 0.0),
+        buckets = 10, bucketExpr = Some(pmod(col("id"), lit(10))))
+      .groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // en 1.5: buckets 0,1 < 5 → 2 copies; bucket 5 → 1 copy
+    assert(out == Map(0L -> 2L, 1L -> 2L, 5L -> 1L, 2L -> 3L),
+      s"de (weight 0) must vanish, fractional en split by bucket: $out")
+  }
+
+  test("resampleByWeight copies are distinguishable and deterministic") {
+    val docs = Seq((7L, "zh")).toDF("id", "lang")
+    val a = Sampling.resampleByWeight(docs, "lang", "id", Map("zh" -> 3.0))
+      .select("copy_id").collect().map(_.getInt(0)).sorted
+    assert(a.toSeq == Seq(0, 1, 2))
+  }
 }
 
 class NormalizeSpec extends SparkSpec {
