@@ -91,6 +91,23 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == orders.count())
   }
 
+  test("virtual column INPUT__FILE__NAME ≡ input_file_name() tracks source files") {
+    // reference: TableScanOperator vcols (exec/TableScanOperator.java:1)
+    val out = tmp("vcol") + "/nation"
+    Tables.load(spark, dir, "nation")
+      .withColumn("half", ($"n_nationkey" % 2).cast("int"))
+      .write.partitionBy("half").parquet(out)
+    val back = spark.read.parquet(out)
+      .select($"n_nationkey", $"half", input_file_name().as("fname"))
+      .collect()
+    assert(back.map(_.getString(2)).distinct.length >= 2,
+      "partitioned layout must yield multiple source files")
+    // every row's file path lies inside its own partition directory
+    back.foreach(r =>
+      assert(r.getString(2).contains(s"half=${r.getInt(1)}"),
+        s"row ${r.getInt(0)}: file ${r.getString(2)} vs half=${r.getInt(1)}"))
+  }
+
   test("Avro container round-trip incl. nulls, bytes, arrays (AvroSerDe)") {
     val out = tmp("avro") + "/mixed"
     val df = Seq(
