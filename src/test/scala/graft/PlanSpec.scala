@@ -93,6 +93,38 @@ class PlanSpec extends SparkSpec {
       s"brand disjuncts must reach the part scan:\n${pushed.mkString("\n")}")
   }
 
+  test("runtime bloom filter from a selective dim prunes the fact shuffle") {
+    // the third skew/volume weapon next to broadcast and AQE: a bloom
+    // filter built from the filtered dim's join keys is pushed into the
+    // fact scan side, dropping non-matching rows BEFORE the shuffle —
+    // at 100 TB this is the difference between shuffling the whole
+    // fact table and shuffling the ~matching slice
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      // test-scale tables are far below the production thresholds; relax
+      // them so the rule fires, and disable broadcast so a shuffle join
+      // (the 100 TB fact-fact case) is actually planned
+      spark.conf.set(keys(0), "10GB")
+      spark.conf.set(keys(1), "0")
+      spark.conf.set(keys(2), "-1")
+      val li = Tables.load(spark, dir, "lineitem")
+      val ord = Tables.load(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("bloom_filter_agg") && p.contains("might_contain"),
+        s"expected runtime bloom filter creation + probe in plan:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salted join equals the plain join and spreads the hot key") {
     import spark.implicits._
     // one hot key with 50k rows; dim too large to list per-row
