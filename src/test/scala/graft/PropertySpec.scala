@@ -177,3 +177,60 @@ class PropertySpec extends SparkSpec {
     }
   }
 }
+
+/** Randomized equivalence of the custom join operators against
+  * brute-force reference computations (small domains force heavy key
+  * collisions, ties, and empty-state keys). */
+class JoinPropertySpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.{AsOfJoin, RangeJoin}
+
+  private val rnd = new scala.util.Random(4242)
+
+  test("AsOfJoin.backward ≡ per-row argmax over rightTs <= leftTs") {
+    val facts = Seq.tabulate(300)(i =>
+      (i.toLong, "k" + rnd.nextInt(8), rnd.nextInt(50).toLong))
+      .toDF("id", "k", "ts")
+    // unique (k, ts) per state so the expected value is well-defined
+    val stateRows = rnd.shuffle(
+      (for (k <- 0 until 8; ts <- 0 until 50) yield ("k" + k, ts.toLong))
+        .toSeq).take(120)
+      .map { case (k, ts) => (k, ts, s"$k@$ts") }
+    val states = stateRows.toDF("k", "ts", "v")
+
+    val got = AsOfJoin.backward(facts, states, Seq("k"), "ts", "ts", Seq("v"))
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString)).toMap
+
+    val byKey = stateRows.groupBy(_._1)
+    val factsLocal = facts.select("id", "k", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    factsLocal.foreach { case (id, k, ts) =>
+      val expect = byKey.getOrElse(k, Seq.empty)
+        .filter(_._2 <= ts).sortBy(_._2).lastOption.map(_._3)
+      assert(got(id) == expect, s"fact $id ($k, $ts): ${got(id)} vs $expect")
+    }
+  }
+
+  test("RangeJoin.pointInRange ≡ brute-force interval filter") {
+    val facts = Seq.tabulate(200)(i => (i.toLong, rnd.nextInt(1000).toLong))
+      .toDF("id", "p")
+    val rangeRows = Seq.tabulate(40) { i =>
+      val s = rnd.nextInt(1000).toLong
+      (i.toLong, s, s + rnd.nextInt(120).toLong) // may be empty (e == s)
+    }
+    val ranges = rangeRows.toDF("rid", "s", "e")
+    for (width <- Seq(7L, 64L, 1024L)) {
+      val got = RangeJoin.pointInRange(facts, "p", ranges, "s", "e", width)
+        .select("id", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val factsLocal = facts.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val expect = (for {
+        (id, p) <- factsLocal
+        (rid, s, e) <- rangeRows
+        if p >= s && p < e
+      } yield (id, rid)).sorted.toSeq
+      assert(got == expect, s"width=$width: ${got.size} vs ${expect.size} pairs")
+    }
+  }
+}
