@@ -452,6 +452,33 @@ object GapQueries {
         .select(col("user_id"), col("session_id"), col("start_ms"),
           col("end_ms"), col("n_events").cast("long").as("n_events"))
         .orderBy("user_id", "session_id")
+    },
+
+    // -- IVF recall invariant (the boolean-invariant oracle pattern from
+    //    q78/q104): recall@10 of nprobe=3 IVF vs the exact brute-force
+    //    top-10, computed entirely in-engine, asserted >= 0.5. Gives the
+    //    approximate ANN path a hash-checked CORRECTNESS row on top of
+    //    q56's rows-only output.
+    dfQ("q125_ivf_recall", """
+      SELECT true AS recall_ok, 10 AS k""") { (s, d) =>
+      import graft.operators.Similarity
+      val emb = Tables.load(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding")).collect().head.getSeq[Float](0)
+      val exact = Similarity.topKForId(emb, "vec_id", "embedding",
+        queryId = 0L, k = 10).select("id")
+      val approx = Similarity.searchIvf(
+        Similarity.buildIvf(emb, "vec_id", "embedding", nlist = 8),
+        q, k = 10, nprobe = 3).select("id")
+      val hits = exact.intersect(approx).count()
+      val k = exact.count()
+      s.createDataFrame(java.util.List.of(
+          org.apache.spark.sql.Row(hits >= (k + 1) / 2, k.toInt)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("recall_ok",
+            org.apache.spark.sql.types.BooleanType, nullable = false),
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
     }
   )
 }

@@ -135,9 +135,11 @@ case class TokenCounts(child: Expression)
   * standard first step of text cleaning (decomposed "e"+U+0301 and
   * composed "é" must dedup/fingerprint/shingle identically). Spark has
   * no normalization built-in; this wraps `java.text.Normalizer` as a
-  * native expression with a fast-path skip: `Normalizer.isNormalized`
-  * is O(n) with no allocation, and real-world corpora are already
-  * mostly NFC, so the common case never copies the string.
+  * native expression with a fast-path skip: already-NFC input (the
+  * common case in real corpora) returns the original UTF8String after
+  * one `isNormalized` scan, avoiding the normalize + re-encode
+  * allocations. (The UTF8String→String decode itself is unavoidable —
+  * Normalizer has no UTF8String/CharSequence-over-bytes view.)
   *
   * Reference seed: Hive's string canon functions (lower/upper et al.,
   * ql/udf/UDFLower.java) stop at case; NFC is the LLM-pipeline

@@ -12,8 +12,26 @@ import org.apache.spark.sql.functions._
   * Per-stratum rates make it the source/language re-weighting primitive
   * of a pre-training mix ("keep 50% of web, 100% of books"). Pure
   * per-row filter: no shuffle, codegen'd, scan-bound at any scale.
+  *
+  * Cutoffs are computed driver-side in integer bucket units
+  * (`math.round(rate * buckets)`), never by per-row float floor — so
+  * rate 0.29 with 100 buckets keeps exactly 29 buckets, not 28 via a
+  * 28.999… double. A NULL bucket (NULL id under a custom bucketExpr)
+  * is coalesced to bucket 0: NULL-id rows are kept/dropped as one
+  * block rather than silently vanishing in the `NULL < cutoff` filter;
+  * assign real ids upstream if per-row NULL sampling matters.
   */
 object Sampling {
+
+  private def cutoffs(
+      strataCol: String,
+      values: Map[String, Double],
+      default: Double,
+      buckets: Int,
+      toCutoff: Double => Long): Column =
+    values.foldLeft(lit(toCutoff(default))) { case (acc, (k, v)) =>
+      when(col(strataCol) === lit(k), lit(toCutoff(v))).otherwise(acc)
+    }
 
   /** Keep each row with probability `rates(stratum)` (else
     * `defaultRate`), decided by hashing the id into `buckets` and
@@ -32,12 +50,11 @@ object Sampling {
     require(buckets > 0, "buckets must be positive")
     (rates.values ++ Seq(defaultRate)).foreach(r =>
       require(r >= 0.0 && r <= 1.0, s"rate out of [0,1]: $r"))
-    val bucket = bucketExpr.getOrElse(pmod(xxhash64(col(idCol)), lit(buckets)))
-    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
-      when(col(strataCol) === lit(k), lit(r)).otherwise(acc)
-    }
-    // floor(rate*buckets) keeps the rate exact in bucket units
-    df.filter(bucket < floor(rate * buckets))
+    val bucket = coalesce(
+      bucketExpr.getOrElse(pmod(xxhash64(col(idCol)), lit(buckets))), lit(0L))
+    val cutoff = cutoffs(strataCol, rates, defaultRate, buckets,
+      r => math.round(r * buckets))
+    df.filter(bucket < cutoff)
   }
 
   /** Deterministic weighted resampling: weight 2.5 repeats every row
@@ -58,19 +75,22 @@ object Sampling {
     require(buckets > 0, "buckets must be positive")
     (weights.values ++ Seq(defaultWeight)).foreach(w =>
       require(w >= 0.0, s"negative weight: $w"))
-    val bucket = bucketExpr.getOrElse(pmod(xxhash64(col(idCol)), lit(buckets)))
-    val weight = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, w)) =>
-      when(col(strataCol) === lit(k), lit(w)).otherwise(acc)
-    }
-    // copies = floor(w) everywhere, +1 for buckets below frac(w)·buckets.
+    require(!df.columns.contains("copy_id"),
+      "input already has a copy_id column — rename it first")
+    val bucket = coalesce(
+      bucketExpr.getOrElse(pmod(xxhash64(col(idCol)), lit(buckets))), lit(0L))
+    // per-stratum integer pair, driver-side: whole copies + the bucket
+    // cutoff for the fractional extra copy
+    val base = cutoffs(strataCol, weights, defaultWeight, buckets,
+      w => math.floor(w).toLong)
+    val fracCutoff = cutoffs(strataCol, weights, defaultWeight, buckets,
+      w => math.round((w - math.floor(w)) * buckets))
+    val copies = (base + when(bucket < fracCutoff, 1L).otherwise(0L))
+      .cast("int")
     // Guard zero copies: sequence(0, -1) auto-steps DOWN to [0, -1]
     // instead of returning empty, which would keep weight-0 rows.
-    val base = floor(weight).cast("int")
-    val extra = when(
-      bucket < floor((weight - floor(weight)) * buckets), 1).otherwise(0)
-    val copies = base + extra
     df.withColumn("copy_id",
-      explode(when(copies > 0, sequence(lit(0), copies - 1))
+      explode(when(copies > lit(0), sequence(lit(0), copies - 1))
         .otherwise(array().cast("array<int>"))))
   }
 }

@@ -198,8 +198,10 @@ class JoinPropertySpec extends SparkSpec {
       .map { case (k, ts) => (k, ts, s"$k@$ts") }
     val states = stateRows.toDF("k", "ts", "v")
 
-    val got = AsOfJoin.backward(facts, states, Seq("k"), "ts", "ts", Seq("v"))
+    val rows = AsOfJoin.backward(facts, states, Seq("k"), "ts", "ts", Seq("v"))
       .select("id", "v").collect()
+    assert(rows.length == 300, s"left-outer must emit exactly one row per fact, got ${rows.length}")
+    val got = rows
       .map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString)).toMap
 
     val byKey = stateRows.groupBy(_._1)

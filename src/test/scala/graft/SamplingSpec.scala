@@ -69,6 +69,35 @@ class SamplingSpec extends SparkSpec {
       .select("copy_id").collect().map(_.getInt(0)).sorted
     assert(a.toSeq == Seq(0, 1, 2))
   }
+
+  test("rate cutoffs are integer-exact, immune to double epsilon (0.29 * 100)") {
+    val docs = (0L until 100L).map((_, "en")).toDF("id", "lang")
+    // 0.29 * 100 = 28.999999999999996 in doubles; per-row float floor
+    // would keep 28 buckets — the contract says exactly 29
+    val n = Sampling.stratified(docs, "lang", "id", Map("en" -> 0.29),
+      buckets = 100, bucketExpr = Some(pmod(col("id"), lit(100)))).count()
+    assert(n == 29L, s"expected exactly 29 of 100 buckets kept, got $n")
+  }
+
+  test("NULL ids survive as a block instead of vanishing in the filter") {
+    val docs = Seq((Option(1L), "en"), (Option.empty[Long], "en"))
+      .toDF("id", "lang")
+    val kept = Sampling.stratified(docs, "lang", "id", Map("en" -> 1.0),
+        bucketExpr = Some(pmod(col("id"), lit(10))))
+      .count()
+    assert(kept == 2L, "rate 1.0 must keep NULL-id rows too")
+    val copies = Sampling.resampleByWeight(docs, "lang", "id",
+        Map("en" -> 2.0), bucketExpr = Some(pmod(col("id"), lit(10))))
+      .count()
+    assert(copies == 4L, "weight 2 must duplicate NULL-id rows too")
+  }
+
+  test("resampleByWeight rejects an input that already has copy_id") {
+    val docs = Seq((1L, "en", 0)).toDF("id", "lang", "copy_id")
+    intercept[IllegalArgumentException] {
+      Sampling.resampleByWeight(docs, "lang", "id", Map("en" -> 2.0))
+    }
+  }
 }
 
 class NormalizeSpec extends SparkSpec {
