@@ -479,6 +479,82 @@ object GapQueries {
             org.apache.spark.sql.types.BooleanType, nullable = false),
           org.apache.spark.sql.types.StructField("k",
             org.apache.spark.sql.types.IntegerType, nullable = false))))
+    },
+
+    // -- planted-duplicate invariants for the LSH family (q51/q53/q54's
+    //    rows-only outputs get hash-checked companions): a verbatim copy
+    //    of doc/vec 0 under a synthetic id MUST surface as a pair — an
+    //    exact copy shares every band, so LSH recall is 1 by construction
+    dfQ("q126_minhash_planted", """
+      SELECT true AS found_planted, true AS no_self_pairs""") { (s, d) =>
+      import graft.operators.Dedup
+      val sq = s; import sq.implicits._
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      val copy = docs.filter(col("doc_id") === 0L)
+        .select(lit(9000000L).as("doc_id"), col("text"))
+      val pairs = Dedup.minhashNearDups(docs.unionByName(copy), "doc_id", "text")
+      Seq((
+        pairs.filter(col("id_a") === 0L && col("id_b") === 9000000L)
+          .count() == 1L,
+        pairs.filter(col("id_a") >= col("id_b")).count() == 0L
+      )).toDF("found_planted", "no_self_pairs")
+    },
+
+    dfQ("q127_simhash_planted", """
+      SELECT true AS found_planted, 0 AS hamming""") { (s, d) =>
+      import graft.operators.Dedup
+      val sq = s; import sq.implicits._
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      val copy = docs.filter(col("doc_id") === 0L)
+        .select(lit(9000000L).as("doc_id"), col("text"))
+      val hit = Dedup.simhashNearDups(docs.unionByName(copy), "doc_id", "text")
+        .filter(col("id_a") === 0L && col("id_b") === 9000000L)
+        .select("hamming").collect()
+      Seq((hit.length == 1, if (hit.length == 1) hit.head.getInt(0) else -1))
+        .toDF("found_planted", "hamming")
+    },
+
+    dfQ("q128_embed_planted", """
+      SELECT true AS found_planted, 1.0::DOUBLE AS cosine""") { (s, d) =>
+      import graft.operators.Dedup
+      val sq = s; import sq.implicits._
+      val emb = Tables.load(s, d, "embeddings").select("vec_id", "embedding")
+      val copy = emb.filter(col("vec_id") === 0L)
+        .select(lit(9000000L).as("vec_id"), col("embedding"))
+      val hit = Dedup.embeddingNearDups(emb.unionByName(copy),
+          "vec_id", "embedding", threshold = 0.95)
+        .filter(col("id_a") === 0L && col("id_b") === 9000000L)
+        .select(round(col("cosine"), 6)).collect()
+      Seq((hit.length == 1, if (hit.length == 1) hit.head.getDouble(0) else -1.0))
+        .toDF("found_planted", "cosine")
+    },
+
+    // -- fingerprint invariance (q60's companion): both fingerprints are
+    //    exactly case/whitespace-insensitive, and the plain fingerprint
+    //    separates distinct texts (no collisions on this corpus)
+    dfQ("q129_fingerprint_invariant", """
+      SELECT true AS fp_invariant, true AS robust_invariant,
+        true AS fp_separates""") { (s, d) =>
+      import graft.operators.TextAnalysis
+      val sq = s; import sq.implicits._
+      val docs = Tables.load(s, d, "documents")
+      // upper-case + internal whitespace doubling: both fingerprints
+      // collapse runs, but only the plain one also trims — so the
+      // variant must not add leading/trailing space
+      val variant = upper(regexp_replace(col("text"), lit(" "), lit("  ")))
+        .as("variant")
+      val both = docs.select(
+        TextAnalysis.fingerprint(col("text")).as("fp_a"),
+        TextAnalysis.fingerprint(variant).as("fp_b"),
+        TextAnalysis.robustFingerprint(col("text")).as("rfp_a"),
+        TextAnalysis.robustFingerprint(variant).as("rfp_b"))
+      val fpInv = both.filter(col("fp_a") =!= col("fp_b")).count() == 0L
+      val rfpInv = both.filter(not(col("rfp_a") <=> col("rfp_b"))).count() == 0L
+      val distinctTexts = docs.select("text").distinct().count()
+      val distinctFps = docs
+        .select(TextAnalysis.fingerprint(col("text"))).distinct().count()
+      Seq((fpInv, rfpInv, distinctFps == distinctTexts))
+        .toDF("fp_invariant", "robust_invariant", "fp_separates")
     }
   )
 }
