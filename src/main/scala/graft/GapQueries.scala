@@ -13,6 +13,21 @@ import org.apache.spark.sql.functions._
   */
 object GapQueries {
 
+  /** Sentinel id for rows planted by the q126–q128 invariants. */
+  private val PlantedId = 9000000L
+
+  /** Row 0 duplicated verbatim under [[PlantedId]] — the LSH pipelines
+    * must rediscover the (0, PlantedId) pair. */
+  private def plantCopy(df: org.apache.spark.sql.DataFrame,
+      idCol: String, payloadCol: String): org.apache.spark.sql.DataFrame = {
+    val base = df.select(idCol, payloadCol)
+    base.unionByName(base.filter(col(idCol) === 0L)
+      .select(lit(PlantedId).as(idCol), col(payloadCol)))
+  }
+
+  private def plantedPair: org.apache.spark.sql.Column =
+    col("id_a") === 0L && col("id_b") === PlantedId
+
   def all: Seq[Q] = Seq(
     // -- RIGHT OUTER JOIN: customers without orders must survive from the
     //    right side (TPC-H Q13 shape, mirrored)
@@ -465,20 +480,17 @@ object GapQueries {
       val emb = Tables.load(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0L)
         .select(col("embedding")).collect().head.getSeq[Float](0)
+      val sq = s; import sq.implicits._
+      // both top-k lists are tiny — collect once, compare locally
+      // (intersect-then-count would re-run the brute-force scan twice)
       val exact = Similarity.topKForId(emb, "vec_id", "embedding",
-        queryId = 0L, k = 10).select("id")
+        queryId = 0L, k = 10).select("id").collect().map(_.getLong(0)).toSet
       val approx = Similarity.searchIvf(
         Similarity.buildIvf(emb, "vec_id", "embedding", nlist = 8),
-        q, k = 10, nprobe = 3).select("id")
-      val hits = exact.intersect(approx).count()
-      val k = exact.count()
-      s.createDataFrame(java.util.List.of(
-          org.apache.spark.sql.Row(hits >= (k + 1) / 2, k.toInt)),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("recall_ok",
-            org.apache.spark.sql.types.BooleanType, nullable = false),
-          org.apache.spark.sql.types.StructField("k",
-            org.apache.spark.sql.types.IntegerType, nullable = false))))
+        q, k = 10, nprobe = 3).select("id").collect().map(_.getLong(0)).toSet
+      val hits = exact.intersect(approx).size
+      Seq((hits >= (exact.size + 1) / 2, exact.size))
+        .toDF("recall_ok", "k")
     },
 
     // -- planted-duplicate invariants for the LSH family (q51/q53/q54's
@@ -489,13 +501,11 @@ object GapQueries {
       SELECT true AS found_planted, true AS no_self_pairs""") { (s, d) =>
       import graft.operators.Dedup
       val sq = s; import sq.implicits._
-      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
-      val copy = docs.filter(col("doc_id") === 0L)
-        .select(lit(9000000L).as("doc_id"), col("text"))
-      val pairs = Dedup.minhashNearDups(docs.unionByName(copy), "doc_id", "text")
+      val pairs = Dedup.minhashNearDups(
+        plantCopy(Tables.load(s, d, "documents"), "doc_id", "text"),
+        "doc_id", "text")
       Seq((
-        pairs.filter(col("id_a") === 0L && col("id_b") === 9000000L)
-          .count() == 1L,
+        pairs.filter(plantedPair).count() == 1L,
         pairs.filter(col("id_a") >= col("id_b")).count() == 0L
       )).toDF("found_planted", "no_self_pairs")
     },
@@ -504,12 +514,10 @@ object GapQueries {
       SELECT true AS found_planted, 0 AS hamming""") { (s, d) =>
       import graft.operators.Dedup
       val sq = s; import sq.implicits._
-      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
-      val copy = docs.filter(col("doc_id") === 0L)
-        .select(lit(9000000L).as("doc_id"), col("text"))
-      val hit = Dedup.simhashNearDups(docs.unionByName(copy), "doc_id", "text")
-        .filter(col("id_a") === 0L && col("id_b") === 9000000L)
-        .select("hamming").collect()
+      val hit = Dedup.simhashNearDups(
+          plantCopy(Tables.load(s, d, "documents"), "doc_id", "text"),
+          "doc_id", "text")
+        .filter(plantedPair).select("hamming").collect()
       Seq((hit.length == 1, if (hit.length == 1) hit.head.getInt(0) else -1))
         .toDF("found_planted", "hamming")
     },
@@ -518,13 +526,10 @@ object GapQueries {
       SELECT true AS found_planted, 1.0::DOUBLE AS cosine""") { (s, d) =>
       import graft.operators.Dedup
       val sq = s; import sq.implicits._
-      val emb = Tables.load(s, d, "embeddings").select("vec_id", "embedding")
-      val copy = emb.filter(col("vec_id") === 0L)
-        .select(lit(9000000L).as("vec_id"), col("embedding"))
-      val hit = Dedup.embeddingNearDups(emb.unionByName(copy),
+      val hit = Dedup.embeddingNearDups(
+          plantCopy(Tables.load(s, d, "embeddings"), "vec_id", "embedding"),
           "vec_id", "embedding", threshold = 0.95)
-        .filter(col("id_a") === 0L && col("id_b") === 9000000L)
-        .select(round(col("cosine"), 6)).collect()
+        .filter(plantedPair).select(round(col("cosine"), 6)).collect()
       Seq((hit.length == 1, if (hit.length == 1) hit.head.getDouble(0) else -1.0))
         .toDF("found_planted", "cosine")
     },

@@ -27,7 +27,6 @@ object Sampling {
       strataCol: String,
       values: Map[String, Double],
       default: Double,
-      buckets: Int,
       toCutoff: Double => Long): Column =
     values.foldLeft(lit(toCutoff(default))) { case (acc, (k, v)) =>
       when(col(strataCol) === lit(k), lit(toCutoff(v))).otherwise(acc)
@@ -52,7 +51,7 @@ object Sampling {
       require(r >= 0.0 && r <= 1.0, s"rate out of [0,1]: $r"))
     val bucket = coalesce(
       bucketExpr.getOrElse(pmod(xxhash64(col(idCol)), lit(buckets))), lit(0L))
-    val cutoff = cutoffs(strataCol, rates, defaultRate, buckets,
+    val cutoff = cutoffs(strataCol, rates, defaultRate,
       r => math.round(r * buckets))
     df.filter(bucket < cutoff)
   }
@@ -81,9 +80,9 @@ object Sampling {
       bucketExpr.getOrElse(pmod(xxhash64(col(idCol)), lit(buckets))), lit(0L))
     // per-stratum integer pair, driver-side: whole copies + the bucket
     // cutoff for the fractional extra copy
-    val base = cutoffs(strataCol, weights, defaultWeight, buckets,
+    val base = cutoffs(strataCol, weights, defaultWeight,
       w => math.floor(w).toLong)
-    val fracCutoff = cutoffs(strataCol, weights, defaultWeight, buckets,
+    val fracCutoff = cutoffs(strataCol, weights, defaultWeight,
       w => math.round((w - math.floor(w)) * buckets))
     val copies = (base + when(bucket < fracCutoff, 1L).otherwise(0L))
       .cast("int")

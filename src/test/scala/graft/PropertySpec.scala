@@ -215,23 +215,22 @@ class JoinPropertySpec extends SparkSpec {
   }
 
   test("RangeJoin.pointInRange ≡ brute-force interval filter") {
-    val facts = Seq.tabulate(200)(i => (i.toLong, rnd.nextInt(1000).toLong))
-      .toDF("id", "p")
+    val factRows = Seq.tabulate(200)(i => (i.toLong, rnd.nextInt(1000).toLong))
+    val facts = factRows.toDF("id", "p")
     val rangeRows = Seq.tabulate(40) { i =>
       val s = rnd.nextInt(1000).toLong
       (i.toLong, s, s + rnd.nextInt(120).toLong) // may be empty (e == s)
     }
     val ranges = rangeRows.toDF("rid", "s", "e")
+    val expect = (for {
+      (id, p) <- factRows
+      (rid, s, e) <- rangeRows
+      if p >= s && p < e
+    } yield (id, rid)).sorted
     for (width <- Seq(7L, 64L, 1024L)) {
       val got = RangeJoin.pointInRange(facts, "p", ranges, "s", "e", width)
         .select("id", "rid").collect()
         .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-      val factsLocal = facts.collect().map(r => (r.getLong(0), r.getLong(1)))
-      val expect = (for {
-        (id, p) <- factsLocal
-        (rid, s, e) <- rangeRows
-        if p >= s && p < e
-      } yield (id, rid)).sorted.toSeq
       assert(got == expect, s"width=$width: ${got.size} vs ${expect.size} pairs")
     }
   }
