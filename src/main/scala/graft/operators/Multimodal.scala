@@ -56,6 +56,17 @@ object Multimodal {
   def gifWidth(bin: Column): Column = leUint16(bin, 7).cast("int")
   def gifHeight(bin: Column): Column = leUint16(bin, 9).cast("int")
 
+  /** BMP: "BM" @0, BITMAPINFOHEADER width LE32 @18, height signed LE32
+    * @22 (negative = top-down row order, so the magnitude is taken). */
+  def isBmp(bin: Column): Column =
+    length(bin) >= 26 && upper(hex(substring(bin, 1, 2))) === "424D"
+  def bmpWidth(bin: Column): Column = leUint32(bin, 19).cast("int")
+  def bmpHeight(bin: Column): Column = {
+    val raw = leUint32(bin, 23) // unsigned read of the signed field
+    abs(when(raw >= 2147483648L, raw - 4294967296L).otherwise(raw))
+      .cast("int")
+  }
+
   /** RIFF/WAVE header: "RIFF" @0, "WAVE" @8, canonical fmt chunk @12 —
     * channels @22 (LE16), sample rate @24 (LE32), byte rate @28 (LE32). */
   def isWav(bin: Column): Column =
@@ -111,6 +122,11 @@ object Multimodal {
       jpeg.getField("width").as("width"), jpeg.getField("height").as("height"),
       lit(0L).as("durationMs"),
       lit(0).as("sampleRateHz"), lit(0).as("channels"))
+    val bmpMeta = struct(
+      lit("image").as("kind"), lit("image/bmp").as("mimeType"),
+      bmpWidth(bin).as("width"), bmpHeight(bin).as("height"),
+      lit(0L).as("durationMs"),
+      lit(0).as("sampleRateHz"), lit(0).as("channels"))
     val wavMeta = struct(
       lit("audio").as("kind"), lit("audio/wav").as("mimeType"),
       lit(0).as("width"), lit(0).as("height"),
@@ -122,6 +138,7 @@ object Multimodal {
       when(isPng(bin), pngMeta)
         .when(isGif(bin), gifMeta)
         .when(jpeg.isNotNull, jpegMeta)
+        .when(isBmp(bin), bmpMeta)
         .when(isWav(bin), wavMeta)
         .otherwise(stubMeta).as("meta"),
       length(bin).as("n_bytes"),

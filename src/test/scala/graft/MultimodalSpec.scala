@@ -89,6 +89,25 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).getAs[Int]("width") == 1920 && out(1).getAs[Int]("height") == 1080)
   }
 
+  test("real BMP header decode: LE32 dims incl. negative top-down height") {
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(26)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte)
+      bb.putInt(26).putInt(0).putInt(26) // file size, reserved, data offset
+      bb.putInt(40).putInt(w).putInt(h)  // BITMAPINFOHEADER size, w, h
+      bb.array()
+    }
+    val df = Seq((1L, bmp(800, 600)), (2L, bmp(1024, -768)))
+      .toDF("id", "payload")
+    val out = Multimodal.withDecodedMeta(df, "id", "payload", "image")
+      .select($"id", $"meta.*").orderBy("id").collect()
+    assert(out(0).getAs[String]("mimeType") == "image/bmp")
+    assert(out(0).getAs[Int]("width") == 800 && out(0).getAs[Int]("height") == 600)
+    // negative height = top-down pixel order; magnitude is the dimension
+    assert(out(1).getAs[Int]("width") == 1024 && out(1).getAs[Int]("height") == 768)
+  }
+
   test("real GIF header decode: LE16 logical screen dims") {
     def gif(w: Int, h: Int): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(13)
