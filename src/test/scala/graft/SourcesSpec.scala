@@ -91,6 +91,19 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == orders.count())
   }
 
+  test("parquet schema evolution: mergeSchema unions columns across file generations") {
+    val out = tmp("evolve") + "/t"
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$out/gen=1")
+    Seq((2L, 3.5)).toDF("id", "v2").write.parquet(s"$out/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.sorted.toSeq == Seq("gen", "id", "v1", "v2"))
+    val rows = merged.select("id", "v1", "v2").orderBy("id").collect()
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "a" &&
+      rows(0).isNullAt(2), "old-generation rows read NULL for new columns")
+    assert(rows(1).getLong(0) == 2L && rows(1).isNullAt(1) &&
+      rows(1).getDouble(2) == 3.5)
+  }
+
   test("virtual column INPUT__FILE__NAME ≡ input_file_name() tracks source files") {
     // reference: TableScanOperator vcols (exec/TableScanOperator.java:1)
     val out = tmp("vcol") + "/nation"
