@@ -444,6 +444,27 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // -- heavy hitters via the space_saving UDAF: with capacity ≥ the
+    //    corpus's distinct-token count the sketch is provably exact, so
+    //    the full (item, count, err=0) output hash-checks against the
+    //    exact DuckDB group-count; the eviction regime (capacity <
+    //    distinct) is covered by HeavyHittersSpec with planted skew
+    dfQ("q130_heavy_hitters", """
+      WITH tok AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text),
+          '[^a-z0-9]+'), x -> len(x) > 0)) AS item
+        FROM documents
+      )
+      SELECT item, count(*) AS count_est, 0::BIGINT AS err
+      FROM tok GROUP BY item
+      ORDER BY count_est DESC, item
+      LIMIT 10""") { (s, d) =>
+      import graft.operators.HeavyHitters
+      val toks = Tables.load(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("item"))
+      HeavyHitters.topK(toks, col("item"), k = 10, capacity = 64)
+    },
+
     // -- weighted resampling (mixture spec): en×1.5, zh×3, de×0 — the
     //    oversampling half of data mixing. Deterministic fractional
     //    copies via the same modulo buckets as q122.
