@@ -12,7 +12,8 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     (graft.functions.HiveCompat.registrations ++
-      graft.functions.BitmapExpressions.registrations).foreach {
+      graft.functions.BitmapExpressions.registrations ++
+      graft.functions.HeavyHitterExpressions.registrations).foreach {
       case (name, builder) =>
         ext.injectFunction((
           FunctionIdentifier(name),

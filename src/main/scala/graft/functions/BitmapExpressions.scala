@@ -112,9 +112,6 @@ object BitmapExpressions {
     "bitmap_count" -> (args => BitmapCount(args.head)),
     "ewah_bitmap_empty" -> (args => BitmapEmpty(args.head)),
     "ewah_bitmap_and" -> (args => BitmapBinaryOp(args(0), args(1), and = true)),
-    "ewah_bitmap_or" -> (args => BitmapBinaryOp(args(0), args(1), and = false)),
-    // space_saving(item, capacity): capacity must be a foldable int
-    "space_saving" -> (args => SpaceSavingAgg(args.head,
-      args(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression())
+    "ewah_bitmap_or" -> (args => BitmapBinaryOp(args(0), args(1), and = false))
   )
 }

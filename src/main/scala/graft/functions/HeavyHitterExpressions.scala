@@ -16,12 +16,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * distinct URLs/tokens that map spills; this sketch holds exactly
   * `capacity` counters per partition regardless of cardinality.
   *
-  * Per-sketch guarantees: retained `count_est` over-estimates the true
-  * in-sketch count by at most `err`, and any item with true count
-  * > N/capacity is retained. The cross-partition merge is sum-and-trim
-  * (common items sum counts and errors, then the smallest counters are
-  * dropped back to capacity) — a heuristic that preserves "heavily
-  * skewed items survive" but loosens the per-item bounds; with
+  * Guarantees: retained `count_est` over-estimates the true count by
+  * at most `err` — preserved across the cross-partition merge in the
+  * canonical mergeable-summaries way (an item absent from a full
+  * sketch is credited that sketch's minimum count, the upper bound on
+  * what it could have held there, into both count and err; the merged
+  * map is then trimmed to the top `capacity` counters in one sort).
+  * Any item with true count > N/capacity survives per sketch; with
   * capacity ≥ distinct-item count nothing is ever evicted and the
   * sketch is exact. Exercises the reference's full UDAF contract
   * (init/iterate/merge/terminate, ql/udf/generic/GenericUDAFEvaluator
@@ -92,13 +93,30 @@ case class SpaceSavingAgg(
       buf: mutable.HashMap[String, Array[Long]],
       other: mutable.HashMap[String, Array[Long]]):
       mutable.HashMap[String, Array[Long]] = {
+    // a sketch below capacity never evicted, so absence there means a
+    // true count of 0; a full sketch's min count is the upper bound on
+    // an absent item's uncounted mass — credit it to keep est >= true
+    def minCount(m: mutable.HashMap[String, Array[Long]]): Long =
+      if (m.size < capacity) 0L else m.valuesIterator.map(_(0)).min
+    val bufMin = minCount(buf)
+    val otherMin = minCount(other)
     other.foreach { case (k, ce) =>
       buf.get(k) match {
         case Some(m) => m(0) += ce(0); m(1) += ce(1)
-        case None    => buf(k) = ce.clone()
+        case None    => buf(k) = Array(ce(0) + bufMin, ce(1) + bufMin)
       }
     }
-    while (buf.size > capacity) evictMin(buf)
+    buf.keysIterator.toArray.foreach { k =>
+      if (!other.contains(k)) {
+        val m = buf(k); m(0) += otherMin; m(1) += otherMin
+      }
+    }
+    if (buf.size > capacity) {
+      // one sort instead of repeated O(capacity) min-scans
+      buf.toSeq.sortBy { case (k, ce) => (ce(0), k) }
+        .take(buf.size - capacity)
+        .foreach { case (k, _) => buf.remove(k) }
+    }
     buf
   }
 
@@ -143,4 +161,18 @@ case class SpaceSavingAgg(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
+}
+
+object HeavyHitterExpressions {
+  val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "space_saving" -> { args =>
+      require(args.length == 2,
+        s"space_saving(item, capacity) takes 2 arguments, got ${args.length}")
+      require(args(1).foldable && args(1).eval() != null &&
+        args(1).eval().isInstanceOf[Number],
+        "space_saving capacity must be a non-null integer literal")
+      SpaceSavingAgg(args.head,
+        args(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+    }
+  )
 }

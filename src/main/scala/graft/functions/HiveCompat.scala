@@ -159,7 +159,8 @@ object HiveCompat {
   )
 
   def register(spark: SparkSession): Unit =
-    (registrations ++ BitmapExpressions.registrations).foreach { case (name, b) =>
+    (registrations ++ BitmapExpressions.registrations ++
+      HeavyHitterExpressions.registrations).foreach { case (name, b) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, b, "scala_udf")
     }

@@ -24,11 +24,19 @@ class HeavyHittersSpec extends SparkSpec {
     assert(top.getString(0) == "hot", s"dominant item must be retained: $top")
     // space-saving estimates over-count: est >= true occurrences
     assert(top.getLong(1) >= 1000L, s"estimate must upper-bound the true count: $top")
+
+    // the min-credit merge preserves est >= true for EVERY retained item
+    val trueCounts = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    HeavyHitters.topK(df, col("item"), k = 8, capacity = 8).collect()
+      .foreach { r =>
+        val (item, est) = (r.getString(0), r.getLong(1))
+        assert(est >= trueCounts(item),
+          s"$item: est $est < true ${trueCounts(item)}")
+      }
   }
 
   test("space_saving resolves from SQL with a literal capacity") {
     Seq("x", "x", "y").toDF("item").createOrReplaceTempView("hh_in")
-    Functions.register(spark)
     val arr = spark.sql(
       "SELECT space_saving(item, 4) AS sk FROM hh_in").collect().head
       .getSeq[org.apache.spark.sql.Row](0)
