@@ -465,6 +465,38 @@ object PipelineQueries {
       HeavyHitters.topK(toks, col("item"), k = 10, capacity = 64)
     },
 
+    // -- grouped space_saving: per-language top-3 tokens over the
+    //    NFC-cleaned corpus — the UDAF under groupBy (per-group
+    //    sketches merged across partitions), exact regime so the
+    //    full output hash-checks; sketch output is pre-sorted, so
+    //    posexplode's position IS the rank (no window needed)
+    dfQ("q131_topk_per_lang", """
+      WITH tok AS (
+        SELECT lang, unnest(list_filter(string_split_regex(lower(text),
+          '[^a-z0-9]+'), x -> len(x) > 0)) AS item
+        FROM documents
+      ), c AS (
+        SELECT lang, item, count(*) AS n FROM tok GROUP BY lang, item
+      )
+      SELECT lang, item, n AS count_est, rn FROM (
+        SELECT lang, item, n, row_number() OVER (
+          PARTITION BY lang ORDER BY n DESC, item) AS rn
+        FROM c) t
+      WHERE rn <= 3
+      ORDER BY lang, rn""") { (s, d) =>
+      import graft.operators.HeavyHitters
+      val toks = Tables.load(s, d, "documents")
+        .select(col("lang"),
+          explode(TextOps.tokens(TextOps.cleanText(col("text")))).as("item"))
+      toks.groupBy("lang")
+        .agg(HeavyHitters.sketch(col("item"), 64).as("sk"))
+        .select(col("lang"), posexplode(col("sk")).as(Seq("pos", "e")))
+        .filter(col("pos") < 3)
+        .select(col("lang"), col("e.item").as("item"),
+          col("e.count_est").as("count_est"), (col("pos") + 1).as("rn"))
+        .orderBy("lang", "rn")
+    },
+
     // -- weighted resampling (mixture spec): en×1.5, zh×3, de×0 — the
     //    oversampling half of data mixing. Deterministic fractional
     //    copies via the same modulo buckets as q122.
