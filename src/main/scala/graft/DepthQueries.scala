@@ -213,6 +213,48 @@ object DepthQueries {
         OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
           AND l_quantity BETWEEN 10 AND 40)
         OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
-          AND l_quantity BETWEEN 20 AND 50)""")
+          AND l_quantity BETWEEN 20 AND 50)"""),
+
+    // -- TPC-H Q17 shape: correlated AGGREGATE scalar subquery (quantity
+    //    below 20% of the part's own average). The float-free rewrite
+    //    5·q·cnt < sum keeps the boundary exact on both engines (an avg
+    //    computed in doubles could flip near-boundary rows per engine)
+    dual("q132_corr_avg_subquery", """
+      SELECT cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double)
+        / 7.0 AS avg_yearly
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#1' AND p_type = 'ECONOMY'
+        AND cast(l_quantity AS decimal(18,2)) * 5 *
+          (SELECT count(*) FROM lineitem l2
+           WHERE l2.l_partkey = p_partkey)
+          < (SELECT sum(cast(l_quantity AS decimal(18,2)))
+             FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"""),
+
+    // -- TPC-H Q18 shape: IN over a grouped HAVING subquery (large-order
+    //    customers)
+    dual("q133_in_grouped_having", """
+      SELECT c_custkey, o_orderkey, o_orderdate,
+        cast(o_totalprice AS decimal(18,2)) AS price
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(cast(l_quantity AS decimal(18,2))) > 250)
+      ORDER BY o_orderkey"""),
+
+    // -- TPC-H Q9 shape (no partsupp table in this schema): profit proxy
+    //    by nation × order-year through a 5-table join
+    dual("q134_profit_rollup", """
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        cast(sum(cast(l_extendedprice AS decimal(12,2)) *
+          (1 - cast(l_discount AS decimal(12,2)))) AS double) AS profit
+      FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN part ON p_partkey = l_partkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%a%'
+      GROUP BY n_name, year(o_orderdate)
+      ORDER BY nation, o_year""")
   )
 }
