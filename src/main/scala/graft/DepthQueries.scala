@@ -255,6 +255,31 @@ object DepthQueries {
         JOIN nation ON s_nationkey = n_nationkey
       WHERE p_name LIKE '%a%'
       GROUP BY n_name, year(o_orderdate)
-      ORDER BY nation, o_year""")
+      ORDER BY nation, o_year"""),
+
+    // -- TPC-H Q2 shape: correlated equality-to-min scalar subquery
+    //    (the min-cost-supplier pattern; exact-decimal equality so the
+    //    boundary can't drift between engines)
+    dual("q135_corr_min_subquery", """
+      SELECT l_partkey, l_suppkey,
+        cast(cast(l_extendedprice AS decimal(18,2)) AS double) AS price
+      FROM lineitem l
+      WHERE cast(l_extendedprice AS decimal(18,2)) = (
+        SELECT min(cast(l_extendedprice AS decimal(18,2)))
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      ORDER BY l_partkey, l_suppkey"""),
+
+    // -- TPC-H Q20 shape: nested IN chain (IN over a grouped HAVING over
+    //    another IN) — two decorrelation layers
+    dual("q136_nested_in_chain", """
+      SELECT s_suppkey, s_name
+      FROM supplier
+      WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        GROUP BY l_suppkey
+        HAVING sum(cast(l_quantity AS decimal(18,2))) > 100)
+      ORDER BY s_suppkey""")
   )
 }
