@@ -472,8 +472,8 @@ object PipelineQueries {
     //    posexplode's position IS the rank (no window needed)
     dfQ("q131_topk_per_lang", """
       WITH tok AS (
-        SELECT lang, unnest(list_filter(string_split_regex(lower(text),
-          '[^a-z0-9]+'), x -> len(x) > 0)) AS item
+        SELECT lang, unnest(list_filter(string_split_regex(
+          lower(nfc_normalize(text)), '[^a-z0-9]+'), x -> len(x) > 0)) AS item
         FROM documents
       ), c AS (
         SELECT lang, item, count(*) AS n FROM tok GROUP BY lang, item
@@ -490,8 +490,8 @@ object PipelineQueries {
           explode(TextOps.tokens(TextOps.cleanText(col("text")))).as("item"))
       toks.groupBy("lang")
         .agg(HeavyHitters.sketch(col("item"), 64).as("sk"))
-        .select(col("lang"), posexplode(col("sk")).as(Seq("pos", "e")))
-        .filter(col("pos") < 3)
+        .select(col("lang"),
+          posexplode(slice(col("sk"), 1, 3)).as(Seq("pos", "e")))
         .select(col("lang"), col("e.item").as("item"),
           col("e.count_est").as("count_est"), (col("pos") + 1).as("rn"))
         .orderBy("lang", "rn")

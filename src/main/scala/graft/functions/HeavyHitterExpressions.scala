@@ -168,11 +168,17 @@ object HeavyHitterExpressions {
     "space_saving" -> { args =>
       require(args.length == 2,
         s"space_saving(item, capacity) takes 2 arguments, got ${args.length}")
-      require(args(1).foldable && args(1).eval() != null &&
-        args(1).eval().isInstanceOf[Number],
+      require(args(1).foldable && args(1).eval() != null,
         "space_saving capacity must be a non-null integer literal")
-      SpaceSavingAgg(args.head,
-        args(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+      val cap = args(1).eval() match {
+        case n: Byte => n.toInt
+        case n: Short => n.toInt
+        case n: Int => n
+        case n: Long if n.isValidInt => n.toInt
+        case other => throw new IllegalArgumentException(
+          s"space_saving capacity must be an integer literal, got $other")
+      }
+      SpaceSavingAgg(args.head, cap).toAggregateExpression()
     }
   )
 }

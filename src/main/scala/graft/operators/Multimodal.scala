@@ -4,12 +4,13 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
-  * columns with a typed metadata struct. PNG (IHDR) and WAV (RIFF fmt)
-  * headers are decoded for REAL — pure byte-reading column expressions,
-  * fully codegen'd, no library. Formats beyond those fall back to a
-  * clearly-marked deterministic stub (this container has no image/audio
-  * codec libraries); the Spark side — schema, partition-parallel batch
-  * processing, sizing stats — is real either way.
+  * columns with a typed metadata struct. PNG (IHDR), GIF, BMP, WAV
+  * (RIFF fmt) headers and JPEG SOF segments are decoded for REAL —
+  * pure byte-reading column expressions, fully codegen'd, no library.
+  * Formats beyond those fall back to a clearly-marked deterministic
+  * stub (this container has no image/audio codec libraries); the Spark
+  * side — schema, partition-parallel batch processing, sizing stats —
+  * is real either way.
   */
 object Multimodal {
 
@@ -57,14 +58,20 @@ object Multimodal {
   def gifHeight(bin: Column): Column = leUint16(bin, 9).cast("int")
 
   /** BMP: "BM" @0, BITMAPINFOHEADER width LE32 @18, height signed LE32
-    * @22 (negative = top-down row order, so the magnitude is taken). */
+    * @22 (negative = top-down row order, so the magnitude is taken).
+    * The DIB header-size field @14 must name an INFO-family header —
+    * the 2-byte magic alone would misclassify text starting "BM", and
+    * OS/2 BITMAPCOREHEADER (size 12) has 16-bit dims at other offsets. */
   def isBmp(bin: Column): Column =
-    length(bin) >= 26 && upper(hex(substring(bin, 1, 2))) === "424D"
+    length(bin) >= 26 && upper(hex(substring(bin, 1, 2))) === "424D" &&
+      leUint32(bin, 15).isin(40L, 52L, 56L, 108L, 124L)
   def bmpWidth(bin: Column): Column = leUint32(bin, 19).cast("int")
   def bmpHeight(bin: Column): Column = {
     val raw = leUint32(bin, 23) // unsigned read of the signed field
-    abs(when(raw >= 2147483648L, raw - 4294967296L).otherwise(raw))
-      .cast("int")
+    // least() guards abs(Int.MinValue) = 2^31, which a bare int cast
+    // would wrap back to negative
+    least(abs(when(raw >= 2147483648L, raw - 4294967296L).otherwise(raw)),
+      lit(Int.MaxValue.toLong)).cast("int")
   }
 
   /** RIFF/WAVE header: "RIFF" @0, "WAVE" @8, canonical fmt chunk @12 —
@@ -84,9 +91,9 @@ object Multimodal {
   }
 
   /** Wrap a (id, binary) DataFrame into the canonical media schema.
-    * Recognized headers (PNG, WAV) are decoded for real; anything else
-    * gets the stub metadata — one pass of codegen'd expressions, no
-    * shuffle either way. */
+    * Recognized headers (PNG, GIF, JPEG, BMP, WAV) are decoded for
+    * real; anything else gets the stub metadata — one pass of codegen'd
+    * expressions, no shuffle either way. */
   def withDecodedMeta(df: DataFrame, idCol: String, binCol: String,
       kind: String): DataFrame = {
     val bin = col(binCol)
