@@ -151,6 +151,58 @@ object WindowQueries {
         cast(sum(cast(value as decimal(18,6))) as double) AS total_value
       FROM events
       GROUP BY 1, 2
-      ORDER BY wstart, event_type""")
+      ORDER BY wstart, event_type"""),
+
+    // -- sliding time window (1-day windows every 12h: each event lands
+    //    in exactly two windows); the oracle replicates the window
+    //    assignment arithmetically on the 12h grid
+    sqlQ("q137_events_sliding", """
+      SELECT window.start AS wstart, count(*) AS n,
+        cast(sum(cast(value as decimal(18,6))) as double) AS total_value
+      FROM events
+      GROUP BY window(ts, '1 day', '12 hours')
+      ORDER BY wstart""", """
+      WITH e AS (
+        SELECT ts::TIMESTAMP AS ts, value,
+          epoch_us(ts::TIMESTAMP) // 43200000000 AS slot
+        FROM events
+      ), assigned AS (
+        SELECT make_timestamp((slot - k) * 43200000000) AS wstart, value
+        FROM e, (SELECT unnest([0, 1]) AS k) g
+      )
+      SELECT wstart, count(*) AS n,
+        cast(sum(cast(value as decimal(18,6))) as double) AS total_value
+      FROM assigned
+      GROUP BY wstart
+      ORDER BY wstart"""),
+
+    // -- native session windows (session_window operator, 30-min gap):
+    //    same gap semantics as q121's lag+running-id sessionization, so
+    //    that oracle's session starts/sizes carry over (the operator's
+    //    window.end = last event + gap, deliberately not compared)
+    sqlQ("q138_session_window", """
+      SELECT user_id, unix_millis(session_window.start) AS start_ms,
+        count(*) AS n_events
+      FROM events
+      GROUP BY session_window(ts, '30 minutes'), user_id
+      ORDER BY user_id, start_ms""", """
+      WITH e AS (
+        SELECT user_id, epoch_ms(ts::TIMESTAMP) AS ts_ms FROM events
+      ), d AS (
+        SELECT user_id, ts_ms,
+          CASE WHEN lag(ts_ms) OVER w IS NULL
+                 OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0
+          END AS brk
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+      ), s AS (
+        SELECT user_id, ts_ms,
+          count(*) FILTER (WHERE brk = 1) OVER (
+            PARTITION BY user_id ORDER BY ts_ms
+            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM d
+      )
+      SELECT user_id, min(ts_ms) AS start_ms, count(*) AS n_events
+      FROM s GROUP BY user_id, sid
+      ORDER BY user_id, start_ms""")
   )
 }
