@@ -234,7 +234,7 @@ object DepthQueries {
     //    customers)
     dual("q133_in_grouped_having", """
       SELECT c_custkey, o_orderkey, o_orderdate,
-        cast(o_totalprice AS decimal(18,2)) AS price
+        cast(cast(o_totalprice AS decimal(18,2)) AS double) AS price
       FROM customer JOIN orders ON o_custkey = c_custkey
       WHERE o_orderkey IN (
         SELECT l_orderkey FROM lineitem

@@ -12,11 +12,21 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+import datetime
+
+def canon(v):
+    # pyarrow reads spark DATE as datetime.date; duckdb .df() yields
+    # midnight Timestamps — the driver treats those as equal, so do we.
+    # Decimals stay distinct from floats (driver-faithful: q133 r02).
+    if type(v) is datetime.date:
+        return pd.Timestamp(v)
+    return v
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     # stringify to mirror a hash-of-values compare (dtype-insensitive)
     for c in df.columns:
-        df[c] = df[c].map(lambda v: repr(v))
+        df[c] = df[c].map(lambda v: repr(canon(v)))
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
@@ -38,8 +48,12 @@ def main():
             n_fail += 1
             continue
         try:
-            spark_df = con.execute(
-                f"SELECT * FROM read_parquet({files!r})").df()
+            # read spark output with pyarrow/pandas (like the driver), NOT
+            # through DuckDB — decimal columns must surface as the driver
+            # sees them (Decimal objects) or type skew hides real mismatches
+            spark_df = pd.concat(
+                [pd.read_parquet(f) for f in sorted(files)],
+                ignore_index=True)
             ora_df = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"FAIL {name}: {e}")
