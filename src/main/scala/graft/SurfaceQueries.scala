@@ -270,6 +270,32 @@ object SurfaceQueries {
       SELECT l_returnflag,
         count(DISTINCT l_partkey) AS ndv_exact,
         true AS approx_ok
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+
+    // -- CREATE TEMPORARY MACRO (ref: ql/parse/MacroSemanticAnalyzer.java,
+    //    TOK_CREATEMACRO): macros expand to inline Catalyst expressions at
+    //    plan time, so the oracle is literally the hand-expanded SQL — hash
+    //    equality proves the substitution is exact
+    dfQ("q139_macro", """
+      SELECT CASE WHEN l_quantity < 10 THEN 'low'
+                  WHEN l_quantity < 30 THEN 'mid'
+                  ELSE 'high' END AS qband,
+        cast(sum(cast(l_extendedprice AS decimal(12,2)) *
+          (1 - cast(l_discount AS decimal(12,2)))) AS double) AS revenue,
+        count(*) AS n
+      FROM lineitem GROUP BY 1 ORDER BY qband""") { (s, _) =>
+      graft.functions.Macros.sql(s, """CREATE TEMPORARY MACRO net_price(
+        p DOUBLE, d DOUBLE)
+        cast(p AS decimal(12,2)) * (1 - cast(d AS decimal(12,2)))""")
+      graft.functions.Macros.sql(s, """CREATE TEMPORARY MACRO qty_band(
+        q DOUBLE) CASE WHEN q < 10 THEN 'low' WHEN q < 30 THEN 'mid'
+        ELSE 'high' END""")
+      s.sql("""
+        SELECT qty_band(l_quantity) AS qband,
+          cast(sum(net_price(l_extendedprice, l_discount)) AS double)
+            AS revenue,
+          count(*) AS n
+        FROM lineitem GROUP BY qty_band(l_quantity) ORDER BY qband""")
+    }
   )
 }
