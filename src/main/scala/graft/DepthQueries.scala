@@ -280,6 +280,79 @@ object DepthQueries {
           SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
         GROUP BY l_suppkey
         HAVING sum(cast(l_quantity AS decimal(18,2))) > 100)
-      ORDER BY s_suppkey""")
+      ORDER BY s_suppkey"""),
+
+    // -- TPC-H Q12 shape (no l_shipmode in this schema → l_returnflag as
+    //    the mode dimension): two-level conditional counts via FILTER
+    //    (count, not sum(CASE): DuckDB's sum(int) is HUGEINT and would
+    //    break the compare)
+    dual("q140_priority_counts", """
+      SELECT l_returnflag AS mode,
+        count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+          AS high_line_count,
+        count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+          AS low_line_count
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= o_orderdate AND year(l_shipdate) = 1997
+      GROUP BY l_returnflag ORDER BY l_returnflag"""),
+
+    // -- TPC-H Q14 shape: promo revenue share per year — both sums exact
+    //    decimal, cast to double only at the end; the FILTER'd sum is
+    //    NULL for years with no promo rows on both engines
+    dual("q141_promo_share", """
+      SELECT year(l_shipdate) AS yr,
+        cast(sum(cast(l_extendedprice AS decimal(12,2)) *
+          (1 - cast(l_discount AS decimal(12,2))))
+          FILTER (WHERE p_type = 'PROMO') AS double) AS promo_revenue,
+        cast(sum(cast(l_extendedprice AS decimal(12,2)) *
+          (1 - cast(l_discount AS decimal(12,2)))) AS double)
+          AS total_revenue
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY year(l_shipdate) ORDER BY yr"""),
+
+    // -- TPC-H Q10 shape: returned-item revenue top-k per customer; the
+    //    LIMIT boundary is made deterministic by the unique c_custkey
+    //    tiebreak (revenue doubles are bit-identical per the decimal
+    //    contract, so the tie comparison agrees across engines)
+    dual("q142_returned_items", """
+      SELECT c_custkey, c_name,
+        cast(sum(cast(l_extendedprice AS decimal(12,2)) *
+          (1 - cast(l_discount AS decimal(12,2)))) AS double) AS revenue,
+        n_name, c_acctbal
+      FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R' AND year(o_orderdate) BETWEEN 1996 AND 1997
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20"""),
+
+    // -- TPC-H Q15 shape: top supplier via a named revenue subquery +
+    //    equality-to-max; the comparison runs on exact decimals so the
+    //    max boundary cannot drift between engines
+    dual("q143_top_supplier", """
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+          sum(cast(l_extendedprice AS decimal(12,2)) *
+            (1 - cast(l_discount AS decimal(12,2)))) AS total
+        FROM lineitem WHERE year(l_shipdate) = 1996
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, cast(total AS double) AS total_revenue
+      FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      WHERE total = (SELECT max(total) FROM revenue)
+      ORDER BY s_suppkey"""),
+
+    // -- TPC-H Q16 shape: distinct-supplier counts over part attributes
+    //    with a NOT IN exclusion subquery
+    dual("q144_supplier_cnt", """
+      SELECT p_brand, p_type, p_size,
+        count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        AND p_size IN (1, 5, 9, 14, 23, 36, 45, 49)
+        AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_name LIKE '%007%')
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
   )
 }
