@@ -519,6 +519,87 @@ object PipelineQueries {
           buckets = 10, bucketExpr = Some(pmod(col("doc_id"), lit(10))))
         .groupBy("lang").agg(count(lit(1)).as("n_rows"))
         .orderBy("lang")
+    },
+
+    // -- overlapping token-window chunking (context-length preparation):
+    //    window 32, stride 24 → 8-token overlap; last window short; the
+    //    oracle recomputes every window with DuckDB list slicing
+    dfQ("q145_chunk_overlap", """
+      WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents WHERE length(trim(text)) > 0),
+      n AS (
+        SELECT doc_id, toks, len(toks) AS n,
+          (1 + greatest(n - 32, 0) // 24
+             + CASE WHEN greatest(n - 32, 0) % 24 > 0 THEN 1 ELSE 0 END)
+            AS nchunks
+        FROM t)
+      SELECT doc_id, gs.chunk_id,
+        array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+          AS chunk_text,
+        least(32, n - chunk_id * 24)::BIGINT AS n_tokens
+      FROM n, LATERAL (SELECT unnest(range(nchunks))::INT AS chunk_id) gs
+      ORDER BY doc_id, chunk_id""") { (s, d) =>
+      import graft.operators.Packing
+      Packing.chunk(Tables.load(s, d, "documents"),
+          "doc_id", "text", chunkTokens = 32, strideTokens = 24)
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // -- token-budget sharding: distributed exclusive prefix sum of
+    //    per-doc token counts in doc_id order (range partition + local
+    //    windows + tiny offset broadcast — no global single-partition
+    //    window), shard = floor(tokens_before / 2000). Oracle: the
+    //    single-window cumulative sum DuckDB can afford at oracle scale.
+    dfQ("q146_token_shard", """
+      WITH n AS (
+        SELECT doc_id,
+          len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tok
+        FROM documents)
+      SELECT doc_id, n_tok,
+        coalesce(sum(n_tok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+          AS tokens_before,
+        (coalesce(sum(n_tok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000)
+          ::BIGINT AS shard
+      FROM n ORDER BY doc_id""") { (s, d) =>
+      import graft.operators.Packing
+      val docs = Tables.load(s, d, "documents").select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      Packing.shardByTokenBudget(docs, "doc_id", "n_tok",
+          budgetTokens = 2000)
+        .select("doc_id", "n_tok", "tokens_before", "shard")
+        .orderBy("doc_id")
+    },
+
+    // -- greedy sequence packing (fill + n <= budget → same bin, else a
+    //    new bin) per source group in doc_id order; the stateful scan is
+    //    flatMapGroups on Spark and a recursive CTE in DuckDB — hash
+    //    equality pins the exact bin-reset boundary behavior
+    dfQ("q147_pack_greedy", """
+      WITH RECURSIVE d AS (
+        SELECT source, doc_id,
+          len(string_split_regex(trim(text), '\s+'))::BIGINT AS n,
+          row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents),
+      p AS (
+        SELECT source, doc_id, n, rn, 0::BIGINT AS bin, n AS fill
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.source, d.doc_id, d.n, d.rn,
+          CASE WHEN p.fill + d.n <= 500 THEN p.bin ELSE p.bin + 1 END,
+          CASE WHEN p.fill + d.n <= 500 THEN p.fill + d.n ELSE d.n END
+        FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+      SELECT source, doc_id, n, bin FROM p
+      ORDER BY source, doc_id""") { (s, d) =>
+      import graft.operators.Packing
+      val docs = Tables.load(s, d, "documents").select(
+        col("source"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      Packing.packGreedy(docs, "source", "doc_id", "n_tok",
+          budgetTokens = 500)
+        .orderBy("source", "doc_id")
     }
   )
 }
