@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, With}
 import org.apache.spark.sql.types.DataType
 
 /** Hive SQL macros — `CREATE TEMPORARY MACRO name(p TYPE, ...) body` /
@@ -42,25 +42,45 @@ object Macros {
 
     val body = parser.parseExpression(bodySql)
     val paramSet = typed.map(_._1).toSet
-    val free = body.collect {
-      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
-        a.nameParts.head.toLowerCase
-    }.toSet
+    // every column reference — including qualified ones, which can never
+    // be parameters — must resolve to a declared parameter
+    val refs = body.collect { case a: UnresolvedAttribute => a }
+    val qualified = refs.filter(_.nameParts.length != 1)
+    require(qualified.isEmpty,
+      s"macro $name body references non-parameter columns: " +
+        qualified.map(_.name).distinct.mkString(", "))
+    val free = refs.map(_.nameParts.head.toLowerCase).toSet
     val unknown = free -- paramSet
     require(unknown.isEmpty,
       s"macro $name body references non-parameter columns: " +
         unknown.mkString(", "))
 
-    val arity = typed.length
-    val builder: Seq[Expression] => Expression = { args =>
-      require(args.length == arity,
-        s"macro $name expects $arity arguments, got ${args.length}")
-      val sub: Map[String, Expression] =
-        typed.zip(args).map { case ((p, dt), a) => p -> Cast(a, dt) }.toMap
+    // Hive evaluates macro arguments once (GenericUDFMacro receives
+    // evaluated values); a parameter used twice must therefore not
+    // re-evaluate its argument. Multi-occurrence parameters go through a
+    // With/CommonExpressionDef binding (evaluate-once, like Spark's own
+    // NullIf); single occurrences substitute directly.
+    val occurrences: Map[String, Int] = refs
+      .filter(a => paramSet.contains(a.nameParts.head.toLowerCase))
+      .groupBy(_.nameParts.head.toLowerCase).map { case (p, as) => p -> as.length }
+
+    def substitute(sub: Map[String, Expression]): Expression =
       body.transformUp {
         case a: UnresolvedAttribute if a.nameParts.length == 1 &&
             sub.contains(a.nameParts.head.toLowerCase) =>
           sub(a.nameParts.head.toLowerCase)
+      }
+
+    val arity = typed.length
+    val builder: Seq[Expression] => Expression = { args =>
+      require(args.length == arity,
+        s"macro $name expects $arity arguments, got ${args.length}")
+      val casted = typed.zip(args).map { case ((p, dt), a) => p -> Cast(a, dt) }
+      val multi = casted.filter { case (p, _) => occurrences.getOrElse(p, 0) > 1 }
+      if (multi.isEmpty) substitute(casted.toMap)
+      else With(multi.map(_._2): _*) { commonRefs =>
+        val bound = multi.map(_._1).zip(commonRefs).toMap
+        substitute(casted.toMap ++ bound)
       }
     }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -71,28 +91,46 @@ object Macros {
   def drop(spark: SparkSession, name: String): Boolean =
     spark.sessionState.functionRegistry.dropFunction(FunctionIdentifier(name))
 
+  // parameter list may contain parameterized types — decimal(12,2),
+  // varchar(10) — so the capture allows one paren-nesting level
   private val CreateRe =
-    """(?is)\s*CREATE\s+TEMPORARY\s+MACRO\s+(\w+)\s*\(([^)]*)\)\s*(.+)""".r
+    """(?is)\s*CREATE\s+TEMPORARY\s+MACRO\s+(\w+)\s*\(((?:[^()]|\([^()]*\))*)\)\s*(.+)""".r
   private val DropRe =
-    """(?is)\s*DROP\s+TEMPORARY\s+MACRO\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
+    """(?is)\s*DROP\s+TEMPORARY\s+MACRO\s+(IF\s+EXISTS\s+)?(\w+)\s*""".r
+
+  /** Split a parameter list on commas at paren depth 0 only, so
+    * `a DECIMAL(12,2), b INT` yields two declarations. */
+  private def splitParams(s: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
 
   /** Front-door for the Hive statement forms themselves (Spark's parser does
     * not accept them): `CREATE TEMPORARY MACRO name(a TYPE, b TYPE) body`
     * and `DROP TEMPORARY MACRO [IF EXISTS] name`. */
   def sql(spark: SparkSession, stmt: String): Unit = stmt match {
     case CreateRe(name, paramList, body) =>
-      val params = paramList.trim match {
-        case "" => Seq.empty[(String, String)]
-        case s =>
-          s.split(",").toSeq.map { decl =>
-            val parts = decl.trim.split("\\s+", 2)
-            require(parts.length == 2,
-              s"macro parameter needs 'name TYPE', got '$decl'")
-            (parts(0), parts(1))
-          }
+      val params = splitParams(paramList).map { decl =>
+        val parts = decl.split("\\s+", 2)
+        require(parts.length == 2,
+          s"macro parameter needs 'name TYPE', got '$decl'")
+        (parts(0), parts(1))
       }
       create(spark, name, params, body)
-    case DropRe(name) => drop(spark, name)
+    case DropRe(ifExists, name) =>
+      val existed = drop(spark, name)
+      // Hive errors on dropping a missing macro unless IF EXISTS
+      if (!existed && ifExists == null)
+        throw new IllegalArgumentException(s"macro $name does not exist")
     case other =>
       throw new IllegalArgumentException(s"not a macro statement: $other")
   }

@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** Whitespace token array (empty array for blank text). */
+  /** Whitespace token array (empty array for NULL or blank text). */
   private def wsTokens(text: org.apache.spark.sql.Column) =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
+    when(text.isNull || length(trim(text)) === 0,
+      array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
   /** Split each document into token windows of `chunkTokens` advancing by
@@ -51,17 +52,17 @@ object Packing {
       (floor((greatest(n - chunkTokens, lit(0)) + (strideTokens - 1))
         / strideTokens) + 1).cast("int"))
     // sequence(0, -1) would auto-step backwards — guard the empty case
-    val starts = when(nChunks >= 1, sequence(lit(0), nChunks - 1))
+    val chunkIds = when(nChunks >= 1, sequence(lit(0), nChunks - 1))
       .otherwise(array().cast("array<int>"))
     df.select(col(idCol), toks.as("__toks"), n.as("__n"),
-        posexplode(starts).as(Seq("chunk_id", "__start")))
+        explode(chunkIds).as("chunk_id"))
       .select(
         col(idCol),
         col("chunk_id"),
         concat_ws(" ",
-          slice(col("__toks"), col("__start") * strideTokens + 1,
+          slice(col("__toks"), col("chunk_id") * strideTokens + 1,
             lit(chunkTokens))).as("chunk_text"),
-        least(lit(chunkTokens), col("__n") - col("__start") * strideTokens)
+        least(lit(chunkTokens), col("__n") - col("chunk_id") * strideTokens)
           .cast("long").as("n_tokens"))
   }
 

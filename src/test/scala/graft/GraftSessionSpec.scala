@@ -35,6 +35,25 @@ class GraftSessionSpec extends SparkSpec {
     }
   }
 
+  test("TABLESAMPLE percent and row sampling (SplitSample)") {
+    // ref: ql/parse/SplitSample.java — percent/row-count sampling next to
+    // the bucket form (q66). Rows form is an exact count; percent form is
+    // a per-row Bernoulli draw, so assert broad bounds, and seeded
+    // df.sample is reproducible.
+    import spark.implicits._
+    spark.range(0, 10000).toDF("id").createOrReplaceTempView("ts_src")
+    val rows =
+      spark.sql("SELECT * FROM ts_src TABLESAMPLE (25 ROWS)").count()
+    assert(rows == 25L)
+    val pct =
+      spark.sql("SELECT * FROM ts_src TABLESAMPLE (10 PERCENT)").count()
+    assert(pct > 400L && pct < 1800L, s"10% of 10k sampled $pct")
+    val df = spark.table("ts_src")
+    val a = df.sample(withReplacement = false, 0.1, seed = 42).count()
+    val b = df.sample(withReplacement = false, 0.1, seed = 42).count()
+    assert(a == b)
+  }
+
   test("ResultPager pages a 10k-row result without a full collect") {
     import spark.implicits._
     val df = spark.range(0, 10000).select($"id", ($"id" * 2).as("v"))

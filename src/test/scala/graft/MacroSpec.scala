@@ -42,6 +42,37 @@ class MacroSpec extends SparkSpec {
     assert(spark.sql("SELECT the_answer()").collect().head.getInt(0) == 42)
   }
 
+  test("a multi-occurrence parameter evaluates its argument once (Hive semantics)") {
+    // Hive's GenericUDFMacro receives evaluated argument values, so
+    // pair(uuid()) must repeat ONE draw, not draw twice
+    Macros.sql(spark,
+      "CREATE TEMPORARY MACRO pair(x STRING) array(x, x)")
+    val arr = spark.sql("SELECT pair(uuid())").collect().head.getSeq[String](0)
+    assert(arr.length == 2 && arr(0) == arr(1),
+      s"argument evaluated twice: $arr")
+  }
+
+  test("parameterized types parse through the SQL front door") {
+    Macros.sql(spark,
+      "CREATE TEMPORARY MACRO cents(p DECIMAL(12,2), q DECIMAL(12,2)) p + q")
+    val v = spark.sql("SELECT cents(1.25, 2.50)").collect().head.getDecimal(0)
+    assert(v.toString == "3.75")
+  }
+
+  test("qualified column references in the body are rejected") {
+    val e = intercept[IllegalArgumentException] {
+      Macros.create(spark, "leaky2", Seq("a" -> "int"), "a + lineitem.l_quantity")
+    }
+    assert(e.getMessage.contains("non-parameter"))
+  }
+
+  test("DROP without IF EXISTS errors on a missing macro; IF EXISTS is silent") {
+    intercept[IllegalArgumentException] {
+      Macros.sql(spark, "DROP TEMPORARY MACRO never_created")
+    }
+    Macros.sql(spark, "DROP TEMPORARY MACRO IF EXISTS never_created") // no-op
+  }
+
   test("duplicate parameter names are rejected") {
     val e = intercept[IllegalArgumentException] {
       Macros.create(spark, "dup", Seq("a" -> "int", "A" -> "int"), "a + 1")

@@ -28,8 +28,10 @@ class PackingSpec extends SparkSpec {
     assert(all == (1 to 100).map(i => s"t$i").toSet)
   }
 
-  test("chunk: short doc yields one chunk, blank text yields none") {
-    val df = Seq(doc(1, 5), (2L, "   "), (3L, "")).toDF("doc_id", "text")
+  test("chunk: short doc yields one chunk; blank or NULL text yields none") {
+    val df = Seq(doc(1, 5), (2L, "   "), (3L, ""))
+      .toDF("doc_id", "text")
+      .union(Seq((4L, null.asInstanceOf[String])).toDF("doc_id", "text"))
     val rows = Packing.chunk(df, "doc_id", "text", 32, 24).collect()
     assert(rows.length == 1)
     assert(rows.head.getAs[Long]("doc_id") == 1L)

@@ -189,4 +189,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PartitionFilters: [isnotnull(yr"), s"pruning missing:\n$p")
     Warehouse.dropTable(spark, t)
   }
+
+  test("chunk() is pure per-row work: no shuffle, stays in codegen") {
+    import graft.operators.Packing
+    val df = Packing.chunk(Tables.load(spark, dir, "documents"),
+      "doc_id", "text", 32, 24)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(!p.contains("ScalaUDF"), s"chunking must stay codegen'd:\n$p")
+  }
+
+  test("prefix sum distributes: local windows per partition + tiny broadcast offsets") {
+    import graft.operators.Packing
+    val df = Packing.withTokensBefore(
+      Tables.load(spark, dir, "documents").select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n")),
+      "doc_id", "n")
+    df.collect() // finalize AQE on this same DataFrame
+    val p = df.queryExecution.executedPlan.toString
+    // the data-bearing window partitions by __pid — never a global
+    // single-partition sort over the corpus
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"expected per-partition local windows:\n$p")
+    // offsets come back via broadcast, not a shuffled join
+    assert(p.contains("BroadcastHashJoin"), s"offset join must broadcast:\n$p")
+  }
 }

@@ -17,7 +17,11 @@ import datetime
 def canon(v):
     # pyarrow reads spark DATE as datetime.date; duckdb .df() yields
     # midnight Timestamps — the driver treats those as equal, so do we.
-    # Decimals stay distinct from floats (driver-faithful: q133 r02).
+    # Same for NULL date/timestamp: None (pyarrow object col) vs NaT
+    # (duckdb datetime64 col). Decimals stay distinct from floats
+    # (driver-faithful: q133 r02).
+    if v is None or v is pd.NaT:
+        return None
     if type(v) is datetime.date:
         return pd.Timestamp(v)
     return v
