@@ -600,6 +600,40 @@ object PipelineQueries {
       Packing.packGreedy(docs, "source", "doc_id", "n_tok",
           budgetTokens = 500)
         .orderBy("source", "doc_id")
+    },
+
+    // -- near-dup cluster resolution: exact-Jaccard pairs (q52's
+    //    generator) → connected components via distributed min-label
+    //    propagation; component = smallest reachable doc_id. Oracle:
+    //    recursive-CTE transitive closure over the identical pair list.
+    dfQ("q148_dedup_clusters",
+      DUCK_SHINGLES.replace("WITH ", "WITH RECURSIVE ") + """
+      , pr AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a
+        JOIN sh b ON a.lang = b.lang AND a.source = b.source
+                 AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.02),
+      e AS (
+        SELECT id_a AS src, id_b AS dst FROM pr
+        UNION SELECT id_b, id_a FROM pr),
+      reach AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+      comp AS (
+        SELECT d.doc_id,
+          least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS component
+        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        GROUP BY d.doc_id)
+      SELECT doc_id, component FROM comp ORDER BY doc_id""") { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        blockCols = Seq("lang", "source"), shingleSize = 3,
+        threshold = 0.02)
+      Dedup.connectedComponents(docs, "doc_id", pairs, "id_a", "id_b")
+        .orderBy("doc_id")
     }
   )
 }

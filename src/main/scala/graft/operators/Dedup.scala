@@ -212,4 +212,79 @@ object Dedup {
         TextOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Resolve near-dup PAIRS into CLUSTERS: iterative minimum-label
+    * propagation over the symmetrized edge list (component id = smallest
+    * reachable node id). This is the production step after any *NearDups
+    * pair generator — pairs alone don't say which docs to drop when
+    * A~B and B~C but A!~C.
+    *
+    * Scale shape: each round is one shuffle-join of the label table with
+    * the edge list + a min-aggregate; rounds needed = cluster diameter
+    * (near-dup clusters are shallow — a handful of rounds). Lineage is
+    * cut per round with an eager localCheckpoint so plans don't grow;
+    * convergence is detected with a sum aggregate (labels only ever
+    * decrease), not a per-row comparison join.
+    *
+    * Returns (idCol, component). Nodes absent from `pairs` keep their own
+    * id as component. */
+  def connectedComponents(
+      nodes: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val fwd = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val edges = fwd
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = nodes
+        .select(col(idCol).cast("long").as("id"),
+          col(idCol).cast("long").as("comp"))
+        .localCheckpoint(true)
+      var prevSum = labels.agg(sum(col("comp").cast("decimal(38,0)")))
+        .collect().head.getDecimal(0)
+      var it = 0
+      var converged = false
+      while (!converged && it < maxIter) {
+        val viaNbr = edges
+          .join(labels.select(col("id").as("dst"), col("comp")), "dst")
+          .groupBy("src").agg(min("comp").as("ncomp"))
+          .withColumnRenamed("src", "id")
+        labels = labels.join(viaNbr, Seq("id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("ncomp"), col("comp")))
+              .as("comp"))
+          .localCheckpoint(true)
+        val s = labels.agg(sum(col("comp").cast("decimal(38,0)")))
+          .collect().head.getDecimal(0)
+        converged = s.compareTo(prevSum) == 0 // labels only decrease
+        prevSum = s
+        it += 1
+      }
+      require(converged,
+        s"connectedComponents did not converge in $maxIter rounds")
+      labels.withColumnRenamed("id", idCol)
+        .withColumnRenamed("comp", "component")
+    } finally edges.unpersist(false)
+  }
+
+  /** Keep one canonical document per near-dup cluster (the smallest id),
+    * dropping the other cluster members; rows untouched by any pair pass
+    * through. */
+  def dedupByCluster(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val comps = connectedComponents(df, idCol, pairs, aCol, bCol)
+    df.join(
+      comps.filter(col(idCol) === col("component")).select(idCol),
+      Seq(idCol), "left_semi")
+  }
 }

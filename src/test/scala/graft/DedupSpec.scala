@@ -244,4 +244,34 @@ class DedupSpec extends SparkSpec {
       .collect().head
     assert(m.getBoolean(0))
   }
+
+  test("connectedComponents resolves transitive chains to the min id") {
+    // 1-2, 2-3 (chain), 7-8 (pair), 5 isolated
+    val nodes = Seq(1L, 2L, 3L, 5L, 7L, 8L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(nodes, "id", pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L,
+      7L -> 7L, 8L -> 7L))
+  }
+
+  test("connectedComponents converges on a long path (multi-round propagation)") {
+    // path 1-2-...-12 forces the min label to walk the diameter
+    val n = 12
+    val nodes = (1 to n).map(_.toLong).toDF("id")
+    val pairs = (1 until n).map(i => (i.toLong, i.toLong + 1))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(nodes, "id", pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(1)).distinct
+    assert(comp.sameElements(Array(1L)))
+  }
+
+  test("dedupByCluster keeps exactly one canonical doc per cluster") {
+    val docs = Seq((1L, "a"), (2L, "a2"), (3L, "a3"), (5L, "solo"),
+      (7L, "b"), (8L, "b2")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByCluster(docs, "doc_id", pairs, "id_a", "id_b")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.sameElements(Array(1L, 5L, 7L)))
+  }
 }
