@@ -634,6 +634,57 @@ object PipelineQueries {
         threshold = 0.02)
       Dedup.connectedComponents(docs, "doc_id", pairs, "id_a", "id_b")
         .orderBy("doc_id")
+    },
+
+    // -- cross-document line-level boilerplate removal (RefinedWeb-style):
+    //    a planted 10-token "newsletter" line lands in every doc_id%5==0
+    //    document on BOTH sides; 10-token pseudo-lines make the line
+    //    splitter deterministic on this newline-free corpus. The oracle
+    //    recomputes the document-frequency filter and the ordered rebuild.
+    dfQ("q149_line_boilerplate", """
+      WITH t AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 THEN
+            'subscribe to our newsletter now for daily updates and offers '
+              || text
+          ELSE text END AS text2
+        FROM documents),
+      tok AS (
+        SELECT doc_id, string_split_regex(trim(text2), '\s+') AS toks
+        FROM t),
+      ln AS (
+        SELECT doc_id,
+          list_transform(range(0, (len(toks) + 9) // 10),
+            g -> array_to_string(toks[g*10+1 : g*10+10], ' ')) AS l
+        FROM tok),
+      ex AS (
+        SELECT doc_id, gs AS pos, l[gs] AS line
+        FROM ln, LATERAL (SELECT generate_subscripts(l, 1) AS gs)),
+      freq AS (
+        SELECT line FROM ex GROUP BY line
+        HAVING count(DISTINCT doc_id) >= 30),
+      kept AS (
+        SELECT e.doc_id,
+          string_agg(e.line, ' ' ORDER BY e.pos) AS clean_text,
+          count(*) AS n_kept
+        FROM ex e WHERE e.line NOT IN (SELECT line FROM freq)
+        GROUP BY e.doc_id)
+      SELECT l.doc_id,
+        coalesce(k.clean_text, '') AS clean_text,
+        coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+        (len(l.l) - coalesce(k.n_kept, 0))::BIGINT AS n_dropped
+      FROM ln l LEFT JOIN kept k ON l.doc_id = k.doc_id
+      ORDER BY l.doc_id""") { (s, d) =>
+      import graft.operators.Lines
+      val planted = Tables.load(s, d, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit("subscribe to our newsletter now for daily updates " +
+            "and offers "), col("text")))
+          .otherwise(col("text")).as("text2"))
+      Lines.stripBoilerplate(planted, "doc_id",
+          Lines.pseudoLines(col("text2"), 10), minDocFreq = 30,
+          joiner = " ")
+        .orderBy("doc_id")
     }
   )
 }
