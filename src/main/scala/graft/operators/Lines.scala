@@ -8,12 +8,16 @@ import org.apache.spark.sql.functions._
   * navigation/footer/licence boilerplate, not content — strip it from
   * every document and rebuild the text.
   *
-  * Scale shape: lines shuffle by an 8-byte xxhash64 of their content for
-  * the document-frequency count (never by the line text itself); the
-  * frequent-line set is the filter side of a left-anti join that AQE can
-  * collapse to a broadcast at runtime (boilerplate sets are tiny relative
-  * to the corpus); the rebuild is one groupBy(doc) with an array sort —
-  * three shuffles total, all on keys, no driver involvement.
+  * Scale shape: line text is hashed (two independent xxhash64 seeds =
+  * 128 bits, so a strip decision never rides on a 64-bit collision) and
+  * then DROPPED before any shuffle — the document-frequency count, the
+  * left-anti probe and the per-document rebuild all move only fixed-width
+  * (id, pos, h1, h2) tuples. The rebuild re-evaluates the (codegen'd)
+  * line splitter against the original text column and keeps surviving
+  * positions, so full line text never enters an exchange. The two passes
+  * over the text column are two pruned columnar scans; at 100 TB that is
+  * cheaper than materializing an exploded copy of the corpus to block
+  * storage, which is why the intermediate is deliberately not persisted.
   */
 object Lines {
 
@@ -21,9 +25,8 @@ object Lines {
     * column — the line splitter to use when the corpus has no natural
     * newlines (or to catch boilerplate that ignores line breaks). */
   def pseudoLines(text: Column, n: Int): Column = {
-    val toks = when(text.isNull || length(trim(text)) === 0,
-      array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+    require(n >= 1, "pseudo-line width must be >= 1 token")
+    val toks = TextOps.wsTokens(text)
     val groups = ceil(size(toks) / lit(n.toDouble)).cast("int")
     when(groups >= 1,
       transform(sequence(lit(0), groups - 1),
@@ -32,10 +35,11 @@ object Lines {
   }
 
   /** Strip lines whose document frequency (distinct docs containing the
-    * line) reaches `minDocFreq`, then rebuild each document by joining
-    * the surviving lines in order. Documents whose every line is
-    * boilerplate come back with empty text. Output: idCol, clean_text,
-    * n_kept, n_dropped. */
+    * line) reaches `minDocFreq`, then rebuild each document from its
+    * surviving lines in order. Documents whose every line is boilerplate
+    * come back with empty text; rows with a NULL `linesCol` (e.g. split
+    * of NULL text) come back empty with 0 kept / 0 dropped. Output:
+    * idCol, clean_text, n_kept, n_dropped. */
   def stripBoilerplate(
       df: DataFrame,
       idCol: String,
@@ -43,28 +47,33 @@ object Lines {
       minDocFreq: Long,
       joiner: String = "\n"): DataFrame = {
     require(minDocFreq >= 2, "minDocFreq must be >= 2")
-    val lines = df
+    // (id, pos, h1, h2) — text dropped in the same projection it is
+    // hashed in, so downstream shuffles are fixed-width.
+    val hashed = df
       .select(col(idCol), posexplode(linesCol).as(Seq("__pos", "__line")))
-      .withColumn("__lh", xxhash64(col("__line")))
-    val frequent = lines
-      .groupBy("__lh").agg(countDistinct(col(idCol)).as("__df"))
+      .select(col(idCol), col("__pos"),
+        xxhash64(col("__line")).as("__h1"),
+        xxhash64(lit(42L), col("__line")).as("__h2"))
+    val frequent = hashed
+      .groupBy("__h1", "__h2").agg(countDistinct(col(idCol)).as("__df"))
       .filter(col("__df") >= minDocFreq)
-      .select("__lh")
-    val kept = lines.join(frequent, Seq("__lh"), "left_anti")
+      .select("__h1", "__h2")
+    val keptPos = hashed.join(frequent, Seq("__h1", "__h2"), "left_anti")
       .groupBy(idCol)
-      .agg(
-        concat_ws(joiner,
-          transform(
-            array_sort(collect_list(struct(col("__pos"), col("__line")))),
-            s => s.getField("__line"))).as("clean_text"),
+      .agg(sort_array(collect_list(col("__pos"))).as("__kept_pos"),
         count(lit(1)).as("n_kept"))
-    val totals = df.select(col(idCol),
-      size(linesCol).cast("long").as("__total"))
-    totals.join(kept, Seq(idCol), "left")
+      .withColumnRenamed(idCol, "__kid")
+    // Rebuild from the original text: keep surviving positions of the
+    // re-evaluated splitter (per-row codegen, no text shuffle). The join
+    // is null-safe so NULL-id rows pass through rather than vanish.
+    df.select(col(idCol), linesCol.as("__lines"))
+      .join(keptPos, col(idCol) <=> col("__kid"), "left")
       .select(col(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        concat_ws(joiner,
+          transform(coalesce(col("__kept_pos"), array().cast("array<int>")),
+            p => element_at(col("__lines"), p + 1))).as("clean_text"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("__total") - coalesce(col("n_kept"), lit(0L)))
-          .as("n_dropped"))
+        (coalesce(size(col("__lines")).cast("long"), lit(0L))
+          - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 }

@@ -24,11 +24,8 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** Whitespace token array (empty array for NULL or blank text). */
   private def wsTokens(text: org.apache.spark.sql.Column) =
-    when(text.isNull || length(trim(text)) === 0,
-      array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+    TextOps.wsTokens(text)
 
   /** Split each document into token windows of `chunkTokens` advancing by
     * `strideTokens` (overlap = chunkTokens - strideTokens). The final

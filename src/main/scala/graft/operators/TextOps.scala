@@ -18,6 +18,14 @@ object TextOps {
   def tokens(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
 
+  /** Whitespace token array, case-preserving (empty array for NULL or
+    * blank text). The shared tokenization rule for chunking / packing /
+    * pseudo-line operators. */
+  def wsTokens(text: Column): Column =
+    when(text.isNull || length(trim(text)) === 0,
+      array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
   /** Word n-gram shingles ("a b c" for n=3) from a token array. */
   def wordNgrams(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
