@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, With}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedExtractValue}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal, With}
 import org.apache.spark.sql.types.DataType
 
 /** Hive SQL macros — `CREATE TEMPORARY MACRO name(p TYPE, ...) body` /
@@ -42,10 +42,13 @@ object Macros {
 
     val body = parser.parseExpression(bodySql)
     val paramSet = typed.map(_._1).toSet
-    // every column reference — including qualified ones, which can never
-    // be parameters — must resolve to a declared parameter
+    // every column reference must resolve to a declared parameter. A
+    // qualified reference like `s.a` is legal only when its head is a
+    // (struct-typed) parameter — the tail is field access, not a table
+    // qualifier; a macro body can never capture table columns.
     val refs = body.collect { case a: UnresolvedAttribute => a }
-    val qualified = refs.filter(_.nameParts.length != 1)
+    val qualified = refs.filter(a => a.nameParts.length != 1 &&
+      !paramSet.contains(a.nameParts.head.toLowerCase))
     require(qualified.isEmpty,
       s"macro $name body references non-parameter columns: " +
         qualified.map(_.name).distinct.mkString(", "))
@@ -64,11 +67,14 @@ object Macros {
       .filter(a => paramSet.contains(a.nameParts.head.toLowerCase))
       .groupBy(_.nameParts.head.toLowerCase).map { case (p, as) => p -> as.length }
 
+    // a qualified reference whose head is a parameter substitutes the
+    // parameter and re-applies the remaining parts as field extraction
     def substitute(sub: Map[String, Expression]): Expression =
       body.transformUp {
-        case a: UnresolvedAttribute if a.nameParts.length == 1 &&
-            sub.contains(a.nameParts.head.toLowerCase) =>
-          sub(a.nameParts.head.toLowerCase)
+        case a: UnresolvedAttribute if sub.contains(a.nameParts.head.toLowerCase) =>
+          a.nameParts.tail.foldLeft(sub(a.nameParts.head.toLowerCase)) {
+            (e, part) => UnresolvedExtractValue(e, Literal(part))
+          }
       }
 
     val arity = typed.length
@@ -98,15 +104,17 @@ object Macros {
   private val DropRe =
     """(?is)\s*DROP\s+TEMPORARY\s+MACRO\s+(IF\s+EXISTS\s+)?(\w+)\s*""".r
 
-  /** Split a parameter list on commas at paren depth 0 only, so
-    * `a DECIMAL(12,2), b INT` yields two declarations. */
+  /** Split a parameter list on commas at nesting depth 0 only, so both
+    * `a DECIMAL(12,2), b INT` and `m MAP<STRING,INT>, s STRUCT<a:INT,b:STRING>`
+    * yield the right declarations. Angle brackets only ever appear in type
+    * syntax inside a parameter list, so counting them as nesting is safe. */
   private def splitParams(s: String): Seq[String] = {
     val out = Vector.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0
     s.foreach {
-      case '(' => depth += 1; cur += '('
-      case ')' => depth -= 1; cur += ')'
+      case c @ ('(' | '<') => depth += 1; cur += c
+      case c @ (')' | '>') => depth -= 1; cur += c
       case ',' if depth == 0 => out += cur.result(); cur.clear()
       case c => cur += c
     }

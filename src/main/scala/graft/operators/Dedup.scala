@@ -249,20 +249,27 @@ object Dedup {
       var prevSum = labels.agg(sum(col("comp").cast("decimal(38,0)")))
         .collect().head.getDecimal(0)
       var it = 0
-      var converged = false
+      // null sum = zero rows (or every id cast to NULL): nothing can
+      // propagate, so the initial label table is already the answer.
+      var converged = prevSum == null
       while (!converged && it < maxIter) {
         val viaNbr = edges
           .join(labels.select(col("id").as("dst"), col("comp")), "dst")
           .groupBy("src").agg(min("comp").as("ncomp"))
           .withColumnRenamed("src", "id")
+        val prev = labels
         labels = labels.join(viaNbr, Seq("id"), "left")
           .select(col("id"),
             least(col("comp"), coalesce(col("ncomp"), col("comp")))
               .as("comp"))
           .localCheckpoint(true)
+        // the new round is materialized (eager checkpoint), so the previous
+        // round's pinned blocks can go — otherwise ~diameter copies of the
+        // label table stay resident for the session.
+        org.apache.spark.sql.graftbridge.CheckpointBridge.release(prev)
         val s = labels.agg(sum(col("comp").cast("decimal(38,0)")))
           .collect().head.getDecimal(0)
-        converged = s.compareTo(prevSum) == 0 // labels only decrease
+        converged = s == null || s.compareTo(prevSum) == 0 // labels only decrease
         prevSum = s
         it += 1
       }

@@ -39,7 +39,14 @@ object Lines {
     * surviving lines in order. Documents whose every line is boilerplate
     * come back with empty text; rows with a NULL `linesCol` (e.g. split
     * of NULL text) come back empty with 0 kept / 0 dropped. Output:
-    * idCol, clean_text, n_kept, n_dropped. */
+    * idCol, clean_text, n_kept, n_dropped.
+    *
+    * `idCol` must be unique across non-NULL rows (same contract as
+    * `Packing.withTokensBefore`): the rebuild groups kept positions by id,
+    * so duplicate ids would merge two documents' positions into one
+    * rebuild. Rows with a NULL id cannot be re-joined to their counts and
+    * pass through untouched (full text kept, n_dropped = 0); they also do
+    * not contribute to document frequency (countDistinct skips NULL). */
   def stripBoilerplate(
       df: DataFrame,
       idCol: String,
@@ -64,16 +71,22 @@ object Lines {
         count(lit(1)).as("n_kept"))
       .withColumnRenamed(idCol, "__kid")
     // Rebuild from the original text: keep surviving positions of the
-    // re-evaluated splitter (per-row codegen, no text shuffle). The join
-    // is null-safe so NULL-id rows pass through rather than vanish.
+    // re-evaluated splitter (per-row codegen, no text shuffle). NULL-id
+    // rows never match the equality join and are passed through untouched
+    // instead of being emptied.
+    val isNullId = col(idCol).isNull
+    val allLines = coalesce(col("__lines"), array().cast("array<string>"))
     df.select(col(idCol), linesCol.as("__lines"))
-      .join(keptPos, col(idCol) <=> col("__kid"), "left")
+      .join(keptPos, col(idCol) === col("__kid"), "left")
       .select(col(idCol),
-        concat_ws(joiner,
-          transform(coalesce(col("__kept_pos"), array().cast("array<int>")),
-            p => element_at(col("__lines"), p + 1))).as("clean_text"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (coalesce(size(col("__lines")).cast("long"), lit(0L))
-          - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+        when(isNullId, concat_ws(joiner, allLines))
+          .otherwise(concat_ws(joiner,
+            transform(coalesce(col("__kept_pos"), array().cast("array<int>")),
+              p => element_at(col("__lines"), p + 1)))).as("clean_text"),
+        when(isNullId, size(allLines).cast("long"))
+          .otherwise(coalesce(col("n_kept"), lit(0L))).as("n_kept"),
+        when(isNullId, lit(0L))
+          .otherwise(coalesce(size(col("__lines")).cast("long"), lit(0L))
+            - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 }

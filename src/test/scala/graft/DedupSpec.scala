@@ -266,6 +266,13 @@ class DedupSpec extends SparkSpec {
     assert(comp.sameElements(Array(1L)))
   }
 
+  test("connectedComponents on an empty node set returns empty, no NPE") {
+    val nodes = Seq.empty[Long].toDF("id")
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(nodes, "id", pairs, "id_a", "id_b")
+    assert(comp.count() == 0L)
+  }
+
   test("dedupByCluster keeps exactly one canonical doc per cluster") {
     val docs = Seq((1L, "a"), (2L, "a2"), (3L, "a3"), (5L, "solo"),
       (7L, "b"), (8L, "b2")).toDF("doc_id", "text")

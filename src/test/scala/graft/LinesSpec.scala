@@ -45,4 +45,23 @@ class LinesSpec extends SparkSpec {
     assert(rows(1L) == Seq("a b c", "d e f", "g"))
     assert(rows(2L).isEmpty && rows(3L).isEmpty)
   }
+
+  test("NULL-id rows pass through untouched and don't inflate doc frequency") {
+    val bp = "all rights reserved"
+    val docs = Seq(
+      (java.lang.Long.valueOf(1L), s"alpha\n$bp"),
+      (java.lang.Long.valueOf(2L), s"$bp\nbeta"),
+      (null.asInstanceOf[java.lang.Long], s"$bp\nghost")).toDF("id", "text")
+    // minDocFreq=3: only 2 non-null docs carry the line (NULL id is skipped
+    // by countDistinct), so nothing is stripped anywhere.
+    val out = Lines.stripBoilerplate(docs, "id",
+        split(col("text"), "\n"), minDocFreq = 3)
+      .collect()
+      .map(r => Option(r.get(0)) ->
+        (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(Some(1L)) == ((s"alpha\n$bp", 2L, 0L)))
+    assert(out(Some(2L)) == ((s"$bp\nbeta", 2L, 0L)))
+    assert(out(None) == ((s"$bp\nghost", 2L, 0L)))
+  }
 }

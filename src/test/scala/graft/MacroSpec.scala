@@ -59,6 +59,16 @@ class MacroSpec extends SparkSpec {
     assert(v.toString == "3.75")
   }
 
+  test("complex types with commas in angle brackets parse through the SQL front door") {
+    Macros.sql(spark,
+      "CREATE TEMPORARY MACRO pick(m MAP<STRING,INT>, s STRUCT<a:INT,b:STRING>) " +
+        "m['k'] + s.a")
+    val v = spark.sql(
+      "SELECT pick(map('k', 40), named_struct('a', 2, 'b', 'x'))")
+      .collect().head.getInt(0)
+    assert(v == 42)
+  }
+
   test("qualified column references in the body are rejected") {
     val e = intercept[IllegalArgumentException] {
       Macros.create(spark, "leaky2", Seq("a" -> "int"), "a + lineitem.l_quantity")
