@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Layout, Sampling, TextAnalysis, TextOps}
+import Queries._
+
+/** Round-4 scale-path operators: multi-dimensional layout clustering,
+  * corpus indexing/statistics, deterministic shuffling/sampling, and URL
+  * canonicalization — each with a DuckDB oracle. */
+object ScaleQueries {
+
+  // DuckDB has the same integer bit operators as the zValue expression
+  // tree; unroll the identical interleave formula so both engines compute
+  // the Morton code independently.
+  private def duckZ(bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"(((x >> $i) & 1) << ${2 * i})",
+      s"(((y >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+
+  // DuckDB tokenizer identical to TextOps.tokens (q62/q89 parity rule)
+  private val DUCK_TOKENS =
+    """list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       x -> len(x) > 0)"""
+
+  def all: Seq[Q] = Seq(
+
+    // -- Z-order layout: per-bucket extents prove every clustered
+    //    dimension is bounded at once (the multi-column file-skipping
+    //    property); both engines compute the Morton code independently
+    dfQ("q150_zorder", s"""
+      WITH p AS (
+        SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem
+      ), z AS (
+        SELECT x, y, (${duckZ(8)}) AS zv FROM p
+      )
+      SELECT zv >> 12 AS z_bucket, count(*) AS n,
+        min(x) AS x_min, max(x) AS x_max,
+        min(y) AS y_min, max(y) AS y_max
+      FROM z GROUP BY 1 ORDER BY 1""") { (s, d) =>
+      val li = Tables.load(s, d, "lineitem")
+        .select(pmod(col("l_partkey"), lit(256)).cast("long").as("x"),
+          pmod(col("l_suppkey"), lit(256)).cast("long").as("y"))
+      li.withColumn("z", Layout.zValue(Seq(col("x"), col("y")), bits = 8))
+        .withColumn("z_bucket", Layout.zBucket(col("z"), dims = 2, bits = 8,
+          bucketBits = 4))
+        .groupBy("z_bucket")
+        .agg(count(lit(1)).as("n"),
+          min("x").as("x_min"), max("x").as("x_max"),
+          min("y").as("y_min"), max("y").as("y_max"))
+        .orderBy("z_bucket")
+    },
+
+    // -- inverted index: exact df + capped sorted posting list via the
+    //    bounded min_k aggregate (state ≤ k per term even on stop words)
+    dfQ("q151_inverted_index", s"""
+      WITH tok AS (
+        SELECT DISTINCT doc_id, term FROM (
+          SELECT doc_id, unnest($DUCK_TOKENS) AS term FROM documents)
+      )
+      SELECT term, count(*) AS df,
+        to_json((list_sort(list(doc_id)))[1:20]) AS postings
+      FROM tok GROUP BY term HAVING count(*) >= 25
+      ORDER BY term""") { (s, d) =>
+      TextAnalysis.invertedIndex(Tables.load(s, d, "documents"),
+          "doc_id", "text", maxPostings = 20, minDocFreq = 25L)
+        .select(col("term"), col("df"), to_json(col("postings")).as("postings"))
+        .orderBy("term")
+    },
+
+    // -- bigram collocations by PMI: exact distributed counts, one double
+    //    expression (identical op order both engines) rounded 6
+    dfQ("q152_collocations", s"""
+      WITH tok AS (
+        SELECT $DUCK_TOKENS AS t FROM documents
+      ), uc AS (
+        SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM tok)
+        GROUP BY w
+      ), bc AS (
+        SELECT bg, count(*) AS n FROM (
+          SELECT unnest(list_transform(range(1, len(t)),
+            i -> t[i] || ' ' || t[i+1])) AS bg
+          FROM tok WHERE len(t) >= 2)
+        GROUP BY bg
+      ), tot AS (
+        SELECT (SELECT sum(c)::BIGINT FROM uc) AS nn,
+               (SELECT sum(n)::BIGINT FROM bc) AS m
+      )
+      SELECT split_part(bg, ' ', 1) AS a, split_part(bg, ' ', 2) AS b, n,
+        round(ln(n::DOUBLE * nn::DOUBLE * nn::DOUBLE /
+          (m::DOUBLE * ua.c::DOUBLE * ub.c::DOUBLE)), 6) AS pmi
+      FROM bc
+      CROSS JOIN tot
+      JOIN uc ua ON ua.w = split_part(bg, ' ', 1)
+      JOIN uc ub ON ub.w = split_part(bg, ' ', 2)
+      WHERE n >= 10
+      ORDER BY a, b""") { (s, d) =>
+      TextAnalysis.collocations(Tables.load(s, d, "documents"),
+          "text", minCount = 10L)
+        .select("a", "b", "n", "pmi")
+        .orderBy("a", "b")
+    },
+
+    // -- deterministic corpus shuffle: stable keyed permutation + round-
+    //    robin shards, computed with range partition + broadcast offsets
+    //    (never a global single-partition window)
+    dfQ("q153_shuffle", """
+      WITH k AS (
+        SELECT doc_id, md5('s42:' || doc_id::VARCHAR) AS key FROM documents
+      ), r AS (
+        SELECT doc_id, row_number() OVER (ORDER BY key) - 1 AS pos FROM k
+      )
+      SELECT doc_id, pos, pos % 8 AS shard FROM r ORDER BY pos""") { (s, d) =>
+      Sampling.deterministicShuffle(Tables.load(s, d, "documents"),
+          "doc_id", seed = "s42", numShards = 8)
+        .select("doc_id", "pos", "shard")
+        .orderBy("pos")
+    },
+
+    // -- URL canonicalization + canonical-key dedup: planted messy URLs
+    //    (uppercase scheme/host, default port, tracking params, fragment)
+    //    are REALLY parsed and rebuilt by the engine; the oracle
+    //    recomputes the canonical form arithmetically from the plant.
+    //    doc_id%5 host × doc_id%250 path ⇒ pairs (i, i+250) collide.
+    dfQ("q154_url_canonical", """
+      WITH c AS (
+        SELECT doc_id,
+          'https://www.example' || (doc_id % 5)::VARCHAR || '.com/path/' ||
+            (doc_id % 250)::VARCHAR || '?id=' || (doc_id % 250)::VARCHAR
+            AS canonical
+        FROM documents
+      )
+      SELECT doc_id, canonical,
+        doc_id = min(doc_id) OVER (PARTITION BY canonical) AS keep
+      FROM c ORDER BY doc_id""") { (s, d) =>
+      val url = concat(
+        lit("HTTPS://WWW.Example"), (col("doc_id") % 5).cast("string"),
+        lit(".COM:443/path/"), (col("doc_id") % 250).cast("string"),
+        lit("?utm_source=x&id="), (col("doc_id") % 250).cast("string"),
+        lit("&utm_campaign=y#frag"))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), TextOps.canonicalUrl(url).as("canonical"))
+        .withColumn("keep",
+          col("doc_id") === min("doc_id").over(Window.partitionBy("canonical")))
+        .orderBy("doc_id")
+    },
+
+    // -- uniform deterministic k-sample: k smallest md5(seed:id) —
+    //    distributed top-k (TakeOrderedAndProject), nested across k
+    dfQ("q155_hash_min_k", """
+      SELECT doc_id, lang FROM documents
+      ORDER BY md5('seed7:' || doc_id::VARCHAR) LIMIT 50""") { (s, d) =>
+      Sampling.hashMinK(Tables.load(s, d, "documents")
+          .select("doc_id", "lang"), "doc_id", k = 50, seed = "seed7")
+    },
+
+    // -- incremental dedup: a verbatim copy probed against a PRE-BUILT
+    //    index must surface (exact copies share every band ⇒ recall 1 by
+    //    construction), a novel doc must not; only the new batch is
+    //    sketched — the corpus-scale operational shape
+    dfQ("q156_incremental_dedup", """
+      SELECT true AS found_planted, true AS novel_clean""") { (s, d) =>
+      import graft.operators.Dedup
+      val sq = s; import sq.implicits._
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      val index = Dedup.buildMinhashIndex(docs, "doc_id", "text")
+      val newBatch = docs.filter(col("doc_id") === 0L)
+        .select(lit(9000001L).as("doc_id"), col("text"))
+        .unionByName(Seq((9000002L,
+          "zyx quixotic vermillion axolotl numbat parallax grommet"))
+          .toDF("doc_id", "text"))
+      val hits = Dedup.minhashAgainstIndex(newBatch, "doc_id", "text", index)
+      Seq((
+        hits.filter(col("new_id") === 9000001L && col("index_id") === 0L)
+          .count() == 1L,
+        hits.filter(col("new_id") === 9000002L).count() == 0L
+      )).toDF("found_planted", "novel_clean")
+    })
+}

@@ -160,7 +160,8 @@ object HiveCompat {
 
   def register(spark: SparkSession): Unit =
     (registrations ++ BitmapExpressions.registrations ++
-      HeavyHitterExpressions.registrations).foreach { case (name, b) =>
+      HeavyHitterExpressions.registrations ++
+      TopKExpressions.registrations).foreach { case (name, b) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, b, "scala_udf")
     }

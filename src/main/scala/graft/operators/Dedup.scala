@@ -104,6 +104,85 @@ object Dedup {
     (out, () => { shingled.unpersist(false); banded.unpersist(false); () })
   }
 
+  /** A reusable MinHash-LSH index: per-doc shingle sets (for exact
+    * verification) + exploded band keys (for candidate generation), with
+    * the sketch parameters pinned so every probe uses the same hash
+    * family. Both frames are ordinary DataFrames — write them to parquet
+    * (partition `banded` by `band`) and read them back to make the index
+    * durable across batches. */
+  final case class MinHashIndex(
+      shingled: DataFrame,
+      banded: DataFrame,
+      shingleSize: Int,
+      numHashes: Int,
+      bands: Int)
+
+  /** Sketch a corpus once into a MinHashIndex. At 100 TB this runs a
+    * single pass over the text column; afterwards, incremental batches
+    * dedup against the stored sketches without ever touching the corpus
+    * text again. */
+  def buildMinhashIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16): MinHashIndex = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val shingled = df
+      .select(col(idCol).as("id"),
+        TextOps.shingleSet(col(textCol), shingleSize).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val banded = shingled.select(col("id"),
+        posexplode(TextOps.bandHashes(
+          TextOps.minhashSignature(col("shingles"), numHashes), bands)))
+      .select(col("id"), col("pos").as("band"), col("col").as("key"))
+    MinHashIndex(shingled, banded, shingleSize, numHashes, bands)
+  }
+
+  /** Incremental near-dup detection: sketch ONLY the new batch and probe
+    * the stored index — the operational shape when data arrives daily and
+    * the corpus is too large to re-pair. Returns (new_id, index_id,
+    * jaccard ≥ threshold).
+    *
+    * Scale shape: the join is new-batch bands × index bands on
+    * (band, key) — fan-out per new doc is bounded by capping INDEX bucket
+    * sizes at `maxBucket` (degenerate buckets are dropped exactly as in
+    * the batch variant); only ids cross the shuffle, and exact verification
+    * joins the two shingle stores afterwards. Index-side bucket sizes are
+    * recomputed here; pre-aggregate and store them alongside a durable
+    * index to skip that scan per batch. */
+  def minhashAgainstIndex(
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: MinHashIndex,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val probe = buildMinhashIndex(newDf, idCol, textCol,
+      index.shingleSize, index.numHashes, index.bands)
+    val okBuckets = index.banded.groupBy("band", "key")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+      .select("band", "key")
+    val candidates = probe.banded
+      .select(col("band"), col("key"), col("id").as("new_id"))
+      .join(index.banded.join(okBuckets, Seq("band", "key"))
+        .select(col("band"), col("key"), col("id").as("index_id")),
+        Seq("band", "key"))
+      .select("new_id", "index_id")
+      .distinct()
+    val a = probe.shingled
+      .select(col("id").as("new_id"), col("shingles").as("sh_a"))
+    val b = index.shingled
+      .select(col("id").as("index_id"), col("shingles").as("sh_b"))
+    candidates.join(a, "new_id").join(b, "index_id")
+      .select(col("new_id"), col("index_id"),
+        TextOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash near-dup pairs: 64-bit fingerprint, banded into 16-bit
     * chunks (pigeonhole: ≤3 differing bits ⇒ some band matches exactly),
     * verified by Hamming distance. Returns (id_a, id_b, hamming). */

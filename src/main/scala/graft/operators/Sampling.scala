@@ -92,4 +92,40 @@ object Sampling {
       explode(when(copies > lit(0), sequence(lit(0), copies - 1))
         .otherwise(array().cast("array<int>"))))
   }
+
+  /** Deterministic global shuffle for training order: every row gets a
+    * stable 0-based `pos` (its rank under md5(seed:id) — a keyed
+    * pseudorandom permutation, identical on every re-run) and a
+    * round-robin `shard` = pos % numShards (shards balanced to ±1 row).
+    * Distributed the same way as `Packing.withTokensBefore`: range-
+    * partition by the hash key, per-partition local ranks, one tiny
+    * broadcast offset table — no global single-partition window. Ids
+    * must be unique and non-null. */
+  def deterministicShuffle(
+      df: DataFrame,
+      idCol: String,
+      seed: String,
+      numShards: Int): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val keyed = df
+      .withColumn("__key",
+        md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))))
+      .withColumn("__one", lit(1L))
+    Packing.withTokensBefore(keyed, "__key", "__one", "pos")
+      .withColumn("shard", pmod(col("pos"), lit(numShards.toLong)))
+      .drop("__key", "__one")
+  }
+
+  /** Uniform k-row sample without replacement, deterministic in (seed, id):
+    * the k rows with the smallest md5(seed:id). Runs as distributed top-k
+    * (per-partition heads, then one k-row merge — TakeOrderedAndProject),
+    * never a global sort; changing k from 1000 to 1001 keeps the first
+    * 1000 rows (nested samples), which rand()-based sampling cannot do. */
+  def hashMinK(df: DataFrame, idCol: String, k: Int, seed: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.withColumn("__key",
+        md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))))
+      .orderBy("__key").limit(k)
+      .drop("__key")
+  }
 }

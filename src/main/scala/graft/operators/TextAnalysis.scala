@@ -151,6 +151,61 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("score"), col("rn"))
   }
 
+  /** Inverted index over a text corpus: term → exact document frequency +
+    * a capped, sorted posting list (the k smallest doc ids). One explode +
+    * one distinct shuffle on fixed-width (term, doc) pairs; the posting
+    * cap uses the bounded `min_k` native aggregate
+    * (graft.functions.MinKAgg), so a stop-word term with a billion
+    * documents holds k entries of aggregation state, not a billion —
+    * `slice(sort_array(collect_list(..)))` would buffer the whole list
+    * per term and OOM on hot keys at corpus scale. */
+  def invertedIndex(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, maxPostings: Int,
+      minDocFreq: Long = 1L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val pairs = df.select(col(idCol).cast("long").as("__doc"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .distinct()
+    val minK = toCol(graft.functions.MinKAgg(toExpr(col("__doc")), maxPostings)
+      .toAggregateExpression())
+    pairs.groupBy("term")
+      .agg(count(lit(1)).as("df"), minK.as("postings"))
+      .filter(col("df") >= minDocFreq)
+  }
+
+  /** Bigram collocations by pointwise mutual information:
+    * pmi = ln( p(a,b) / (p(a)·p(b)) ) with p(a,b) = c_ab/M over bigram
+    * occurrences and p(a) = c_a/N over unigram occurrences. All counts
+    * are exact distributed aggregations; the unigram table is
+    * vocabulary-sized and broadcasts onto the bigram side, and the two
+    * corpus totals ride along as a 1-row broadcast — one shuffle over
+    * (a, b) pairs total. Output: a, b, n (bigram count), pmi (round 6,
+    * computed in one double expression for cross-engine determinism). */
+  def collocations(df: org.apache.spark.sql.DataFrame, textCol: String,
+      minCount: Long): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(TextOps.tokens(col(textCol)).as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = toks.select(explode(TextOps.wordNgrams(col("t"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("n"))
+      .withColumn("a", split(col("bg"), " ").getItem(0))
+      .withColumn("b", split(col("bg"), " ").getItem(1))
+    val totals = uni.agg(sum("c").as("nn"))
+      .crossJoin(bi.agg(sum("n").as("m")))
+    bi.filter(col("n") >= minCount)
+      .join(broadcast(uni.withColumnRenamed("w", "a").withColumnRenamed("c", "ca")), "a")
+      .join(broadcast(uni.withColumnRenamed("w", "b").withColumnRenamed("c", "cb")), "b")
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("n"),
+        // every factor cast to double BEFORE multiplying: long×long×long
+        // can overflow (and DuckDB would widen differently); the double
+        // op sequence then matches the oracle bit-for-bit pre-round
+        round(log(col("n").cast("double") * col("nn").cast("double") *
+            col("nn").cast("double") /
+          (col("m").cast("double") * col("ca").cast("double") *
+            col("cb").cast("double"))), 6).as("pmi"))
+  }
+
   /** Within-document n-gram repetition ratio — the C4/Gopher-style
     * boilerplate signal: fraction of word n-grams that repeat an earlier
     * occurrence (0 = all distinct, →1 = highly repetitive). ShingleSet is

@@ -75,6 +75,39 @@ object TextOps {
   /** Hamming distance between two packed 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Canonical URL for dedup keying: lowercased scheme and host, default
+    * ports dropped (http:80 / https:443), fragment stripped, tracking
+    * query parameters removed (utm_*, fbclid, gclid, ref), a lone
+    * trailing slash trimmed off non-root paths, empty path → "/". NULL
+    * for unparseable input (try_parse_url). Composed entirely from
+    * codegen'd built-ins — per-row, no shuffle. Userinfo URLs
+    * (user@host) keep their authority untouched apart from casing. */
+  def canonicalUrl(url: Column): Column = {
+    def part(p: String): Column =
+      call_function("try_parse_url", url, lit(p))
+    val proto = lower(part("PROTOCOL"))
+    val authority = lower(part("AUTHORITY"))
+    val port = regexp_extract(authority, ":(\\d+)$", 1)
+    val hostPart = when(
+      port === "" ||
+        (proto === "http" && port === "80") ||
+        (proto === "https" && port === "443"),
+      regexp_replace(authority, ":\\d+$", ""))
+      .otherwise(authority)
+    val rawPath = coalesce(part("PATH"), lit(""))
+    val path = when(rawPath === "", lit("/"))
+      .when(length(rawPath) > 1 && rawPath.endsWith("/"),
+        rawPath.substr(lit(1), length(rawPath) - 1))
+      .otherwise(rawPath)
+    // query params: drop tracking keys, keep original order of the rest
+    val kept = filter(split(part("QUERY"), "&"),
+      p => !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)(=|$)"))
+    val queryPart = when(part("QUERY").isNull || size(kept) === 0, lit(""))
+      .otherwise(concat(lit("?"), concat_ws("&", kept)))
+    when(proto.isNull || authority.isNull, lit(null).cast("string"))
+      .otherwise(concat(proto, lit("://"), hostPart, path, queryPart))
+  }
+
   /** Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

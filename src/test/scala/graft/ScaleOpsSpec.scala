@@ -1,0 +1,125 @@
+package graft
+
+import graft.operators.{Sampling, TextAnalysis, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Round-4 scale operators: bounded min_k aggregate, inverted index,
+  * PMI collocations, deterministic shuffle/sample, URL canonicalization. */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("min_k keeps the k smallest distinct values across partitions") {
+    val df = (1 to 1000).map(i => (i % 10, (1000 - i).toLong))
+      .toDF("g", "v").repartition(7)
+    val rows = df.groupBy("g")
+      .agg(expr("min_k(v, 5)").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    // values for group g are {0+? ...}: v = 1000 - i where i ≡ g (mod 10)
+    // smallest five are g', g'+10, g'+20, g'+30, g'+40 with g' = (1000-g)%10...
+    // simpler: check against a brute-force reference
+    val ref = (1 to 1000).map(i => (i % 10, (1000 - i).toLong))
+      .groupBy(_._1).map { case (g, vs) =>
+        g -> vs.map(_._2).distinct.sorted.take(5) }
+    rows.foreach { case (g, m) => assert(m == ref(g), s"group $g") }
+  }
+
+  test("min_k dedups and skips NULLs") {
+    val df = Seq(Some(3L), Some(3L), Some(1L), None, Some(2L), Some(1L))
+      .toDF("v")
+    val m = df.agg(expr("min_k(v, 10)")).collect().head.getSeq[Long](0)
+    assert(m == Seq(1L, 2L, 3L))
+  }
+
+  test("invertedIndex: exact df, capped sorted postings") {
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta beta"), (3L, "alpha gamma"),
+      (4L, "beta")).toDF("id", "text")
+    val idx = TextAnalysis.invertedIndex(docs, "id", "text", maxPostings = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Long](2)))
+      .toMap
+    assert(idx("alpha") == ((3L, Seq(1L, 2L)))) // df exact, postings capped
+    assert(idx("beta") == ((3L, Seq(1L, 2L)))) // within-doc repeat counts once
+    assert(idx("gamma") == ((1L, Seq(3L))))
+  }
+
+  test("collocations PMI matches hand computation") {
+    val docs = Seq("a b", "a b", "a c").toDF("text")
+    val rows = TextAnalysis.collocations(docs, "text", minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // M=3 bigrams, N=6 tokens; c_a=3 c_b=2 c_c=1
+    // pmi(a,b) = ln(2·36 / (3·3·2)) = ln 4; pmi(a,c) = ln(1·36/(3·3·1)) = ln 4
+    val ln4 = BigDecimal(math.log(4.0)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows(("a", "b")) == ((2L, ln4)))
+    assert(rows(("a", "c")) == ((1L, ln4)))
+  }
+
+  test("deterministicShuffle: stable permutation, balanced shards, repartition-invariant") {
+    val df = (0L until 100L).toDF("id")
+    val once = Sampling.deterministicShuffle(df, "id", "s1", 4)
+      .select("id", "pos", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // pos is a permutation of 0..99
+    assert(once.map(_._2).sorted.sameElements(0L until 100L))
+    // shards balanced exactly (round-robin)
+    val sizes = once.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.values.toSet == Set(25))
+    // identical under a different input layout
+    val again = Sampling.deterministicShuffle(df.repartition(13), "id", "s1", 4)
+      .select("id", "pos", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(once.sameElements(again))
+    // different seed ⇒ different permutation
+    val other = Sampling.deterministicShuffle(df, "id", "s2", 4)
+      .select("id", "pos").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    assert(!once.map(t => (t._1, t._2)).sameElements(other))
+  }
+
+  test("hashMinK: deterministic and nested across k") {
+    val df = (0L until 200L).toDF("id")
+    val k10 = Sampling.hashMinK(df, "id", 10, "s").collect().map(_.getLong(0)).toSet
+    val k20 = Sampling.hashMinK(df, "id", 20, "s").collect().map(_.getLong(0)).toSet
+    assert(k10.size == 10 && k20.size == 20 && k10.subsetOf(k20))
+    val k10b = Sampling.hashMinK(df.repartition(9), "id", 10, "s")
+      .collect().map(_.getLong(0)).toSet
+    assert(k10 == k10b)
+  }
+
+  test("minhashAgainstIndex: copy of an indexed doc hits, novel doc doesn't") {
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "a completely different second document about spark engines"),
+      (3L, "yet another unrelated piece of text for the index")).toDF("id", "text")
+    val idx = Dedup.buildMinhashIndex(corpus, "id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "nothing like anything stored in that index whatsoever right"))
+      .toDF("id", "text")
+    val hits = Dedup.minhashAgainstIndex(batch, "id", "text", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.exists(h => h._1 == 10L && h._2 == 1L && h._3 == 1.0))
+    assert(!hits.exists(_._1 == 11L))
+  }
+
+  test("canonicalUrl edge cases") {
+    val cases = Seq(
+      // default port + tracking params + fragment all normalized away
+      ("HTTP://Example.COM:80/A/B/?utm_source=x&q=1#frag",
+        "http://example.com/A/B?q=1"),
+      // non-default port kept; param order preserved
+      ("https://h.io:8443/p?b=2&a=1", "https://h.io:8443/p?b=2&a=1"),
+      // all params tracking ⇒ no '?'; empty path ⇒ '/'
+      ("https://h.io?utm_campaign=z&ref=abc", "https://h.io/"),
+      // root slash stays; fbclid/gclid dropped
+      ("https://h.io/?fbclid=1&gclid=2", "https://h.io/"),
+      ("not a url at all", null))
+    val out = cases.map(_._1).toDF("u")
+      .select(TextOps.canonicalUrl($"u")).collect().map(_.getString(0))
+    cases.map(_._2).zip(out).foreach { case (want, got) =>
+      assert(got == want, s"want $want, got $got")
+    }
+  }
+}
