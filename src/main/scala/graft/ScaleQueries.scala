@@ -155,6 +155,42 @@ object ScaleQueries {
           .select("doc_id", "lang"), "doc_id", k = 50, seed = "seed7")
     },
 
+    // -- batched exact ANN: all 5 query vectors against the corpus in one
+    //    pass, two-phase per-query top-k (no hot-group window)
+    dfQ("q157_ann_batch", """
+      WITH s AS (
+        SELECT q.vec_id AS qid, b.vec_id AS id,
+          list_cosine_similarity(q.embedding, b.embedding)::DOUBLE AS cos,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(q.embedding, b.embedding) DESC,
+                     b.vec_id) AS rank
+        FROM embeddings q, embeddings b WHERE q.vec_id < 5)
+      SELECT qid, id, round(cos, 4) AS cos4, rank
+      FROM s WHERE rank <= 5 ORDER BY qid, rank""") { (s, d) =>
+      val emb = Tables.load(s, d, "embeddings")
+      graft.operators.Similarity.topKBatch(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("id"), round(col("cosine"), 4).as("cos4"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    },
+
+    // -- fixed-k-per-group sample: 5 docs per language via bounded min_k
+    //    over a 60-bit md5-derived key + join-back (no per-group sort)
+    dfQ("q158_group_sample", """
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+          ORDER BY ('0x' || substr(md5('g1:' || doc_id::VARCHAR), 1, 15))::BIGINT)
+          AS rn
+        FROM documents)
+      WHERE rn <= 5 ORDER BY lang, doc_id""") { (s, d) =>
+      Sampling.groupSample(Tables.load(s, d, "documents")
+          .select("doc_id", "lang"), "lang", "doc_id", k = 5, seed = "g1")
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    },
+
     // -- incremental dedup: a verbatim copy probed against a PRE-BUILT
     //    index must surface (exact copies share every band ⇒ recall 1 by
     //    construction), a novel doc must not; only the new batch is

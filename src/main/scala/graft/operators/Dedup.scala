@@ -77,31 +77,11 @@ object Dedup {
       bands: Int,
       threshold: Double,
       maxBucket: Int): (DataFrame, () => Unit) = {
-    val rowsPerBand = numHashes / bands
-    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-
-    // The shingle set feeds signature generation AND two verification
-    // joins; the banded keys feed the bucket-size guard AND the self-join.
-    // Persist both (memory-and-disk: at scale these are the working set a
-    // multi-pass LSH job would otherwise recompute 6×).
-    val shingled = df
-      .select(
-        col(idCol).as("id"),
-        TextOps.shingleSet(col(textCol), shingleSize).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val sigs = shingled.select(
-      col("id"),
-      TextOps.minhashSignature(col("shingles"), numHashes).as("sig"))
-
-    val banded = sigs
-      .select(col("id"), posexplode(TextOps.bandHashes(col("sig"), bands)))
-      .select(col("id"), col("pos").as("band"), col("col").as("key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val out = verifyPairs(candidatePairs(banded, maxBucket), shingled, threshold)
-    (out, () => { shingled.unpersist(false); banded.unpersist(false); () })
+    val idx = buildMinhashIndex(df, idCol, textCol, shingleSize, numHashes, bands)
+    val out = verifyPairs(
+      candidatePairs(idx.banded, maxBucket), idx.shingled, idx.shingled,
+      threshold, "id_a", "id_b")
+    (out, () => idx.release())
   }
 
   /** A reusable MinHash-LSH index: per-doc shingle sets (for exact
@@ -109,18 +89,29 @@ object Dedup {
     * the sketch parameters pinned so every probe uses the same hash
     * family. Both frames are ordinary DataFrames — write them to parquet
     * (partition `banded` by `band`) and read them back to make the index
-    * durable across batches. */
+    * durable across batches (construct the case class directly from the
+    * read frames; parquet-backed frames don't need the persist). Call
+    * `release()` when done with an in-memory index. */
   final case class MinHashIndex(
       shingled: DataFrame,
       banded: DataFrame,
       shingleSize: Int,
       numHashes: Int,
-      bands: Int)
+      bands: Int) {
+    /** Drop the cached working set (no-op for non-persisted frames). */
+    def release(): Unit = {
+      shingled.unpersist(false); banded.unpersist(false); ()
+    }
+  }
 
-  /** Sketch a corpus once into a MinHashIndex. At 100 TB this runs a
-    * single pass over the text column; afterwards, incremental batches
-    * dedup against the stored sketches without ever touching the corpus
-    * text again. */
+  /** Sketch a corpus once into a MinHashIndex. Both frames are persisted
+    * (memory-and-disk): the shingle set feeds signature generation AND the
+    * verification join(s), the band keys feed the bucket-size guard AND
+    * the candidate join — without the persist every downstream action
+    * would re-read and re-sketch the corpus. Release with
+    * `index.release()` (the *NearDups wrappers do), or write the frames
+    * to parquet for a durable index that incremental batches probe
+    * without ever touching the corpus text again. */
   def buildMinhashIndex(
       df: DataFrame,
       idCol: String,
@@ -134,10 +125,12 @@ object Dedup {
       .select(col(idCol).as("id"),
         TextOps.shingleSet(col(textCol), shingleSize).as("shingles"))
       .filter(size(col("shingles")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = shingled.select(col("id"),
         posexplode(TextOps.bandHashes(
           TextOps.minhashSignature(col("shingles"), numHashes), bands)))
       .select(col("id"), col("pos").as("band"), col("col").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     MinHashIndex(shingled, banded, shingleSize, numHashes, bands)
   }
 
@@ -152,7 +145,9 @@ object Dedup {
     * the batch variant); only ids cross the shuffle, and exact verification
     * joins the two shingle stores afterwards. Index-side bucket sizes are
     * recomputed here; pre-aggregate and store them alongside a durable
-    * index to skip that scan per batch. */
+    * index to skip that scan per batch. The (small) result is eagerly
+    * materialized and the probe's sketch cache released before returning;
+    * the INDEX cache is the caller's to `release()`. */
   def minhashAgainstIndex(
       newDf: DataFrame,
       idCol: String,
@@ -173,14 +168,11 @@ object Dedup {
         Seq("band", "key"))
       .select("new_id", "index_id")
       .distinct()
-    val a = probe.shingled
-      .select(col("id").as("new_id"), col("shingles").as("sh_a"))
-    val b = index.shingled
-      .select(col("id").as("index_id"), col("shingles").as("sh_b"))
-    candidates.join(a, "new_id").join(b, "index_id")
-      .select(col("new_id"), col("index_id"),
-        TextOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val out = verifyPairs(candidates, probe.shingled, index.shingled,
+        threshold, "new_id", "index_id")
+      .localCheckpoint(true)
+    probe.release()
+    out
   }
 
   /** SimHash near-dup pairs: 64-bit fingerprint, banded into 16-bit
@@ -281,13 +273,16 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact-Jaccard verification of candidate pairs against shingle sets. */
+  /** Exact-Jaccard verification of candidate pairs against two shingle
+    * stores (the same store twice for the self-join variants). `aName` /
+    * `bName` are both the pair columns of `pairs` and the output names. */
   private def verifyPairs(
-      pairs: DataFrame, shingled: DataFrame, threshold: Double): DataFrame = {
-    val a = shingled.select(col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = shingled.select(col("id").as("id_b"), col("shingles").as("sh_b"))
-    pairs.join(a, "id_a").join(b, "id_b")
-      .select(col("id_a"), col("id_b"),
+      pairs: DataFrame, shingledA: DataFrame, shingledB: DataFrame,
+      threshold: Double, aName: String, bName: String): DataFrame = {
+    val a = shingledA.select(col("id").as(aName), col("shingles").as("sh_a"))
+    val b = shingledB.select(col("id").as(bName), col("shingles").as("sh_b"))
+    pairs.join(a, aName).join(b, bName)
+      .select(col(aName), col(bName),
         TextOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }

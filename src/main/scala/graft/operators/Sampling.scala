@@ -116,14 +116,49 @@ object Sampling {
       .drop("__key", "__one")
   }
 
+  /** Fixed-k-per-group deterministic sample ("5 docs per language"): the
+    * k rows of each group with the smallest 60-bit key derived from
+    * md5(seed:id). Bounded at any group size: the per-group selection
+    * runs through the `min_k` aggregate (state ≤ k on map and merge
+    * sides), then the winning keys join back to recover the rows — no
+    * per-group sort, no window over a hot group. Ids must be non-null
+    * (NULL-id rows are excluded — no stable identity to key on);
+    * distinct ids in one group colliding on the 60-bit key (≈2^-60)
+    * would deliver k-1 rows, never a wrong row. */
+  def groupSample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      k: Int,
+      seed: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val key = conv(substring(
+        md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))), 1, 15),
+      16, 10).cast("long")
+    val keyed = df.filter(col(idCol).isNotNull).withColumn("__key", key)
+    val minK = toCol(graft.functions.MinKAgg(toExpr(col("__key")), k)
+      .toAggregateExpression())
+    val winners = keyed.groupBy(groupCol).agg(minK.as("__ks"))
+      .select(col(groupCol), explode(col("__ks")).as("__key"))
+    keyed.join(winners, Seq(groupCol, "__key"), "left_semi")
+      // using-column joins move the keys to the front; restore the
+      // caller's column order (positional writers depend on it)
+      .select(df.columns.map(col): _*)
+  }
+
   /** Uniform k-row sample without replacement, deterministic in (seed, id):
     * the k rows with the smallest md5(seed:id). Runs as distributed top-k
     * (per-partition heads, then one k-row merge — TakeOrderedAndProject),
     * never a global sort; changing k from 1000 to 1001 keeps the first
-    * 1000 rows (nested samples), which rand()-based sampling cannot do. */
+    * 1000 rows (nested samples), which rand()-based sampling cannot do.
+    * NULL-id rows have no stable identity to key on and are excluded
+    * (an ascending sort would otherwise put their NULL keys FIRST and
+    * let them hijack the whole sample in nondeterministic order). */
   def hashMinK(df: DataFrame, idCol: String, k: Int, seed: String): DataFrame = {
     require(k > 0, "k must be positive")
-    df.withColumn("__key",
+    df.filter(col(idCol).isNotNull)
+      .withColumn("__key",
         md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))))
       .orderBy("__key").limit(k)
       .drop("__key")

@@ -42,6 +42,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched exact top-k: every query in `queries` (qidCol, qvecCol —
+    * a SMALL batch, broadcast whole) against the full corpus in ONE pass.
+    * Returns (qid, id, cosine, rank ≤ k).
+    *
+    * Distributed top-k-per-group in two bounded phases: phase 1 ranks
+    * within (query, input-partition) — every window partition holds only
+    * one scan partition's rows; phase 2 ranks the ≤ k·numPartitions
+    * survivors per query. A single window partitioned by query alone
+    * would funnel |corpus| rows per query through one task, which is the
+    * classic hot-group sort at scale. */
+  def topKBatch(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .select(col("qid"), col(idCol).as("id"),
+        safeCosine(col(vecCol), col("qvec")).as("cosine"))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy("qid", "__pid")
+      .orderBy(col("cosine").desc, col("id"))
+    val wGlobal = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("id"))
+    scored
+      .withColumn("__rn", row_number().over(wLocal))
+      .filter(col("__rn") <= k)
+      .withColumn("rank", row_number().over(wGlobal))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "cosine", "rank")
+  }
+
   /** IVF index: rows tagged with nearest-centroid id + centroid table. */
   final case class Ivf(assigned: DataFrame, centroids: DataFrame)
 

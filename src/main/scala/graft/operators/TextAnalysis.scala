@@ -163,7 +163,21 @@ object TextAnalysis {
       textCol: String, maxPostings: Int,
       minDocFreq: Long = 1L): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
-    val pairs = df.select(col(idCol).cast("long").as("__doc"),
+    // ids must be integral: a silent cast of string ids to long would
+    // collapse every row into one NULL phantom doc (df=1, empty postings)
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"invertedIndex: $idCol must be integral (postings are min_k " +
+          s"longs), got ${other.catalogString}")
+    }
+    // NULL ids would inflate df (+1 per term they contain) while min_k
+    // skips them in postings — exclude them so df == |postings| ∀ df ≤ k
+    val pairs = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("__doc"),
         explode(TextOps.tokens(col(textCol))).as("term"))
       .distinct()
     val minK = toCol(graft.functions.MinKAgg(toExpr(col("__doc")), maxPostings)
@@ -176,20 +190,27 @@ object TextAnalysis {
   /** Bigram collocations by pointwise mutual information:
     * pmi = ln( p(a,b) / (p(a)·p(b)) ) with p(a,b) = c_ab/M over bigram
     * occurrences and p(a) = c_a/N over unigram occurrences. All counts
-    * are exact distributed aggregations; the unigram table is
-    * vocabulary-sized and broadcasts onto the bigram side, and the two
-    * corpus totals ride along as a 1-row broadcast — one shuffle over
-    * (a, b) pairs total. Output: a, b, n (bigram count), pmi (round 6,
-    * computed in one double expression for cross-engine determinism). */
+    * are exact distributed aggregations, materialized once (the count
+    * tables are vocabulary-/bigram-sized); after the two count shuffles
+    * everything is broadcast joins — the unigram table onto the bigram
+    * side, the corpus totals as a 1-row broadcast. Output: a, b, n
+    * (bigram count), pmi (round 6, computed in one double expression for
+    * cross-engine determinism). */
   def collocations(df: org.apache.spark.sql.DataFrame, textCol: String,
       minCount: Long): org.apache.spark.sql.DataFrame = {
     val toks = df.select(TextOps.tokens(col(textCol)).as("t"))
+    // both count tables feed the totals aggregation AND the joins below;
+    // materialize them once (they are vocabulary-/bigram-sized, tiny next
+    // to the corpus) so the tokenize+explode+shuffle doesn't run twice —
+    // eager checkpoint, same shape as tfIdfTopK's tf working set
     val uni = toks.select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val bi = toks.select(explode(TextOps.wordNgrams(col("t"), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("n"))
       .withColumn("a", split(col("bg"), " ").getItem(0))
       .withColumn("b", split(col("bg"), " ").getItem(1))
+      .localCheckpoint(true)
     val totals = uni.agg(sum("c").as("nn"))
       .crossJoin(bi.agg(sum("n").as("m")))
     bi.filter(col("n") >= minCount)

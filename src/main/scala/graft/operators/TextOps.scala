@@ -99,9 +99,11 @@ object TextOps {
       .when(length(rawPath) > 1 && rawPath.endsWith("/"),
         rawPath.substr(lit(1), length(rawPath) - 1))
       .otherwise(rawPath)
-    // query params: drop tracking keys, keep original order of the rest
+    // query params: drop tracking keys AND empty segments (a trailing
+    // '?' or '&' must not make an equivalent URL a different dedup key),
+    // keep original order of the rest
     val kept = filter(split(part("QUERY"), "&"),
-      p => !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)(=|$)"))
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)(=|$)"))
     val queryPart = when(part("QUERY").isNull || size(kept) === 0, lit(""))
       .otherwise(concat(lit("?"), concat_ws("&", kept)))
     when(proto.isNull || authority.isNull, lit(null).cast("string"))

@@ -199,6 +199,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF"), s"chunking must stay codegen'd:\n$p")
   }
 
+  test("Hive MAPJOIN hint forces a broadcast join (ref HiveParser hint grammar)") {
+    // Hive's /*+ MAPJOIN(t) */ (ql/parse/HiveParser.g hintClause,
+    // ql/optimizer/MapJoinProcessor.java) is accepted verbatim: Spark's
+    // join-strategy hint resolver aliases MAPJOIN to BROADCAST. Disable
+    // size-based broadcasting so only the hint can produce the plan.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "-1")
+      Tables.register(spark, dir)
+      val hinted = spark.sql("""
+        SELECT /*+ MAPJOIN(nation) */ n_name, count(*) AS c
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name""")
+      hinted.collect()
+      val p = hinted.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"MAPJOIN hint ignored:\n$p")
+      // without the hint the same query plans a shuffle join
+      val bare = spark.sql("""
+        SELECT n_name, count(*) AS c
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name""")
+      bare.collect()
+      assert(!bare.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"), "control query should shuffle-join")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("prefix sum distributes: local windows per partition + tiny broadcast offsets") {
     import graft.operators.Packing
     val df = Packing.withTokensBefore(

@@ -87,6 +87,34 @@ class ScaleOpsSpec extends SparkSpec {
     assert(k10 == k10b)
   }
 
+  test("topKBatch matches per-query topKForId on every query") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, dir, "embeddings")
+    val batch = Similarity.topKBatch(emb, "vec_id", "embedding",
+        emb.filter($"vec_id" < 3), "vec_id", "embedding", k = 4)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq }
+    (0L until 3L).foreach { q =>
+      val single = Similarity.topKForId(emb, "vec_id", "embedding", q, 4)
+        .collect().map(_.getLong(0)).toSeq
+      assert(batch(q) == single, s"query $q")
+    }
+  }
+
+  test("groupSample: k per group, deterministic, subset of the group") {
+    val df = (0L until 300L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val s1 = Sampling.groupSample(df, "g", "id", 5, "s").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.length == 15)
+    assert(s1.groupBy(_._2).forall(_._2.length == 5))
+    s1.foreach { case (id, g) => assert(s"g${id % 3}" == g) }
+    val s2 = Sampling.groupSample(df.repartition(11), "g", "id", 5, "s")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.sorted.sameElements(s2.sorted))
+  }
+
   test("minhashAgainstIndex: copy of an indexed doc hits, novel doc doesn't") {
     import graft.operators.Dedup
     val corpus = Seq(
@@ -115,6 +143,9 @@ class ScaleOpsSpec extends SparkSpec {
       ("https://h.io?utm_campaign=z&ref=abc", "https://h.io/"),
       // root slash stays; fbclid/gclid dropped
       ("https://h.io/?fbclid=1&gclid=2", "https://h.io/"),
+      // trailing '?' and trailing '&' don't create distinct dedup keys
+      ("https://h.io/p?", "https://h.io/p"),
+      ("https://h.io/p?q=1&", "https://h.io/p?q=1"),
       ("not a url at all", null))
     val out = cases.map(_._1).toDF("u")
       .select(TextOps.canonicalUrl($"u")).collect().map(_.getString(0))
