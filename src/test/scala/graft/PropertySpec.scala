@@ -234,4 +234,28 @@ class JoinPropertySpec extends SparkSpec {
       assert(got == expect, s"width=$width: ${got.size} vs ${expect.size} pairs")
     }
   }
+
+  test("zBucketsFor ≡ brute-force bucket enumeration on random rects") {
+    import graft.operators.Layout
+    val bits = 4 // 16×16 grid, z in [0, 256)
+    def zOf(x: Long, y: Long): Long =
+      (0 until bits).foldLeft(0L) { (z, i) =>
+        z | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    for (trial <- 1 to 100) {
+      val bucketBits = 1 + rnd.nextInt(2 * bits) // 1..8
+      def range(): (Long, Long) = {
+        val a = rnd.nextInt(16).toLong; val b = rnd.nextInt(16).toLong
+        (math.min(a, b), math.max(a, b))
+      }
+      val (xr, yr) = (range(), range())
+      val expect = (for {
+        x <- xr._1 to xr._2
+        y <- yr._1 to yr._2
+      } yield zOf(x, y) >> (2 * bits - bucketBits)).distinct.sorted
+      val got = Layout.zBucketsFor(Seq(xr, yr), bits, bucketBits)
+      assert(got == expect,
+        s"trial $trial bb=$bucketBits xr=$xr yr=$yr: $got vs $expect")
+    }
+  }
 }

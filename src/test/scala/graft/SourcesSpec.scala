@@ -67,6 +67,38 @@ class SourcesSpec extends SparkSpec {
     assert(viaScalar == 3L)
   }
 
+  test("JSON corrupt rows: PERMISSIVE captures them, FAILFAST rejects (serde error tolerance)") {
+    // Hive's JsonSerDe raises/ignores malformed rows per
+    // ignore.malformed.json; the Spark-first equivalents are PERMISSIVE
+    // mode with a corrupt-record column (row preserved for triage) and
+    // FAILFAST (hard error)
+    val out = tmp("jsonbad")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out, "part-0.json"),
+      java.util.Arrays.asList(
+        """{"k": 1, "v": "good"}""",
+        """{"k": not valid json at all""",
+        """{"k": 3, "v": "also good"}"""))
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("_corrupt_record", StringType)))
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(out).cache()
+    try {
+      assert(permissive.count() == 3)
+      assert(permissive.filter($"_corrupt_record".isNotNull).count() == 1)
+      assert(permissive.filter($"_corrupt_record".isNull)
+        .agg(sum($"k")).collect().head.getLong(0) == 4L)
+      val failfast = intercept[org.apache.spark.SparkException] {
+        spark.read.schema(StructType(schema.dropRight(1)))
+          .option("mode", "FAILFAST").json(out).collect()
+      }
+      assert(failfast.getMessage.contains("FAILFAST") ||
+        failfast.getCause != null)
+    } finally { permissive.unpersist(); () }
+  }
+
   test("RegexSerDe equivalent: regexp_extract over text lines") {
     val out = tmp("rx")
     Seq("2024-01-01 ERROR something bad", "2024-01-02 INFO all good")
