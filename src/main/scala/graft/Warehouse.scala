@@ -211,4 +211,113 @@ object Warehouse {
     spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
     spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR ALL COLUMNS")
   }
+
+  private def tableLocation(spark: SparkSession, table: String): java.io.File = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    new java.io.File(
+      spark.sessionState.catalog.getTableMetadata(ident).location.getPath)
+  }
+
+  private def dataFiles(dir: java.io.File): Array[java.io.File] =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+
+  /** LOAD DATA INPATH 'src' [OVERWRITE] INTO TABLE t [PARTITION (...)] —
+    * Hive's file-MOVE ingestion (ql/exec/MoveTask.java, grammar
+    * HiveParser.g loadStatement): files are moved into the table (or
+    * partition) location WITHOUT being parsed or rewritten, so they must
+    * already be in the table's storage format; for a partition load they
+    * must not contain the partition columns (values come from the
+    * directory, Hive semantics). `src` may be a file or a directory of
+    * files (hidden/_ files skipped). */
+  def loadData(
+      spark: SparkSession,
+      src: String,
+      table: String,
+      overwrite: Boolean = false,
+      partition: Seq[(String, String)] = Nil): Unit = {
+    val dest = partition.foldLeft(tableLocation(spark, table)) {
+      case (d, (k, v)) => new java.io.File(d, s"$k=$v")
+    }
+    dest.mkdirs()
+    if (overwrite) dataFiles(dest).foreach(_.delete())
+    val srcFile = new java.io.File(src)
+    val files = if (srcFile.isDirectory) dataFiles(srcFile) else Array(srcFile)
+    files.foreach { f =>
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(dest, f.getName).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    if (partition.nonEmpty) {
+      val spec = partition.map { case (k, v) => s"$k='$v'" }.mkString(", ")
+      spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS PARTITION ($spec)")
+    }
+    spark.sql(s"REFRESH TABLE $table")
+  }
+
+  private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(from).iterator().asScala.foreach { p =>
+      val rel = from.relativize(p)
+      val t = to.resolve(rel)
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else if (!p.getFileName.toString.startsWith("_") &&
+               !p.getFileName.toString.startsWith("."))
+        java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** EXPORT TABLE t TO 'path' — data files plus a _metadata descriptor
+    * (schema / partition columns / bucket spec), the Hive EXPORT layout
+    * (ql/parse/ExportSemanticAnalyzer.java: _metadata + data/ subdir).
+    * File-level copy; nothing is decoded or rewritten. */
+  def exportTable(spark: SparkSession, table: String, path: String): Unit = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val out = new java.io.File(path)
+    require(!out.exists() || dataFiles(out).isEmpty && out.list().forall(
+      n => n == "data" || n == "_metadata"),
+      s"EXPORT target $path already exists and is not an export dir")
+    out.mkdirs()
+    val bucketLine = meta.bucketSpec
+      .map(b => s"${b.numBuckets}|${b.bucketColumnNames.mkString(",")}")
+      .getOrElse("")
+    java.nio.file.Files.write(
+      new java.io.File(out, "_metadata").toPath,
+      java.util.Arrays.asList(
+        meta.schema.json,
+        meta.partitionColumnNames.mkString(","),
+        bucketLine))
+    copyTree(new java.io.File(meta.location.getPath).toPath,
+      new java.io.File(out, "data").toPath)
+  }
+
+  /** IMPORT TABLE t FROM 'path' — recreate the table from an export:
+    * CREATE TABLE from the descriptor, file-copy the data into its
+    * location, then MSCK-register any partitions
+    * (ql/parse/ImportSemanticAnalyzer.java). */
+  def importTable(spark: SparkSession, table: String, path: String): Unit = {
+    val lines = java.nio.file.Files.readAllLines(
+      new java.io.File(path, "_metadata").toPath)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(lines.get(0))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val partCols = lines.get(1).split(",").filter(_.nonEmpty).toSeq
+    val bucket = Option(lines.get(2)).filter(_.nonEmpty).map { b =>
+      val Array(n, cols) = b.split("\\|", 2)
+      (n.toInt, cols.split(",").toSeq)
+    }
+    val partClause =
+      if (partCols.isEmpty) "" else s" PARTITIONED BY (${partCols.mkString(", ")})"
+    val bucketClause = bucket.map { case (n, cols) =>
+      s" CLUSTERED BY (${cols.mkString(", ")}) INTO $n BUCKETS"
+    }.getOrElse("")
+    spark.sql(s"CREATE TABLE $table (${schema.toDDL}) USING parquet" +
+      partClause + bucketClause)
+    copyTree(new java.io.File(path, "data").toPath,
+      tableLocation(spark, table).toPath)
+    if (partCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $table")
+    spark.sql(s"REFRESH TABLE $table")
+  }
 }

@@ -302,4 +302,65 @@ class WarehouseSpec extends SparkSpec {
     Warehouse.dropTable(spark, t)
     Warehouse.dropTable(spark, t2)
   }
+
+  test("LOAD DATA moves files into the table; OVERWRITE replaces them") {
+    val t = "wh_load"
+    Warehouse.dropTable(spark, t)
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Warehouse.createTable(base, t)
+    // stage two more rows as parquet files outside the warehouse
+    val stage = java.nio.file.Files.createTempDirectory("load").toString + "/in"
+    Seq((3L, "c"), (4L, "d")).toDF("id", "v")
+      .coalesce(1).write.parquet(stage)
+    Warehouse.loadData(spark, stage, t)
+    assert(spark.table(t).count() == 4)
+    // the staged files were MOVED, not copied (MoveTask semantics)
+    assert(!new java.io.File(stage).listFiles()
+      .exists(_.getName.endsWith(".parquet")))
+    val stage2 = java.nio.file.Files.createTempDirectory("load2").toString + "/in"
+    Seq((9L, "z")).toDF("id", "v").coalesce(1).write.parquet(stage2)
+    Warehouse.loadData(spark, stage2, t, overwrite = true)
+    val rows = spark.table(t).collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 9L)
+    Warehouse.dropTable(spark, t)
+  }
+
+  test("LOAD DATA into a PARTITION registers it and values come from the dir") {
+    val t = "wh_load_part"
+    Warehouse.dropTable(spark, t)
+    Warehouse.createTable(Seq((1L, "a", 2020)).toDF("id", "v", "yr"),
+      t, partitionBy = Seq("yr"))
+    // partition files must NOT contain the partition column
+    val stage = java.nio.file.Files.createTempDirectory("loadp").toString + "/in"
+    Seq((5L, "e"), (6L, "f")).toDF("id", "v").coalesce(1).write.parquet(stage)
+    Warehouse.loadData(spark, stage, t, partition = Seq("yr" -> "2021"))
+    val parts = spark.sql(s"SHOW PARTITIONS $t").collect().map(_.getString(0))
+    assert(parts.contains("yr=2021"), parts.mkString(","))
+    assert(spark.table(t).filter($"yr" === 2021).count() == 2)
+    assert(spark.table(t).count() == 3)
+    Warehouse.dropTable(spark, t)
+  }
+
+  test("EXPORT TABLE / IMPORT TABLE round-trips data, partitions and schema") {
+    val t = "wh_export_src"
+    val t2 = "wh_import_dst"
+    Warehouse.dropTable(spark, t)
+    Warehouse.dropTable(spark, t2)
+    val df = Seq((1L, "a", 2020), (2L, "b", 2020), (3L, "c", 2021))
+      .toDF("id", "v", "yr")
+    Warehouse.createTable(df, t, partitionBy = Seq("yr"))
+    val exp = java.nio.file.Files.createTempDirectory("exp").toString + "/t"
+    Warehouse.exportTable(spark, t, exp)
+    assert(new java.io.File(exp, "_metadata").exists())
+    Warehouse.importTable(spark, t2, exp)
+    assert(spark.table(t2).schema == spark.table(t).schema)
+    assert(Warehouse.partitionColumns(spark, t2) == Seq("yr"))
+    assert(spark.table(t2).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 3L))
+    // partitions registered, pruning-visible
+    val parts = spark.sql(s"SHOW PARTITIONS $t2").collect().map(_.getString(0))
+    assert(parts.toSet == Set("yr=2020", "yr=2021"))
+    Warehouse.dropTable(spark, t)
+    Warehouse.dropTable(spark, t2)
+  }
 }
