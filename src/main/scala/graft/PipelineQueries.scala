@@ -14,6 +14,11 @@ import graft.operators.{Curation, Decontaminate, Dedup, Multimodal, Similarity, 
 object PipelineQueries {
 
   // DuckDB token/shingle preamble shared by several oracles.
+  /** The shingle preamble with RECURSIVE enabled, for oracles that chain
+    * a recursive CTE after it (q148, q160). */
+  private[graft] def DUCK_SHINGLES_RECURSIVE: String =
+    DUCK_SHINGLES.replace("WITH ", "WITH RECURSIVE ")
+
   private val DUCK_SHINGLES = """
     WITH tok AS (
       SELECT doc_id, lang, source,

@@ -191,6 +191,72 @@ object ScaleQueries {
         .orderBy("lang", "doc_id")
     },
 
+    // -- per-host document cap (crawl diversity shaping): REAL host
+    //    extraction from planted URLs, then a deterministic fixed-k cap
+    //    per host via the bounded groupSample
+    dfQ("q159_host_cap", """
+      WITH u AS (
+        SELECT doc_id,
+          'www.example' || (doc_id % 5)::VARCHAR || '.com' AS host
+        FROM documents),
+      r AS (
+        SELECT doc_id, host, row_number() OVER (PARTITION BY host
+          ORDER BY ('0x' || substr(md5('h1:' || doc_id::VARCHAR), 1, 15))::BIGINT)
+          AS rn
+        FROM u)
+      SELECT doc_id, host FROM r WHERE rn <= 3
+      ORDER BY host, doc_id""") { (s, d) =>
+      val url = concat(lit("https://www.example"),
+        (col("doc_id") % 5).cast("string"), lit(".com/p/"),
+        col("doc_id").cast("string"))
+      val hosts = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          call_function("try_parse_url", url, lit("HOST")).as("host"))
+      Sampling.groupSample(hosts, "host", "doc_id", k = 3, seed = "h1")
+        .orderBy("host", "doc_id")
+    },
+
+    // -- keep-best cluster dedup: q148's exact-Jaccard clusters, but the
+    //    survivor is the highest-n_chars member (ties → smallest id) —
+    //    the curation policy that keeps the clean original over the
+    //    mangled scrape
+    dfQ("q160_dedup_keep_best",
+      graft.PipelineQueries.DUCK_SHINGLES_RECURSIVE + """
+      , pr AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a
+        JOIN sh b ON a.lang = b.lang AND a.source = b.source
+                 AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.02),
+      e AS (
+        SELECT id_a AS src, id_b AS dst FROM pr
+        UNION SELECT id_b, id_a FROM pr),
+      reach AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+      comp AS (
+        SELECT d.doc_id, d.n_chars,
+          least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS component
+        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        GROUP BY d.doc_id, d.n_chars),
+      k AS (
+        SELECT doc_id, row_number() OVER (PARTITION BY component
+          ORDER BY n_chars DESC, doc_id) AS rn
+        FROM comp)
+      SELECT doc_id FROM k WHERE rn = 1 ORDER BY doc_id""") { (s, d) =>
+      import graft.operators.Dedup
+      val docs = Tables.load(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        blockCols = Seq("lang", "source"), shingleSize = 3,
+        threshold = 0.02)
+      Dedup.dedupByClusterKeepBest(docs, "doc_id", pairs, "id_a", "id_b",
+          "n_chars")
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     // -- incremental dedup: a verbatim copy probed against a PRE-BUILT
     //    index must surface (exact copies share every band ⇒ recall 1 by
     //    construction), a novel doc must not; only the new batch is

@@ -368,4 +368,30 @@ object Dedup {
       comps.filter(col(idCol) === col("component")).select(idCol),
       Seq(idCol), "left_semi")
   }
+
+  /** Keep the BEST row per near-dup cluster — highest `scoreCol`, ties to
+    * the smallest id (fully deterministic) — instead of dedupByCluster's
+    * smallest-id keep. This is the production curation policy: when a
+    * cluster holds a clean original and a mangled scrape, keep the one the
+    * quality model scored higher. One min_by aggregate over the
+    * (component, id, score) table; same single extra shuffle as the
+    * canonical variant. */
+  def dedupByClusterKeepBest(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      scoreCol: String): DataFrame = {
+    val comps = connectedComponents(df, idCol, pairs, aCol, bCol)
+    val keep = df.select(col(idCol), col(scoreCol))
+      .join(comps, idCol)
+      .groupBy("component")
+      // min over (-score, id): highest score wins, equal scores keep the
+      // smallest id — deterministic under any merge order
+      .agg(min_by(col(idCol),
+        struct((-col(scoreCol)).as("_ns"), col(idCol).as("_id"))).as(idCol))
+      .select(idCol)
+    df.join(keep, Seq(idCol), "left_semi")
+  }
 }

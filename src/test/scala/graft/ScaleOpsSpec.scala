@@ -132,6 +132,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!hits.exists(_._1 == 11L))
   }
 
+  test("dedupByClusterKeepBest keeps the highest score, ties to smallest id") {
+    import graft.operators.Dedup
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (5L, 7L), (7L, 1L), (8L, 2L))
+      .toDF("id", "score")
+    // cluster {1,2,3} (chain), cluster {7,8}, 5 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByClusterKeepBest(docs, "id", pairs, "id_a", "id_b", "score")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // {1,2,3}: max score 30 tie between 2 and 3 → 2; {7,8}: 8 has score 2
+    assert(kept == Seq(2L, 5L, 8L))
+  }
+
   test("canonicalUrl edge cases") {
     val cases = Seq(
       // default port + tracking params + fragment all normalized away
