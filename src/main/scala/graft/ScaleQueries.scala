@@ -257,6 +257,48 @@ object ScaleQueries {
         .orderBy("doc_id")
     },
 
+    // -- HTML -> text: the engine strips REAL markup (script/comment/tag
+    //    removal + entity decode) planted around the corpus text; the
+    //    oracle recomputes the expected clean text arithmetically
+    dfQ("q161_strip_html", """
+      SELECT doc_id,
+        trim(regexp_replace(
+          'Title&' || (doc_id % 7)::VARCHAR || ' ' || text,
+          '\s+', ' ', 'g')) AS clean
+      FROM documents ORDER BY doc_id""") { (s, d) =>
+      val html = concat(
+        lit("<html><!-- nav --><script>var x=1;</script><h1>Title&amp;"),
+        (col("doc_id") % 7).cast("string"),
+        lit("</h1><p class=\"b\">"), col("text"), lit("</p>&nbsp;</html>"))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), TextOps.stripHtml(html).as("clean"))
+        .orderBy("doc_id")
+    },
+
+    // -- dataset diff: compare two pipeline outputs by key without any
+    //    driver-side collect; planted removals/changes/additions are
+    //    recovered exactly
+    dfQ("q162_dataset_diff", """
+      WITH st AS (
+        SELECT CASE WHEN doc_id % 97 = 0 THEN 'removed'
+                    WHEN doc_id % 101 = 0 THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM documents)
+      SELECT status, count(*) AS n FROM st GROUP BY status
+      UNION ALL SELECT 'added', 5
+      ORDER BY status""") { (s, d) =>
+      import graft.operators.Diff
+      val a = Tables.load(s, d, "documents")
+      val added = a.filter(col("doc_id") < 5)
+        .withColumn("doc_id", col("doc_id") + 9000000L)
+      val b = a.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(101)) === 0,
+            concat(lit("MODIFIED "), col("text"))).otherwise(col("text")))
+        .unionByName(added)
+      Diff.diffSummary(a, b, Seq("doc_id")).orderBy("status")
+    },
+
     // -- incremental dedup: a verbatim copy probed against a PRE-BUILT
     //    index must surface (exact copies share every band ⇒ recall 1 by
     //    construction), a novel doc must not; only the new batch is

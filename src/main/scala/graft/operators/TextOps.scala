@@ -110,6 +110,26 @@ object TextOps {
       .otherwise(concat(proto, lit("://"), hostPart, path, queryPart))
   }
 
+  /** HTML -> text cleanup for crawled corpora: script/style blocks
+    * dropped whole, comments dropped, every remaining tag removed, the
+    * predefined named entities unescaped (&amp; LAST, so "&amp;lt;"
+    * yields the literal text "&lt;"), whitespace collapsed. Pure
+    * codegen'd regexp expressions: per-row, no UDF, no shuffle. Not a
+    * browser: malformed nesting degrades to leftover text, never an
+    * error; numeric character references pass through untouched. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val decoded = Seq("quot" -> "\"", "apos" -> "'", "lt" -> "<",
+      "gt" -> ">", "nbsp" -> " ", "amp" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) =>
+        regexp_replace(c, s"&$e;", java.util.regex.Matcher.quoteReplacement(r))
+      }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

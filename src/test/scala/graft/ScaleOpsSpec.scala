@@ -144,6 +144,39 @@ class ScaleOpsSpec extends SparkSpec {
     assert(kept == Seq(2L, 5L, 8L))
   }
 
+  test("stripHtml: tags/scripts/comments out, entities decoded, ws collapsed") {
+    val cases = Seq(
+      ("<p>Hello <b>world</b></p>", "Hello world"),
+      ("<script>var x = '<p>';</script>text<style>a{}</style>", "text"),
+      ("<!-- hidden -->shown", "shown"),
+      ("a &lt;tag&gt; &amp; &quot;q&quot; &nbsp; b", "a <tag> & \"q\" b"),
+      // &amp;lt; is the literal text "&lt;", not "<"
+      ("x &amp;lt; y", "x &lt; y"),
+      ("no markup at all", "no markup at all"),
+      ("  <div>\n\n  spaced \t out </div> ", "spaced out"))
+    val out = cases.map(_._1).toDF("h")
+      .select(graft.operators.TextOps.stripHtml($"h"))
+      .collect().map(_.getString(0))
+    cases.map(_._2).zip(out).foreach { case (want, got) =>
+      assert(got == want, s"want [$want] got [$got]")
+    }
+  }
+
+  test("datasetDiff classifies added/removed/changed/unchanged per key") {
+    import graft.operators.Diff
+    val a = Seq((1L, "x", 10), (2L, "y", 20), (3L, "z", 30)).toDF("id", "v", "n")
+    val b = Seq((2L, "y", 20), (3L, "z", 31), (4L, "w", 40)).toDF("id", "v", "n")
+    val st = Diff.datasetDiff(a, b, Seq("id")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    // NULL non-key values compare null-safely (NULL == NULL is unchanged)
+    val an = Seq((1L, null.asInstanceOf[String])).toDF("id", "v")
+    val bn = Seq((1L, null.asInstanceOf[String])).toDF("id", "v")
+    assert(Diff.datasetDiff(an, bn, Seq("id")).collect()
+      .head.getString(1) == "unchanged")
+  }
+
   test("canonicalUrl edge cases") {
     val cases = Seq(
       // default port + tracking params + fragment all normalized away
