@@ -73,4 +73,77 @@ object GraftSession {
 
   def pager(df: DataFrame, pageSize: Int = 1000): ResultPager =
     new ResultPager(df, pageSize)
+
+  // -- HiveQL statement front door -----------------------------------
+  // The statement forms Hive 1.2 accepts but Spark's parser does not
+  // (grammar: ql/parse/HiveParser.g loadStatement, exportStatement,
+  // importStatement, updateStatement, deleteStatement, createMacro) are
+  // recognized here and routed to their graft implementations; anything
+  // else goes straight to spark.sql. Statement-level regex routing, same
+  // approach as Macros.sql: simple identifiers and single-quoted paths,
+  // the shapes Hive's own grammar produces.
+
+  private val LoadRe =
+    """(?is)\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+'([^']+)'\s+(OVERWRITE\s+)?INTO\s+TABLE\s+([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\))?\s*""".r
+  private val ExportRe =
+    """(?is)\s*EXPORT\s+TABLE\s+([\w.]+)\s+TO\s+'([^']+)'\s*""".r
+  private val ImportRe =
+    """(?is)\s*IMPORT\s+TABLE\s+([\w.]+)\s+FROM\s+'([^']+)'\s*""".r
+  private val UpdateRe =
+    """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?\s*""".r
+  private val DeleteRe =
+    """(?is)\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+))?\s*""".r
+  private val MacroRe = """(?is)\s*(?:CREATE|DROP)\s+TEMPORARY\s+MACRO\b.*""".r
+
+  private def parsePartitionSpec(spec: String): Seq[(String, String)] =
+    spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { kv =>
+      val Array(k, v) = kv.split("=", 2).map(_.trim)
+      k -> v.stripPrefix("'").stripSuffix("'")
+    }
+
+  /** Split `a = e1, b = e2` on top-level commas; each assignment splits
+    * on its FIRST '=' (column names are simple identifiers, so an '='
+    * inside the expression never comes first). */
+  private def parseSetClause(s: String): Map[String, String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case c @ ('(' | '[') => depth += 1; cur += c
+      case c @ (')' | ']') => depth -= 1; cur += c
+      case ',' if depth == 0 => parts += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    parts += cur.result()
+    parts.map(_.trim).filter(_.nonEmpty).map { a =>
+      val Array(c, e) = a.split("=", 2).map(_.trim)
+      require(c.matches("""[\w.]+"""), s"bad SET column: $c")
+      c -> e
+    }.toMap
+  }
+
+  /** HiveQL front door: Hive-only statement forms are routed to graft
+    * implementations, everything else to `spark.sql`. DDL-style routes
+    * return an empty DataFrame (like Hive's no-result statements). */
+  def sql(spark: SparkSession, stmt: String): DataFrame = stmt match {
+    case MacroRe() =>
+      functions.Macros.sql(spark, stmt); spark.emptyDataFrame
+    case LoadRe(path, overwrite, table, partSpec) =>
+      Warehouse.loadData(spark, path, table,
+        overwrite = overwrite != null,
+        partition = Option(partSpec).map(parsePartitionSpec).getOrElse(Nil))
+      spark.emptyDataFrame
+    case ExportRe(table, path) =>
+      Warehouse.exportTable(spark, table, path); spark.emptyDataFrame
+    case ImportRe(table, path) =>
+      Warehouse.importTable(spark, table, path); spark.emptyDataFrame
+    case UpdateRe(table, sets, where) =>
+      Warehouse.update(spark, table, parseSetClause(sets),
+        Option(where).getOrElse("true"))
+      spark.emptyDataFrame
+    case DeleteRe(table, where) =>
+      Warehouse.delete(spark, table, Option(where).getOrElse("true"))
+      spark.emptyDataFrame
+    case other => spark.sql(other)
+  }
 }

@@ -88,4 +88,46 @@ class GraftSessionSpec extends SparkSpec {
     assert(r.getInt(4) == 2, "pmod is positive (Hive semantics)")
     assert(r.getBoolean(5) && r.getBoolean(6))
   }
+
+  test("HiveQL front door routes Hive-only statement forms end-to-end") {
+    import spark.implicits._
+    val t = "gs_frontdoor"
+    Warehouse.dropTable(spark, t)
+    Warehouse.createTable(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)
+
+    // LOAD DATA INPATH (file move)
+    val stage = java.nio.file.Files.createTempDirectory("fd").toString + "/in"
+    Seq((3L, "c")).toDF("id", "v").coalesce(1).write.parquet(stage)
+    GraftSession.sql(spark, s"LOAD DATA INPATH '$stage' INTO TABLE $t")
+    assert(spark.table(t).count() == 3)
+
+    // UPDATE ... SET ... WHERE
+    GraftSession.sql(spark, s"UPDATE $t SET v = upper(v) WHERE id >= 2")
+    val vs = spark.table(t).orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(vs == Seq("a", "B", "C"))
+
+    // DELETE FROM ... WHERE
+    GraftSession.sql(spark, s"DELETE FROM $t WHERE id = 1")
+    assert(spark.table(t).count() == 2)
+
+    // EXPORT / IMPORT round-trip
+    val exp = java.nio.file.Files.createTempDirectory("fdexp").toString + "/t"
+    GraftSession.sql(spark, s"EXPORT TABLE $t TO '$exp'")
+    val t2 = "gs_frontdoor2"
+    Warehouse.dropTable(spark, t2)
+    GraftSession.sql(spark, s"IMPORT TABLE $t2 FROM '$exp'")
+    assert(spark.table(t2).count() == 2)
+
+    // TEMPORARY MACRO through the same door
+    GraftSession.sql(spark,
+      "CREATE TEMPORARY MACRO fd_double(x BIGINT) x * 2")
+    assert(GraftSession.sql(spark, s"SELECT fd_double(id) FROM $t2 WHERE id = 2")
+      .collect().head.getLong(0) == 4L)
+    GraftSession.sql(spark, "DROP TEMPORARY MACRO fd_double")
+
+    // plain SQL still flows through
+    assert(GraftSession.sql(spark, "SELECT 40 + 2").collect().head.getInt(0) == 42)
+    Warehouse.dropTable(spark, t)
+    Warehouse.dropTable(spark, t2)
+  }
 }
