@@ -299,6 +299,44 @@ object ScaleQueries {
       Diff.diffSummary(a, b, Seq("doc_id")).orderBy("status")
     },
 
+    // -- REAL audio content decode: planted canonical PCM16 WAVs whose
+    //    sample values derive from the key; the engine folds count/peak/
+    //    energy from the actual bytes, the oracle recomputes them
+    //    arithmetically from the generating formula
+    dfQ("q163_wav_pcm", """
+      WITH s AS (
+        SELECT o_orderkey AS id, unnest(range(0, 8)) AS i
+        FROM orders WHERE o_orderkey < 100),
+      v AS (SELECT id, (id * 31 + i * 7) % 4096 AS val FROM s)
+      SELECT id, count(*)::INT AS n_samples, max(val)::INT AS peak,
+        sum(val * val)::BIGINT AS sum_sq,
+        round(sqrt(sum(val * val)::DOUBLE / count(*)), 6) AS rms
+      FROM v GROUP BY id ORDER BY id""") { (s, d) =>
+      def le16hex(c: org.apache.spark.sql.Column) = {
+        val h = lpad(hex(c.cast("int")), 4, "0")
+        concat(substring(h, 3, 2), substring(h, 1, 2))
+      }
+      // canonical 44-byte mono PCM16 header @8kHz + 8 planted samples
+      val header = "52494646" + "34000000" + "57415645" + "666D7420" +
+        "10000000" + "0100" + "0100" + "401F0000" + "803E0000" + "0200" +
+        "1000" + "64617461" + "10000000"
+      val samples = (0 until 8).map(i =>
+        le16hex((col("o_orderkey") * 31 + i * 7) % 4096))
+      val wav = unhex(concat((lit(header) +: samples): _*))
+      val planted = Tables.load(s, d, "orders")
+        .filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey").as("id"), wav.as("payload"))
+      planted
+        .select(col("id"),
+          graft.operators.Multimodal.wavPcm16Stats(col("payload")).as("st"))
+        .select(col("id"),
+          col("st.n_samples").as("n_samples"), col("st.peak").as("peak"),
+          col("st.sum_sq").as("sum_sq"),
+          round(sqrt(col("st.sum_sq").cast("double") / col("st.n_samples")), 6)
+            .as("rms"))
+        .orderBy("id")
+    },
+
     // -- incremental dedup: a verbatim copy probed against a PRE-BUILT
     //    index must surface (exact copies share every band ⇒ recall 1 by
     //    construction), a novel doc must not; only the new batch is

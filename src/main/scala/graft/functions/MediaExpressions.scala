@@ -51,3 +51,49 @@ case class JpegDims(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** wav_pcm16_stats(binary) → struct<n_samples:int, peak:int, sum_sq:bigint>
+  * | null — REAL audio content decode: iterates the PCM16LE sample words
+  * after the canonical 44-byte RIFF/WAVE header and folds count, peak
+  * |amplitude| and the sum of squared samples (integer math only, so the
+  * result is bit-deterministic under any partitioning; derive RMS/dBFS
+  * from sum_sq in query space). Null for non-WAV payloads and for
+  * non-PCM16 encodings (audioFormat != 1 or bitsPerSample != 16). One
+  * bounded pass over the payload bytes, no library, no copy. */
+case class WavPcm16Stats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("peak", IntegerType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    @inline def u(i: Int): Int = b(i) & 0xff
+    @inline def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
+    if (b.length < 44) return null
+    if (!(u(0) == 'R' && u(1) == 'I' && u(2) == 'F' && u(3) == 'F' &&
+          u(8) == 'W' && u(9) == 'A' && u(10) == 'V' && u(11) == 'E'))
+      return null
+    if (le16(20) != 1 || le16(34) != 16) return null // PCM16 only
+    var i = 44
+    var n = 0
+    var peak = 0
+    var sumSq = 0L
+    while (i + 1 < b.length) {
+      val s = (b(i + 1) << 8) | u(i) // sign carried by the high byte
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      sumSq += s.toLong * s
+      n += 1
+      i += 2
+    }
+    new GenericInternalRow(Array[Any](n, peak, sumSq))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

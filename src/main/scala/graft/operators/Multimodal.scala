@@ -90,6 +90,15 @@ object Multimodal {
       .otherwise(lit(0L))
   }
 
+  /** REAL audio content features: PCM16 sample count / peak / sum of
+    * squares from the payload bytes (graft.functions.WavPcm16Stats);
+    * null for non-WAV or non-PCM16 rows. Derive RMS as
+    * sqrt(sum_sq / n_samples) in query space. */
+  def wavPcm16Stats(bin: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    toCol(graft.functions.WavPcm16Stats(toExpr(bin)))
+  }
+
   /** Wrap a (id, binary) DataFrame into the canonical media schema.
     * Recognized headers (PNG, GIF, JPEG, BMP, WAV) are decoded for
     * real; anything else gets the stub metadata — one pass of codegen'd

@@ -161,6 +161,35 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).getAs[Long]("durationMs") == 250L)
   }
 
+  test("real PCM16 content decode: count/peak/energy incl. negative samples") {
+    def pcmWav(samples: Seq[Int]): Array[Byte] = {
+      val base = wavBytes(8000, 1, samples.length * 2)
+      val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(base, 0, 44)
+      samples.foreach(v => bb.putShort(v.toShort))
+      bb.array()
+    }
+    val samples = Seq(1000, -1000, -32768, 32767, 0)
+    val floatFmt = {
+      val b = pcmWav(Seq(1, 2)); b(20) = 3; b // audioFormat=3 (IEEE float)
+    }
+    val df = Seq(
+      (1L, pcmWav(samples)),
+      (2L, floatFmt),
+      (3L, "not audio".getBytes("US-ASCII"))).toDF("id", "payload")
+    val out = df.select($"id",
+        Multimodal.wavPcm16Stats($"payload").as("st"))
+      .orderBy("id").collect()
+    val st = out(0).getStruct(1)
+    assert(st.getInt(0) == 5)
+    assert(st.getInt(1) == 32768) // |−32768| — peak must not wrap
+    assert(st.getLong(2) ==
+      samples.map(v => v.toLong * v).sum)
+    assert(out(1).isNullAt(1), "non-PCM16 format must be null, not garbage")
+    assert(out(2).isNullAt(1))
+  }
+
   test("non-PNG/WAV payloads still get deterministic stub metadata") {
     val out = Multimodal.withDecodedMeta(bin, "id", "payload", "image")
       .select($"meta.mimeType").distinct().collect().map(_.getString(0))

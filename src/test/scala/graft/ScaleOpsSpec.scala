@@ -42,6 +42,16 @@ class ScaleOpsSpec extends SparkSpec {
     assert(idx("gamma") == ((1L, Seq(3L))))
   }
 
+  test("invertedIndex plans two-phase min_k (map-side partial, no full buffering)") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val idx = TextAnalysis.invertedIndex(docs, "doc_id", "text", 10)
+    idx.collect()
+    val p = idx.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final ObjectHashAggregate pair:\n$p")
+    assert(p.contains("partial_"), s"no partial aggregation phase:\n$p")
+  }
+
   test("collocations PMI matches hand computation") {
     val docs = Seq("a b", "a b", "a c").toDF("text")
     val rows = TextAnalysis.collocations(docs, "text", minCount = 1)
