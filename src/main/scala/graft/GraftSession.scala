@@ -84,13 +84,13 @@ object GraftSession {
   // the shapes Hive's own grammar produces.
 
   private val LoadRe =
-    """(?is)\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+'([^']+)'\s+(OVERWRITE\s+)?INTO\s+TABLE\s+([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\))?\s*""".r
+    """(?is)\s*LOAD\s+DATA\s+(LOCAL\s+)?INPATH\s+'([^']+)'\s+(OVERWRITE\s+)?INTO\s+TABLE\s+([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\))?\s*""".r
   private val ExportRe =
     """(?is)\s*EXPORT\s+TABLE\s+([\w.]+)\s+TO\s+'([^']+)'\s*""".r
   private val ImportRe =
     """(?is)\s*IMPORT\s+TABLE\s+([\w.]+)\s+FROM\s+'([^']+)'\s*""".r
   private val UpdateRe =
-    """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?\s*""".r
+    """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.+)""".r
   private val DeleteRe =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+))?\s*""".r
   private val MacroRe = """(?is)\s*(?:CREATE|DROP)\s+TEMPORARY\s+MACRO\b.*""".r
@@ -101,49 +101,95 @@ object GraftSession {
       k -> v.stripPrefix("'").stripSuffix("'")
     }
 
-  /** Split `a = e1, b = e2` on top-level commas; each assignment splits
-    * on its FIRST '=' (column names are simple identifiers, so an '='
-    * inside the expression never comes first). */
-  private def parseSetClause(s: String): Map[String, String] = {
-    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
-    val cur = new StringBuilder
+  /** Scan `s` tracking paren depth and single-quoted SQL string literals
+    * ('' = escaped quote inside a literal), calling `f(char, index,
+    * atTopLevel)` for every character. The shared walker for the SET/
+    * WHERE splits — a comma or WHERE inside a string literal must not
+    * split the statement. */
+  private def scanTopLevel(s: String)(f: (Char, Int, Boolean) => Unit): Unit = {
     var depth = 0
-    s.foreach {
-      case c @ ('(' | '[') => depth += 1; cur += c
-      case c @ (')' | ']') => depth -= 1; cur += c
-      case ',' if depth == 0 => parts += cur.result(); cur.clear()
-      case c => cur += c
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        f(c, i, false)
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') {
+            i += 1; f('\'', i, false) // '' = escaped quote, stay in string
+          } else inStr = false
+        }
+      } else c match {
+        case '\'' => inStr = true; f(c, i, false)
+        case '(' | '[' => depth += 1; f(c, i, false)
+        case ')' | ']' => depth -= 1; f(c, i, false)
+        case _ => f(c, i, depth == 0)
+      }
+      i += 1
     }
-    parts += cur.result()
-    parts.map(_.trim).filter(_.nonEmpty).map { a =>
-      val Array(c, e) = a.split("=", 2).map(_.trim)
-      require(c.matches("""[\w.]+"""), s"bad SET column: $c")
-      c -> e
-    }.toMap
+  }
+
+  /** Split the text after SET into (assignments, optional WHERE clause):
+    * the WHERE keyword counts only at top level, outside string literals. */
+  private def splitSetWhere(s: String): (String, Option[String]) = {
+    var cut = -1
+    scanTopLevel(s) { (c, i, top) =>
+      if (cut < 0 && top && (c == 'w' || c == 'W') &&
+          i + 5 <= s.length &&
+          s.substring(i, i + 5).equalsIgnoreCase("where") &&
+          (i == 0 || s.charAt(i - 1).isWhitespace) &&
+          (i + 5 == s.length || s.charAt(i + 5).isWhitespace))
+        cut = i
+    }
+    if (cut < 0) (s.trim, None)
+    else (s.substring(0, cut).trim, Some(s.substring(cut + 5).trim))
+  }
+
+  /** Split `a = e1, b = e2` on top-level commas (quote- and paren-aware);
+    * each assignment splits on its FIRST '=' (column names are simple
+    * identifiers, so an '=' inside the expression never comes first). */
+  private def parseSetClause(s: String): Map[String, String] = {
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    scanTopLevel(s) { (c, i, top) => if (top && c == ',') cuts += i }
+    val bounds = (-1 +: cuts.toSeq) :+ s.length
+    bounds.sliding(2).map { case Seq(a, b) => s.substring(a + 1, b) }
+      .map(_.trim).filter(_.nonEmpty).map { a =>
+        require(a.contains("="), s"bad SET assignment: $a")
+        val Array(c, e) = a.split("=", 2).map(_.trim)
+        require(c.matches("""[\w.]+"""), s"bad SET column: $c")
+        c -> e
+      }.toMap
   }
 
   /** HiveQL front door: Hive-only statement forms are routed to graft
     * implementations, everything else to `spark.sql`. DDL-style routes
-    * return an empty DataFrame (like Hive's no-result statements). */
-  def sql(spark: SparkSession, stmt: String): DataFrame = stmt match {
-    case MacroRe() =>
-      functions.Macros.sql(spark, stmt); spark.emptyDataFrame
-    case LoadRe(path, overwrite, table, partSpec) =>
-      Warehouse.loadData(spark, path, table,
-        overwrite = overwrite != null,
-        partition = Option(partSpec).map(parsePartitionSpec).getOrElse(Nil))
-      spark.emptyDataFrame
-    case ExportRe(table, path) =>
-      Warehouse.exportTable(spark, table, path); spark.emptyDataFrame
-    case ImportRe(table, path) =>
-      Warehouse.importTable(spark, table, path); spark.emptyDataFrame
-    case UpdateRe(table, sets, where) =>
-      Warehouse.update(spark, table, parseSetClause(sets),
-        Option(where).getOrElse("true"))
-      spark.emptyDataFrame
-    case DeleteRe(table, where) =>
-      Warehouse.delete(spark, table, Option(where).getOrElse("true"))
-      spark.emptyDataFrame
-    case other => spark.sql(other)
-  }
+    * return an empty DataFrame (like Hive's no-result statements).
+    * Trailing semicolons (standard in HiveQL scripts) are stripped. */
+  def sql(spark: SparkSession, stmt: String): DataFrame =
+    stmt.replaceAll(";+\\s*$", "") match {
+      case MacroRe() =>
+        functions.Macros.sql(spark, stmt.replaceAll(";+\\s*$", ""))
+        spark.emptyDataFrame
+      case LoadRe(local, path, overwrite, table, partSpec) =>
+        // LOCAL INPATH copies and preserves the user's source files;
+        // plain INPATH has Hive's move semantics
+        Warehouse.loadData(spark, path, table,
+          overwrite = overwrite != null,
+          partition = Option(partSpec).map(parsePartitionSpec).getOrElse(Nil),
+          move = local == null)
+        spark.emptyDataFrame
+      case ExportRe(table, path) =>
+        Warehouse.exportTable(spark, table, path); spark.emptyDataFrame
+      case ImportRe(table, path) =>
+        Warehouse.importTable(spark, table, path); spark.emptyDataFrame
+      case UpdateRe(table, rest) =>
+        val (sets, where) = splitSetWhere(rest)
+        Warehouse.update(spark, table, parseSetClause(sets),
+          where.getOrElse("true"))
+        spark.emptyDataFrame
+      case DeleteRe(table, where) =>
+        Warehouse.delete(spark, table, Option(where).getOrElse("true"))
+        spark.emptyDataFrame
+      case other => spark.sql(other)
+    }
 }

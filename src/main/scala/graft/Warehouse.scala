@@ -236,7 +236,15 @@ object Warehouse {
       src: String,
       table: String,
       overwrite: Boolean = false,
-      partition: Seq[(String, String)] = Nil): Unit = {
+      partition: Seq[(String, String)] = Nil,
+      move: Boolean = true): Unit = {
+    // files moved to the root of a catalog-partitioned table are invisible
+    // to every query — reject like Hive ("need to specify partition columns")
+    // instead of silently dropping the data
+    val partCols = partitionColumns(spark, table)
+    require(partCols.isEmpty || partition.nonEmpty,
+      s"LOAD DATA into partitioned table $table needs a PARTITION " +
+        s"(${partCols.mkString(", ")}) spec")
     val dest = partition.foldLeft(tableLocation(spark, table)) {
       case (d, (k, v)) => new java.io.File(d, s"$k=$v")
     }
@@ -245,9 +253,13 @@ object Warehouse {
     val srcFile = new java.io.File(src)
     val files = if (srcFile.isDirectory) dataFiles(srcFile) else Array(srcFile)
     files.foreach { f =>
-      java.nio.file.Files.move(f.toPath,
-        new java.io.File(dest, f.getName).toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val t = new java.io.File(dest, f.getName).toPath
+      if (move)
+        java.nio.file.Files.move(f.toPath, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      else
+        java.nio.file.Files.copy(f.toPath, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     if (partition.nonEmpty) {
       val spec = partition.map { case (k, v) => s"$k='$v'" }.mkString(", ")
@@ -258,7 +270,8 @@ object Warehouse {
 
   private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(from).iterator().asScala.foreach { p =>
+    val walk = java.nio.file.Files.walk(from)
+    try walk.iterator().asScala.foreach { p =>
       val rel = from.relativize(p)
       val t = to.resolve(rel)
       if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
@@ -266,7 +279,7 @@ object Warehouse {
                !p.getFileName.toString.startsWith("."))
         java.nio.file.Files.copy(p, t,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    } finally walk.close()
   }
 
   /** EXPORT TABLE t TO 'path' — data files plus a _metadata descriptor
@@ -277,9 +290,12 @@ object Warehouse {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
     val out = new java.io.File(path)
-    require(!out.exists() || dataFiles(out).isEmpty && out.list().forall(
-      n => n == "data" || n == "_metadata"),
-      s"EXPORT target $path already exists and is not an export dir")
+    // Hive refuses a non-empty export target; an overwrite-merge would
+    // silently union stale part files (different UUID names) into the
+    // export, so strictness is the only safe semantics
+    if (out.exists())
+      require(out.isDirectory && Option(out.list()).exists(_.isEmpty),
+        s"EXPORT target $path already exists and is not empty")
     out.mkdirs()
     val bucketLine = meta.bucketSpec
       .map(b => s"${b.numBuckets}|${b.bucketColumnNames.mkString(",")}")
@@ -289,7 +305,8 @@ object Warehouse {
       java.util.Arrays.asList(
         meta.schema.json,
         meta.partitionColumnNames.mkString(","),
-        bucketLine))
+        bucketLine,
+        meta.provider.getOrElse("parquet")))
     copyTree(new java.io.File(meta.location.getPath).toPath,
       new java.io.File(out, "data").toPath)
   }
@@ -308,12 +325,16 @@ object Warehouse {
       val Array(n, cols) = b.split("\\|", 2)
       (n.toInt, cols.split(",").toSeq)
     }
+    // the descriptor records the source provider — recreating an ORC
+    // export USING parquet would make every read throw on the copied files
+    val provider =
+      if (lines.size() > 3 && lines.get(3).nonEmpty) lines.get(3) else "parquet"
     val partClause =
       if (partCols.isEmpty) "" else s" PARTITIONED BY (${partCols.mkString(", ")})"
     val bucketClause = bucket.map { case (n, cols) =>
       s" CLUSTERED BY (${cols.mkString(", ")}) INTO $n BUCKETS"
     }.getOrElse("")
-    spark.sql(s"CREATE TABLE $table (${schema.toDDL}) USING parquet" +
+    spark.sql(s"CREATE TABLE $table (${schema.toDDL}) USING $provider" +
       partClause + bucketClause)
     copyTree(new java.io.File(path, "data").toPath,
       tableLocation(spark, table).toPath)

@@ -53,11 +53,13 @@ case class JpegDims(child: Expression)
 }
 
 /** wav_pcm16_stats(binary) → struct<n_samples:int, peak:int, sum_sq:bigint>
-  * | null — REAL audio content decode: iterates the PCM16LE sample words
-  * after the canonical 44-byte RIFF/WAVE header and folds count, peak
-  * |amplitude| and the sum of squared samples (integer math only, so the
-  * result is bit-deterministic under any partitioning; derive RMS/dBFS
-  * from sum_sq in query space). Null for non-WAV payloads and for
+  * | null — REAL audio content decode: walks the RIFF chunk chain to the
+  * fmt and data chunks (LIST/INFO/fact chunks and extended fmt sizes are
+  * routine in real recorder output, so nothing sits at a fixed offset),
+  * then folds count, peak |amplitude| and the sum of squared samples
+  * over EXACTLY the data chunk's PCM16LE words (integer math only, so
+  * the result is bit-deterministic under any partitioning; derive
+  * RMS/dBFS from sum_sq in query space). Null for non-WAV payloads and
   * non-PCM16 encodings (audioFormat != 1 or bitsPerSample != 16). One
   * bounded pass over the payload bytes, no library, no copy. */
 case class WavPcm16Stats(child: Expression)
@@ -74,16 +76,38 @@ case class WavPcm16Stats(child: Expression)
     val b = input.asInstanceOf[Array[Byte]]
     @inline def u(i: Int): Int = b(i) & 0xff
     @inline def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
+    @inline def le32(i: Int): Long =
+      le16(i).toLong | (le16(i + 2).toLong << 16)
+    @inline def id4(i: Int, s: String): Boolean =
+      u(i) == s.charAt(0) && u(i + 1) == s.charAt(1) &&
+        u(i + 2) == s.charAt(2) && u(i + 3) == s.charAt(3)
     if (b.length < 44) return null
-    if (!(u(0) == 'R' && u(1) == 'I' && u(2) == 'F' && u(3) == 'F' &&
-          u(8) == 'W' && u(9) == 'A' && u(10) == 'V' && u(11) == 'E'))
-      return null
-    if (le16(20) != 1 || le16(34) != 16) return null // PCM16 only
-    var i = 44
+    if (!(id4(0, "RIFF") && id4(8, "WAVE"))) return null
+    // walk the chunk chain: real files carry LIST/INFO/fact chunks and
+    // extended fmt sizes, so nothing sits at a fixed offset past byte 12.
+    // Decoding to EOF without honoring the data-chunk size would fold
+    // trailing metadata bytes into the "samples".
+    var pos = 12
+    var fmtPos = -1
+    var dataPos = -1
+    var dataLen = 0L
+    while (pos + 8 <= b.length && (fmtPos < 0 || dataPos < 0)) {
+      val size = le32(pos + 4)
+      if (id4(pos, "fmt ")) fmtPos = pos + 8
+      else if (id4(pos, "data")) { dataPos = pos + 8; dataLen = size }
+      // chunks are word-aligned: odd sizes carry a pad byte
+      val step = 8L + size + (size & 1L)
+      if (step <= 0 || pos + step > Int.MaxValue) pos = b.length
+      else pos += step.toInt
+    }
+    if (fmtPos < 0 || dataPos < 0 || fmtPos + 16 > b.length) return null
+    if (le16(fmtPos) != 1 || le16(fmtPos + 14) != 16) return null // PCM16 only
+    val end = math.min(b.length.toLong, dataPos + dataLen).toInt
+    var i = dataPos
     var n = 0
     var peak = 0
     var sumSq = 0L
-    while (i + 1 < b.length) {
+    while (i + 1 < end) {
       val s = (b(i + 1) << 8) | u(i) // sign carried by the high byte
       val a = math.abs(s)
       if (a > peak) peak = a

@@ -130,4 +130,66 @@ class GraftSessionSpec extends SparkSpec {
     Warehouse.dropTable(spark, t)
     Warehouse.dropTable(spark, t2)
   }
+
+  test("front door handles quoted literals, semicolons and LOCAL copy semantics") {
+    import spark.implicits._
+    val t = "gs_fd_edge"
+    Warehouse.dropTable(spark, t)
+    Warehouse.createTable(Seq((1L, "x"), (2L, "y")).toDF("id", "v"), t)
+
+    // commas and the word WHERE inside string literals must not split
+    GraftSession.sql(spark,
+      s"UPDATE $t SET v = 'a,b where c''d' WHERE id = 1;")
+    val vs = spark.table(t).orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(vs == Seq("a,b where c'd", "y"))
+
+    // trailing semicolon routes (not a Spark parse error)
+    GraftSession.sql(spark, s"DELETE FROM $t WHERE id = 2;")
+    assert(spark.table(t).count() == 1)
+
+    // LOCAL INPATH copies — the staged source files survive
+    val stage = java.nio.file.Files.createTempDirectory("fdl").toString + "/in"
+    Seq((7L, "z")).toDF("id", "v").coalesce(1).write.parquet(stage)
+    GraftSession.sql(spark, s"LOAD DATA LOCAL INPATH '$stage' INTO TABLE $t")
+    assert(spark.table(t).count() == 2)
+    assert(new java.io.File(stage).listFiles()
+      .exists(_.getName.endsWith(".parquet")), "LOCAL must copy, not move")
+    Warehouse.dropTable(spark, t)
+  }
+
+  test("LOAD DATA without a PARTITION spec into a partitioned table is rejected") {
+    import spark.implicits._
+    val t = "gs_fd_part"
+    Warehouse.dropTable(spark, t)
+    Warehouse.createTable(Seq((1L, "a", 2020)).toDF("id", "v", "yr"),
+      t, partitionBy = Seq("yr"))
+    val stage = java.nio.file.Files.createTempDirectory("fdp").toString + "/in"
+    Seq((2L, "b")).toDF("id", "v").coalesce(1).write.parquet(stage)
+    val e = intercept[IllegalArgumentException] {
+      GraftSession.sql(spark, s"LOAD DATA INPATH '$stage' INTO TABLE $t")
+    }
+    assert(e.getMessage.contains("PARTITION"))
+    Warehouse.dropTable(spark, t)
+  }
+
+  test("EXPORT refuses a non-empty target; IMPORT preserves the provider") {
+    import spark.implicits._
+    val t = "gs_fd_orc"
+    val t2 = "gs_fd_orc2"
+    Warehouse.dropTable(spark, t)
+    Warehouse.dropTable(spark, t2)
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v STRING) USING orc")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')")
+    val exp = java.nio.file.Files.createTempDirectory("orcexp").toString + "/t"
+    Warehouse.exportTable(spark, t, exp)
+    intercept[IllegalArgumentException] {
+      Warehouse.exportTable(spark, t, exp) // stale-merge hazard → refused
+    }
+    Warehouse.importTable(spark, t2, exp)
+    assert(spark.table(t2).count() == 2) // reads as ORC, not parquet garbage
+    val ddl = spark.sql(s"SHOW CREATE TABLE $t2").collect().head.getString(0)
+    assert(ddl.toLowerCase.contains("orc"), ddl)
+    Warehouse.dropTable(spark, t)
+    Warehouse.dropTable(spark, t2)
+  }
 }

@@ -174,10 +174,26 @@ class MultimodalSpec extends SparkSpec {
     val floatFmt = {
       val b = pcmWav(Seq(1, 2)); b(20) = 3; b // audioFormat=3 (IEEE float)
     }
+    // a trailing LIST/INFO chunk (routine recorder output) must NOT be
+    // decoded as audio samples
+    val withList = {
+      val base = pcmWav(samples)
+      val list = "LIST".getBytes("US-ASCII") ++
+        Array[Byte](8, 0, 0, 0) ++ "INFOIART".getBytes("US-ASCII")
+      val bb = java.nio.ByteBuffer.allocate(base.length + list.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(base).put(list)
+      val out = bb.array()
+      // fix the RIFF size field for the appended chunk
+      java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(4, out.length - 8)
+      out
+    }
     val df = Seq(
       (1L, pcmWav(samples)),
       (2L, floatFmt),
-      (3L, "not audio".getBytes("US-ASCII"))).toDF("id", "payload")
+      (3L, "not audio".getBytes("US-ASCII")),
+      (4L, withList)).toDF("id", "payload")
     val out = df.select($"id",
         Multimodal.wavPcm16Stats($"payload").as("st"))
       .orderBy("id").collect()
@@ -188,6 +204,9 @@ class MultimodalSpec extends SparkSpec {
       samples.map(v => v.toLong * v).sum)
     assert(out(1).isNullAt(1), "non-PCM16 format must be null, not garbage")
     assert(out(2).isNullAt(1))
+    val stList = out(3).getStruct(1)
+    assert(stList.getInt(0) == 5 && stList.getLong(2) == st.getLong(2),
+      "trailing LIST chunk must not be counted as samples")
   }
 
   test("non-PNG/WAV payloads still get deterministic stub metadata") {
