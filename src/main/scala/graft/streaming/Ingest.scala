@@ -135,6 +135,65 @@ object Ingest {
       }
       .start()
 
+  /** Streaming NEAR-dup filtering against a stored MinHash index — the
+    * online arm of `Dedup.minhashAgainstIndex`: each micro-batch is
+    * sketched, probed against the index, and only documents with no
+    * near-dup (jaccard ≥ threshold) in the index are appended to the
+    * endpoint's table. `growIndex = true` also folds every batch's OWN
+    * sketches into the (in-memory) index, so later batches dedup against
+    * earlier ones too — the continuous-crawl shape, where the corpus
+    * only ever grows by novel documents.
+    *
+    * Scale notes: the index frames are the caller's (persist or
+    * parquet-backed); per batch the work is O(batch + matched buckets),
+    * identical to the batch prober. Growth is by plan union, so for very
+    * long streams compact periodically (write the index to parquet and
+    * restart from the re-read frames — plan depth resets to 1).
+    * Exactly-once: the checkpoint replays
+    * a crashed batch, and re-appending a filtered batch is idempotent
+    * only if the downstream table dedups — pair with `startUpsert` or an
+    * id-keyed sink when replays must not duplicate novel docs. */
+  def startDedupedAppend(
+      stream: DataFrame,
+      ep: Endpoint,
+      idCol: String,
+      textCol: String,
+      index: graft.operators.Dedup.MinHashIndex,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000,
+      growIndex: Boolean = true,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // the growing index is session state, swapped under a lock per batch
+    // (micro-batches of one query never overlap, but the lock keeps the
+    // handoff safe if two queries share an index by mistake)
+    val ref = new java.util.concurrent.atomic.AtomicReference(index)
+    stream.writeStream
+      .option("checkpointLocation", ep.checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val idx = ref.get()
+        val dups = graft.operators.Dedup
+          .minhashAgainstIndex(batch, idCol, textCol, idx, threshold, maxBucket)
+          .select(col("new_id").as(idCol)).distinct()
+        val novel = batch.join(dups, Seq(idCol), "left_anti")
+          .localCheckpoint(true)
+        if (spark.catalog.tableExists(ep.table))
+          novel.write.mode("append").saveAsTable(ep.table)
+        else novel.write.saveAsTable(ep.table)
+        if (growIndex && !novel.isEmpty) {
+          val add = graft.operators.Dedup
+            .buildMinhashIndex(novel, idCol, textCol,
+              idx.shingleSize, idx.numHashes, idx.bands)
+          ref.set(idx.copy(
+            shingled = idx.shingled.unionByName(add.shingled),
+            banded = idx.banded.unionByName(add.banded)))
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming exact dedup — the streaming counterpart of
     * `operators.Dedup.exact`: duplicates of a key arriving within the
     * watermark window are dropped; dedup state is evicted once the

@@ -154,6 +154,41 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("r_amount") == 9.99)
   }
 
+  test("streaming near-dup filter appends only novel docs, index grows across batches") {
+    import graft.operators.Dedup
+    val corpusText = "the quick brown fox jumps over the lazy dog again and again"
+    val novelA = "completely new material about distributed query planning today"
+    val novelB = "another unrelated paragraph mentioning columnar storage formats"
+    val corpus = Seq((1L, corpusText)).toDF("id", "text")
+    val idx = Dedup.buildMinhashIndex(corpus, "id", "text")
+
+    val input = MemoryStream[(Long, String)](spark, 7)
+    val stream = input.toDF().toDF("id", "text")
+    val table = s"dedup_append_${System.nanoTime()}"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val ep = Ingest.Endpoint(table, tmp("dedup-ckpt"))
+    val q = Ingest.startDedupedAppend(stream, ep, "id", "text", idx,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+    def settled(b: => Boolean): Boolean =
+      try { spark.catalog.refreshTable(table); b }
+      catch { case _: Throwable => false }
+
+    // batch 1: a copy of the indexed doc (dropped) + novel A (kept)
+    input.addData((10L, corpusText), (11L, novelA))
+    waitFor(spark.catalog.tableExists(table) &&
+      settled(spark.table(table).count() == 1))
+    assert(spark.table(table).collect().head.getLong(0) == 11L)
+
+    // batch 2: a copy of novel A (dropped — the index grew) + novel B
+    input.addData((20L, novelA), (21L, novelB))
+    waitFor(settled(spark.table(table).count() == 2))
+    q.stop()
+    val ids = spark.table(table).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(11L, 21L), s"got $ids")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    idx.release()
+  }
+
   test("streaming upsert keeps latest row per key across batches") {
     val input = MemoryStream[(Long, Long, String)](spark, 6)
     val stream = input.toDF().toDF("k", "seq", "v")
