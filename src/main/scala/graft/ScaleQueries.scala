@@ -358,5 +358,27 @@ object ScaleQueries {
           .count() == 1L,
         hits.filter(col("new_id") === 9000002L).count() == 0L
       )).toDF("found_planted", "novel_clean")
+    },
+
+    // -- training-mix drift: per-source KL divergence of the language
+    //    distribution vs the corpus-global distribution; exact decimal
+    //    term sums make the float result merge-order-independent
+    dfQ("q164_kl_drift", """
+      WITH cell AS (
+        SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+      s AS (SELECT source, sum(c)::BIGINT AS ns FROM cell GROUP BY 1),
+      g AS (SELECT lang, sum(c)::BIGINT AS ck FROM cell GROUP BY 1),
+      t AS (SELECT sum(c)::BIGINT AS n FROM cell),
+      term AS (
+        SELECT cell.source, s.ns,
+          round((cell.c::DOUBLE / s.ns::DOUBLE) *
+            ln((cell.c::DOUBLE * t.n::DOUBLE) /
+               (s.ns::DOUBLE * g.ck::DOUBLE)), 12)::DECIMAL(28,12) AS tt
+        FROM cell JOIN s USING (source) JOIN g USING (lang) CROSS JOIN t)
+      SELECT source, max(ns) AS n, round(sum(tt)::DOUBLE, 6) AS kl
+      FROM term GROUP BY source ORDER BY source""") { (s, d) =>
+      graft.operators.Mix.klDrift(
+          Tables.load(s, d, "documents"), "source", "lang")
+        .orderBy("source")
     })
 }
