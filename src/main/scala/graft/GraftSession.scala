@@ -152,23 +152,31 @@ object GraftSession {
     val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
     scanTopLevel(s) { (c, i, top) => if (top && c == ',') cuts += i }
     val bounds = (-1 +: cuts.toSeq) :+ s.length
-    bounds.sliding(2).map { case Seq(a, b) => s.substring(a + 1, b) }
+    val pairs = bounds.sliding(2).map { case Seq(a, b) => s.substring(a + 1, b) }
       .map(_.trim).filter(_.nonEmpty).map { a =>
         require(a.contains("="), s"bad SET assignment: $a")
         val Array(c, e) = a.split("=", 2).map(_.trim)
         require(c.matches("""[\w.]+"""), s"bad SET column: $c")
         c -> e
-      }.toMap
+      }.toSeq
+    // Hive rejects assigning the same column twice; .toMap would silently
+    // keep the last one
+    val dup = pairs.groupBy(_._1.toLowerCase).collect {
+      case (c, as) if as.size > 1 => c
+    }
+    require(dup.isEmpty, s"duplicate SET column(s): ${dup.mkString(", ")}")
+    pairs.toMap
   }
 
   /** HiveQL front door: Hive-only statement forms are routed to graft
     * implementations, everything else to `spark.sql`. DDL-style routes
     * return an empty DataFrame (like Hive's no-result statements).
     * Trailing semicolons (standard in HiveQL scripts) are stripped. */
-  def sql(spark: SparkSession, stmt: String): DataFrame =
-    stmt.replaceAll(";+\\s*$", "") match {
+  def sql(spark: SparkSession, stmt: String): DataFrame = {
+    val stripped = stmt.replaceAll(";+\\s*$", "")
+    stripped match {
       case MacroRe() =>
-        functions.Macros.sql(spark, stmt.replaceAll(";+\\s*$", ""))
+        functions.Macros.sql(spark, stripped)
         spark.emptyDataFrame
       case LoadRe(local, path, overwrite, table, partSpec) =>
         // LOCAL INPATH copies and preserves the user's source files;
@@ -192,4 +200,5 @@ object GraftSession {
         spark.emptyDataFrame
       case other => spark.sql(other)
     }
+  }
 }

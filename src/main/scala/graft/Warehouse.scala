@@ -118,9 +118,19 @@ object Warehouse {
     require(moved.isEmpty,
       s"UPDATE cannot set partition column(s) ${moved.mkString(", ")} of $table")
     val current = spark.table(table)
-    val updated = sets.foldLeft(current) { case (df, (c, e)) =>
-      df.withColumn(c, when(expr(where), expr(e)).otherwise(col(c)))
-    }
+    val setsLower = sets.map { case (c, e) => c.toLowerCase -> e }
+    val unknown = setsLower.keySet.diff(current.columns.map(_.toLowerCase).toSet)
+    require(unknown.isEmpty,
+      s"UPDATE SET references column(s) ${unknown.mkString(", ")} not in $table")
+    // single projection: every SET expression AND the predicate evaluate
+    // against the PRE-update row (SQL simultaneous-assignment semantics —
+    // sequential withColumn would let `SET a = b, b = a` see the new `a`)
+    val updated = current.select(current.columns.map { c =>
+      setsLower.get(c.toLowerCase) match {
+        case Some(e) => when(expr(where), expr(e)).otherwise(col(c)).as(c)
+        case None    => col(c)
+      }
+    }: _*)
     if (partCols.isEmpty) {
       overwriteUnpartitioned(spark, table, updated)
     } else {
@@ -245,7 +255,20 @@ object Warehouse {
     require(partCols.isEmpty || partition.nonEmpty,
       s"LOAD DATA into partitioned table $table needs a PARTITION " +
         s"(${partCols.mkString(", ")}) spec")
-    val dest = partition.foldLeft(tableLocation(spark, table)) {
+    require(partCols.nonEmpty || partition.isEmpty,
+      s"LOAD DATA: $table is not partitioned but a PARTITION spec was given")
+    // validate the spec BEFORE touching any files (a move-then-fail would
+    // strand the user's data), and normalize key order to the table's
+    // partition columns — Hive accepts PARTITION (mo=..., yr=...) for a
+    // table partitioned by (yr, mo), but the directory must be yr=/mo=
+    val specByKey = partition.map { case (k, v) => k.toLowerCase -> v }.toMap
+    require(specByKey.size == partition.size,
+      s"LOAD DATA: duplicate PARTITION key in (${partition.map(_._1).mkString(", ")})")
+    require(specByKey.keySet == partCols.map(_.toLowerCase).toSet,
+      s"LOAD DATA PARTITION (${partition.map(_._1).mkString(", ")}) must " +
+        s"name exactly the partition columns (${partCols.mkString(", ")}) of $table")
+    val ordered = partCols.map(pc => pc -> specByKey(pc.toLowerCase))
+    val dest = ordered.foldLeft(tableLocation(spark, table)) {
       case (d, (k, v)) => new java.io.File(d, s"$k=$v")
     }
     dest.mkdirs()
@@ -261,8 +284,8 @@ object Warehouse {
         java.nio.file.Files.copy(f.toPath, t,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    if (partition.nonEmpty) {
-      val spec = partition.map { case (k, v) => s"$k='$v'" }.mkString(", ")
+    if (ordered.nonEmpty) {
+      val spec = ordered.map { case (k, v) => s"$k='$v'" }.mkString(", ")
       spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS PARTITION ($spec)")
     }
     spark.sql(s"REFRESH TABLE $table")
@@ -300,13 +323,22 @@ object Warehouse {
     val bucketLine = meta.bucketSpec
       .map(b => s"${b.numBuckets}|${b.bucketColumnNames.mkString(",")}")
       .getOrElse("")
+    // for datasource tables the provider line alone recreates the right
+    // reader; for Hive-serde tables ("hive") the FORMAT is the
+    // load-bearing part — record the input format class too, or IMPORT
+    // would recreate with the default TEXTFILE serde and misread the files
+    val providerLine = meta.provider.getOrElse("parquet") match {
+      case "hive" =>
+        "hive:" + meta.storage.inputFormat.getOrElse("")
+      case p => p
+    }
     java.nio.file.Files.write(
       new java.io.File(out, "_metadata").toPath,
       java.util.Arrays.asList(
         meta.schema.json,
         meta.partitionColumnNames.mkString(","),
         bucketLine,
-        meta.provider.getOrElse("parquet")))
+        providerLine))
     copyTree(new java.io.File(meta.location.getPath).toPath,
       new java.io.File(out, "data").toPath)
   }
@@ -334,7 +366,26 @@ object Warehouse {
     val bucketClause = bucket.map { case (n, cols) =>
       s" CLUSTERED BY (${cols.mkString(", ")}) INTO $n BUCKETS"
     }.getOrElse("")
-    spark.sql(s"CREATE TABLE $table (${schema.toDDL}) USING $provider" +
+    // Hive-serde descriptors carry the input format ("hive:<class>");
+    // recreate STORED AS that format — USING hive alone would default to
+    // TEXTFILE and misread the copied files. Unknown formats are refused
+    // rather than silently corrupted.
+    val storageClause =
+      if (!provider.startsWith("hive:")) s"USING $provider"
+      else {
+        val fmt = provider.stripPrefix("hive:")
+        val storedAs = Map(
+          "orc" -> "ORC", "parquet" -> "PARQUET", "text" -> "TEXTFILE",
+          "sequencefile" -> "SEQUENCEFILE", "avro" -> "AVRO",
+          "rcfile" -> "RCFILE"
+        ).collectFirst {
+          case (needle, kw) if fmt.toLowerCase.contains(needle) => kw
+        }
+        require(storedAs.isDefined,
+          s"IMPORT: unsupported Hive storage format in descriptor: $fmt")
+        s"STORED AS ${storedAs.get}"
+      }
+    spark.sql(s"CREATE TABLE $table (${schema.toDDL}) $storageClause" +
       partClause + bucketClause)
     copyTree(new java.io.File(path, "data").toPath,
       tableLocation(spark, table).toPath)

@@ -122,9 +122,11 @@ object Sampling {
     * runs through the `min_k` aggregate (state ≤ k on map and merge
     * sides), then the winning keys join back to recover the rows — no
     * per-group sort, no window over a hot group. Ids must be non-null
-    * (NULL-id rows are excluded — no stable identity to key on);
-    * distinct ids in one group colliding on the 60-bit key (≈2^-60)
-    * would deliver k-1 rows, never a wrong row. */
+    * (NULL-id rows are excluded — no stable identity to key on); rows
+    * with a NULL group form their own group (null-safe join-back).
+    * Distinct ids in one group colliding on the 60-bit key (≈2^-60)
+    * would deliver k+1 rows (both rows match the winning key), never a
+    * wrong row. */
   def groupSample(
       df: DataFrame,
       groupCol: String,
@@ -140,10 +142,12 @@ object Sampling {
     val minK = toCol(graft.functions.MinKAgg(toExpr(col("__key")), k)
       .toAggregateExpression())
     val winners = keyed.groupBy(groupCol).agg(minK.as("__ks"))
-      .select(col(groupCol), explode(col("__ks")).as("__key"))
-    keyed.join(winners, Seq(groupCol, "__key"), "left_semi")
-      // using-column joins move the keys to the front; restore the
-      // caller's column order (positional writers depend on it)
+      .select(col(groupCol).as("__g"), explode(col("__ks")).as("__wk"))
+    // null-safe on the group: a plain equi-join would never match the
+    // NULL group's winners, silently dropping every NULL-group row
+    keyed.join(winners,
+        col(groupCol) <=> col("__g") && col("__key") === col("__wk"),
+        "left_semi")
       .select(df.columns.map(col): _*)
   }
 

@@ -173,10 +173,20 @@ object Ingest {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val idx = ref.get()
+        // same-batch duplicates are the common case in a continuous crawl:
+        // self-dedup the batch first (canonical smallest-id keep per
+        // near-dup cluster) — probing only batch-vs-index would admit
+        // every intra-batch copy as "novel"
+        val selfPairs = graft.operators.Dedup.minhashNearDups(
+          batch, idCol, textCol,
+          idx.shingleSize, idx.numHashes, idx.bands, threshold, maxBucket)
+        val selfDeduped = graft.operators.Dedup.dedupByCluster(
+          batch, idCol, selfPairs, "id_a", "id_b")
         val dups = graft.operators.Dedup
-          .minhashAgainstIndex(batch, idCol, textCol, idx, threshold, maxBucket)
+          .minhashAgainstIndex(selfDeduped, idCol, textCol, idx, threshold,
+            maxBucket)
           .select(col("new_id").as(idCol)).distinct()
-        val novel = batch.join(dups, Seq(idCol), "left_anti")
+        val novel = selfDeduped.join(dups, Seq(idCol), "left_anti")
           .localCheckpoint(true)
         if (spark.catalog.tableExists(ep.table))
           novel.write.mode("append").saveAsTable(ep.table)

@@ -128,4 +128,14 @@ class NormalizeSpec extends SparkSpec {
       .select(TextOps.nfcNormalize(col("s"))).collect().head
     assert(out.isNullAt(0))
   }
+
+  test("groupSample keeps and caps the NULL group (null-safe join-back)") {
+    val df = ((1 to 10).map(i => (i.toLong, "a")) ++
+      (11 to 20).map(i => (i.toLong, null.asInstanceOf[String])))
+      .toDF("id", "g")
+    val out = Sampling.groupSample(df, "g", "id", k = 3, seed = "s1")
+    val byGroup = out.collect().groupBy(r => Option(r.getString(1)))
+    assert(byGroup(Some("a")).length == 3)
+    assert(byGroup(None).length == 3) // NULL group capped, not dropped
+  }
 }

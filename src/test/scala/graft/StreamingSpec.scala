@@ -180,7 +180,9 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table(table).collect().head.getLong(0) == 11L)
 
     // batch 2: a copy of novel A (dropped — the index grew) + novel B
-    input.addData((20L, novelA), (21L, novelB))
+    // arriving TWICE in the same batch (intra-batch self-dedup keeps the
+    // smallest id, no index entry exists for B yet)
+    input.addData((20L, novelA), (21L, novelB), (22L, novelB))
     waitFor(settled(spark.table(table).count() == 2))
     q.stop()
     val ids = spark.table(table).collect().map(_.getLong(0)).sorted.toSeq

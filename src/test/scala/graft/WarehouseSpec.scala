@@ -363,4 +363,53 @@ class WarehouseSpec extends SparkSpec {
     Warehouse.dropTable(spark, t)
     Warehouse.dropTable(spark, t2)
   }
+
+  test("UPDATE SET assignments are simultaneous (see pre-update values)") {
+    val t = "wh_upd_sim"
+    Warehouse.dropTable(spark, t)
+    Warehouse.createTable(
+      Seq((1, 10.0, 100.0), (2, 20.0, 200.0)).toDF("id", "a", "b"), t)
+    // a swap must not see the already-updated a; and the predicate must
+    // not re-evaluate against updated columns
+    Warehouse.update(spark, t,
+      sets = Map("a" -> "b", "b" -> "a"), where = "a <= 10")
+    val rows = spark.table(t).orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1, 100.0, 10.0), (2, 20.0, 200.0)))
+    // unknown SET column is rejected, not silently dropped
+    intercept[IllegalArgumentException] {
+      Warehouse.update(spark, t, Map("nope" -> "1"), "true")
+    }
+    Warehouse.dropTable(spark, t)
+  }
+
+  test("LOAD DATA PARTITION spec is order-normalized and pre-validated") {
+    val t = "wh_load_spec"
+    Warehouse.dropTable(spark, t)
+    Warehouse.createTable(
+      Seq((1L, "a", 2020, 1)).toDF("id", "v", "yr", "mo"),
+      t, partitionBy = Seq("yr", "mo"))
+    // spec in the WRONG key order must land in the canonical yr=/mo= dir
+    val stage = java.nio.file.Files.createTempDirectory("loadspec")
+      .toString + "/in"
+    Seq((7L, "g")).toDF("id", "v").coalesce(1).write.parquet(stage)
+    Warehouse.loadData(spark, stage, t,
+      partition = Seq("mo" -> "2", "yr" -> "2021"))
+    assert(spark.table(t).filter($"yr" === 2021 && $"mo" === 2).count() == 1)
+    // misspelled / incomplete specs are rejected BEFORE any file move
+    val stage2 = java.nio.file.Files.createTempDirectory("loadspec2")
+      .toString + "/in"
+    Seq((8L, "h")).toDF("id", "v").coalesce(1).write.parquet(stage2)
+    intercept[IllegalArgumentException] {
+      Warehouse.loadData(spark, stage2, t,
+        partition = Seq("year" -> "2022", "mo" -> "3"))
+    }
+    intercept[IllegalArgumentException] {
+      Warehouse.loadData(spark, stage2, t, partition = Seq("yr" -> "2022"))
+    }
+    // the source files survived the failed loads
+    assert(new java.io.File(stage2).listFiles()
+      .exists(_.getName.endsWith(".parquet")))
+    Warehouse.dropTable(spark, t)
+  }
 }
