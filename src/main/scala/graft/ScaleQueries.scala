@@ -380,5 +380,84 @@ object ScaleQueries {
       graft.operators.Mix.klDrift(
           Tables.load(s, d, "documents"), "source", "lang")
         .orderBy("source")
+    },
+
+    // -- training-mix construction: per-source char budgets met by a
+    //    deterministic hash-ordered prefix (boundary doc included);
+    //    oracle replays the same selection with a window cumulative sum
+    dfQ("q165_mix_budget", """
+      WITH k AS (
+        SELECT source, n_chars,
+          md5('mix7:' || doc_id::VARCHAR) AS mk
+        FROM documents),
+      c AS (
+        SELECT source, n_chars,
+          coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY mk
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        FROM k),
+      sel AS (
+        SELECT source, n_chars, bef FROM c
+        WHERE bef < 5000 * len(source))
+      SELECT source, count(*) AS n_docs,
+        sum(n_chars)::BIGINT AS chars_taken,
+        (5000 * len(source))::BIGINT AS budget
+      FROM sel GROUP BY source ORDER BY source""") { (s, d) =>
+      import graft.operators.Mix
+      val docs = Tables.load(s, d, "documents")
+      val budgets = docs.select("source").distinct()
+        .withColumn("budget", lit(5000L) * length(col("source")))
+      Mix.takeByTokenBudget(docs, "source", "doc_id", "n_chars",
+          budgets, "mix7")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("chars_taken"))
+        .withColumn("budget", lit(5000L) * length(col("source")))
+        .orderBy("source")
+    },
+
+    // -- bigram-LM fluency scoring (CCNet-style): the model is trained on
+    //    the corpus itself, both engines replay the identical add-k
+    //    estimate; exact decimal log-prob sums keep the score stable
+    dfQ("q166_bigram_lm", s"""
+      WITH d AS (SELECT doc_id, $DUCK_TOKENS AS ts FROM documents),
+      tok AS (
+        SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i
+        FROM d),
+      bi AS (
+        SELECT a.doc_id, a.w AS w1, b.w AS w2
+        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+      big AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY 1, 2),
+      cx AS (SELECT w1, count(*) AS cw FROM bi GROUP BY 1),
+      v AS (SELECT count(DISTINCT w) AS v FROM tok),
+      term AS (
+        SELECT bi.doc_id,
+          round(ln((big.c + 0.5) / (cx.cw + 0.5 * v.v)),
+            12)::DECIMAL(28,12) AS lp
+        FROM bi JOIN big USING (w1, w2) JOIN cx USING (w1) CROSS JOIN v)
+      SELECT doc_id, count(*) AS n_bigrams,
+        round(-(sum(lp)::DOUBLE) / count(*), 6) AS avg_nll
+      FROM term GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
+      TextAnalysis.bigramNll(
+          Tables.load(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // -- mojibake repair: the engine un-garbles REAL UTF-8-read-as-
+    //    Latin-1 bytes (planted by the same double-encode both engines
+    //    can describe); the oracle emits the expected clean text directly
+    dfQ("q167_fix_mojibake", """
+      SELECT doc_id,
+        substring(text, 1, 40) || ' caf' || chr(233) || ' r' || chr(233)
+          || 'sum' || chr(233) AS clean,
+        true AS was_broken
+      FROM documents ORDER BY doc_id""") { (s, d) =>
+      val orig = concat(substring(col("text"), 1, 40),
+        lit(" caf\u00e9 r\u00e9sum\u00e9"))
+      val moji = decode(encode(orig, "UTF-8"), "ISO-8859-1")
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          TextOps.fixMojibake(moji).as("clean"),
+          (moji =!= orig).as("was_broken"))
+        .orderBy("doc_id")
     })
 }

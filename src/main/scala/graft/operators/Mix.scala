@@ -38,4 +38,35 @@ object Mix {
       .agg(max("ns").cast("long").as("n"),
         round(sum("t").cast("double"), 6).as("kl"))
   }
+
+  /** Training-mix construction: deterministically select documents from
+    * each slice until that slice's token budget is met. Selection order
+    * is md5(seed:id) — a repartition/retry-invariant shuffle of each
+    * slice, so the mix is reproducible and nested (raising one budget
+    * keeps every previously selected doc). A document is selected while
+    * the tokens BEFORE it are under budget, so the boundary doc is
+    * included and each non-exhausted slice reaches ≥ its budget.
+    *
+    * `budgets` is a small (sliceCol, budget) frame, broadcast. Slices
+    * absent from it contribute nothing. The per-slice running totals use
+    * the two-phase distributed prefix sum (no per-slice global window).
+    * NULL ids have no stable identity and are excluded. Output: the
+    * selected rows of `df` plus `tokens_before`. */
+  def takeByTokenBudget(
+      df: DataFrame,
+      sliceCol: String,
+      idCol: String,
+      nCol: String,
+      budgets: DataFrame,
+      seed: String): DataFrame = {
+    val keyed = df.filter(col(idCol).isNotNull)
+      .withColumn("__mixkey",
+        md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))))
+    val ranked = Packing.withTokensBeforePerGroup(
+      keyed, sliceCol, "__mixkey", nCol, "tokens_before")
+    val b = budgets.select(col(sliceCol).as("__bs"), col("budget"))
+    ranked.join(broadcast(b), col(sliceCol) <=> col("__bs"))
+      .filter(col("tokens_before") < col("budget"))
+      .drop("__mixkey", "__bs", "budget")
+  }
 }

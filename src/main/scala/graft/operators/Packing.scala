@@ -91,6 +91,40 @@ object Packing {
       .drop("__pid", "__local_before")
   }
 
+  /** Per-group exclusive prefix sum of `nCol` in `orderCol` order (keys
+    * must be unique within a group). Same two-phase shape as
+    * `withTokensBefore`: range-partition on (group, key) so each
+    * partition holds contiguous key runs, local windows per
+    * (partition, group) in parallel, then a tiny
+    * (numPartitions × numGroups)-row per-group offset table broadcast
+    * back — no per-group global window, so one giant group cannot pin a
+    * single reducer. NULL groups form their own group (null-safe join). */
+  def withTokensBeforePerGroup(
+      df: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      nCol: String,
+      out: String = "tokens_before"): DataFrame = {
+    val part = df.repartitionByRange(col(groupCol), col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid"), col(groupCol))
+      .orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = part.withColumn("__local_before",
+      coalesce(sum(col(nCol).cast("long")).over(wLocal), lit(0L)))
+    // per-(partition, group) totals — numPartitions × numGroups rows
+    val wOff = Window.partitionBy(col("__g")).orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = part.groupBy(col("__pid"), col(groupCol).as("__g"))
+      .agg(sum(col(nCol).cast("long")).as("__tot"))
+      .withColumn("__off", coalesce(sum("__tot").over(wOff), lit(0L)))
+      .select(col("__pid").as("__opid"), col("__g"), col("__off"))
+    local.join(broadcast(offsets),
+        col("__pid") === col("__opid") && col(groupCol) <=> col("__g"))
+      .withColumn(out, col("__local_before") + col("__off"))
+      .drop("__pid", "__opid", "__g", "__local_before")
+  }
+
   /** Assign each row a shard id so consecutive (by id) runs of documents
     * land together and every shard holds ~`budgetTokens` tokens: shard =
     * floor(tokens_before / budget). A document straddling a boundary

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data curation: language ID, quality
@@ -251,4 +251,46 @@ object TextAnalysis {
     array_min(transform(
       TextOps.charShingles(regexp_replace(lower(c), "\\s+", " "), gram),
       s => xxhash64(s)))
+
+  /** Per-document average negative log-likelihood under a bigram LM
+    * trained on the corpus itself (add-k smoothing over the corpus
+    * vocabulary) — the CCNet/KenLM-style fluency signal: high avg NLL
+    * flags gibberish, low flags boilerplate-like repetition. Documents
+    * with < 2 tokens have no bigrams and are excluded.
+    *
+    * Scale shape: bigram emission is per-row expression work (no
+    * shuffle); the model is two count aggregations; scoring joins each
+    * doc's bigram stream to the counts on their natural keys (AQE handles
+    * the stop-word-pair skew). Per-bigram log-probs are rounded to 12
+    * decimals and summed as exact decimals, so the score is
+    * merge-order-independent. Output: idCol, n_bigrams, avg_nll. */
+  def bigramNll(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      addK: Double = 0.5): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val tokRows = df.select(col(idCol), explode(toks).as("w"))
+    val bi = df
+      .select(col(idCol), toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__t")) - 1),
+        i => struct(element_at(col("__t"), i).as("w1"),
+          element_at(col("__t"), i + 1).as("w2")))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val ctx = bi.groupBy("w1").agg(count(lit(1)).as("ctx"))
+    val vocab = tokRows.agg(countDistinct("w").as("v"))
+    bi.join(big, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        round(log((col("c").cast("double") + lit(addK)) /
+            (col("ctx").cast("double") + lit(addK) * col("v").cast("double"))),
+          12).cast("decimal(28,12)").as("lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-(sum("lp").cast("double")) / count(lit(1)), 6).as("avg_nll"))
+  }
 }

@@ -134,4 +134,21 @@ object TextOps {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
+
+  /** Repair UTF-8-read-as-Latin-1 mojibake ("Ã©" → "é", "Ã¼" → "ü"):
+    * re-encode as Latin-1 and re-decode as UTF-8. Applied only when it
+    * is safe AND indicated: every char is in the Latin-1 range (so the
+    * re-encode is lossless), the telltale lead-byte pattern Ã/Â +
+    * continuation char is present, and the round-trip produced no
+    * replacement char (i.e. the bytes really were valid UTF-8). Clean
+    * text — including genuine "Ã" followed by a non-continuation char —
+    * passes through unchanged. Composed built-ins, codegen'd, per-row. */
+  def fixMojibake(c: Column): Column = {
+    val repaired = decode(encode(c, "ISO-8859-1"), "UTF-8")
+    when(
+      c.rlike("^[\\u0000-\\u00FF]*$") &&
+        c.rlike("[\\u00C2\\u00C3][\\u0080-\\u00BF]") &&
+        !repaired.contains("\uFFFD"),
+      repaired).otherwise(c)
+  }
 }
