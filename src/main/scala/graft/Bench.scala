@@ -19,7 +19,8 @@ object Bench {
     "q89_tfidf", "q95_curation_pipeline", "q106_pii_redact",
     "q107_int8_quant", "q117_decontaminate", "q119_asof_join",
     "q145_chunk_overlap", "q147_pack_greedy", "q150_zorder",
-    "q151_inverted_index", "q153_shuffle")
+    "q151_inverted_index", "q153_shuffle", "q165_mix_budget",
+    "q166_bigram_lm", "q168_shared_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

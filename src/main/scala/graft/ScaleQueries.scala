@@ -24,6 +24,10 @@ object ScaleQueries {
     """list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
        x -> len(x) > 0)"""
 
+  // 18 tokens: q168 plants this span so pairs share 3 aligned 16-grams
+  private val PLANT_SPAN = "alpha beta gamma delta epsilon zeta eta theta " +
+    "iota kappa lambda mu nu xi omicron pi rho sigma"
+
   def all: Seq[Q] = Seq(
 
     // -- Z-order layout: per-bucket extents prove every clustered
@@ -459,5 +463,34 @@ object ScaleQueries {
           TextOps.fixMojibake(moji).as("clean"),
           (moji =!= orig).as("was_broken"))
         .orderBy("doc_id")
+    },
+
+    // -- exact shared-span (verbatim copy) detection: an 18-token span
+    //    planted into every doc_id%100 doc must surface as pairs sharing
+    //    3 aligned 16-grams; the oracle replays the identical gram join
+    //    on real strings (the engine's hash path must verify-exact)
+    dfQ("q168_shared_spans", s"""
+      WITH d AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 100 = 0 THEN text || ' $PLANT_SPAN'
+               ELSE text END AS text
+        FROM documents),
+      t AS (SELECT doc_id, $DUCK_TOKENS AS t FROM d),
+      p AS (
+        SELECT doc_id, t, unnest(range(1, len(t) - 14)) AS i FROM t
+        WHERE len(t) >= 16),
+      g AS (
+        SELECT doc_id, array_to_string(t[i:i+15], ' ') AS gram FROM p)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_spans
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+      import graft.operators.Dedup
+      val planted = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(100)) === 0,
+            concat(col("text"), lit(" " + PLANT_SPAN)))
+            .otherwise(col("text")).as("text"))
+      Dedup.sharedSpans(planted, "doc_id", "text", spanTokens = 16)
+        .orderBy("id_a", "id_b")
     })
 }

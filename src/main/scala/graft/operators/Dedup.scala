@@ -394,4 +394,53 @@ object Dedup {
       .select(idCol)
     df.join(keep, Seq(idCol), "left_semi")
   }
+
+  /** Cross-document EXACT shared-span detection (the "train-set contains
+    * verbatim copies of this paragraph" signal): document pairs sharing
+    * at least one identical run of `spanTokens` tokens, with the number
+    * of matching (position, position) gram pairs. Tokenization is the
+    * engine-standard lowercase-alphanumeric rule.
+    *
+    * Scale shape: per-doc gram emission is expression work (no shuffle);
+    * candidate generation self-joins 8-byte xxhash64 gram keys only
+    * (never the strings), with degenerate grams — site-wide boilerplate
+    * appearing in more than `maxBucket` positions — dropped before the
+    * join, exactly the MinHash bucket cap. Candidates then verify by
+    * joining the actual gram strings back, so a 64-bit hash collision
+    * (certain at 100 TB gram counts) can never fabricate a pair. */
+  def sharedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int = 16,
+      maxBucket: Int = 100000): DataFrame = {
+    require(spanTokens >= 2, "spanTokens must be >= 2")
+    val toks = TextOps.tokens(col(textCol))
+    val gramText = df
+      .select(col(idCol).as("id"), toks.as("__t"))
+      .filter(size(col("__t")) >= spanTokens)
+      .select(col("id"), explode(transform(
+        sequence(lit(1), size(col("__t")) - (spanTokens - 1)),
+        i => struct(i.as("pos"),
+          concat_ws(" ", slice(col("__t"), i, lit(spanTokens))).as("gram"))))
+        .as("pg"))
+      .select(col("id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+    val hashed = gramText
+      .select(col("id"), col("pos"), xxhash64(col("gram")).as("h"))
+    val ok = hashed.groupBy("h").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket).select("h")
+    val slim = hashed.join(ok, Seq("h"))
+    val cand = slim.select(col("h"), col("id").as("id_a"), col("pos").as("pos_a"))
+      .join(slim.select(col("h"), col("id").as("id_b"), col("pos").as("pos_b")),
+        Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+    val verified = cand
+      .join(gramText.select(col("id").as("id_a"), col("pos").as("pos_a"),
+        col("gram").as("g_a")), Seq("id_a", "pos_a"))
+      .join(gramText.select(col("id").as("id_b"), col("pos").as("pos_b"),
+        col("gram").as("g_b")), Seq("id_b", "pos_b"))
+      .filter(col("g_a") === col("g_b"))
+    verified.groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_spans"))
+  }
 }

@@ -281,4 +281,22 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(kept.sameElements(Array(1L, 5L, 7L)))
   }
+
+  test("sharedSpans finds exact k-token runs across docs, counts aligned grams") {
+    val span = (1 to 6).map(i => s"w$i").mkString(" ") // 6 shared tokens
+    val docs = Seq(
+      (1L, s"unique one two three $span tail1 x"),
+      (2L, s"other head words here $span tail2 y"),
+      (3L, "completely different text with no overlap at all"),
+      // internal repetition in one doc must NOT create a self-pair
+      (4L, s"$span again $span once more")).toDF("doc_id", "text")
+    val out = Dedup.sharedSpans(docs, "doc_id", "text", spanTokens = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // docs 1,2 share exactly the 6-token span → exactly 1 aligned gram
+    assert(out((1L, 2L)) == 1L)
+    // doc 4 contains the span twice → 2 position pairs against 1 and 2
+    assert(out((1L, 4L)) == 2L && out((2L, 4L)) == 2L)
+    // no pair involves doc 3, no self-pairs
+    assert(!out.keys.exists(k => k._1 == 3L || k._2 == 3L || k._1 == k._2))
+  }
 }
