@@ -492,5 +492,32 @@ object ScaleQueries {
             .otherwise(col("text")).as("text"))
       Dedup.sharedSpans(planted, "doc_id", "text", spanTokens = 16)
         .orderBy("id_a", "id_b")
+    },
+
+    // -- SemDeDup (cluster-then-prune semantic dedup): the oracle replays
+    //    the deterministic centroid assignment (k lowest-id vectors) and
+    //    the intra-cluster eps-prune with DuckDB's own cosine. eps=0.43
+    //    sits in a measured >=8e-5-wide gap of the pair-cosine
+    //    distribution at sf0.01 AND sf0.1, and the assignment argmax
+    //    margin is >=4.7e-5 — both orders of magnitude above cross-engine
+    //    float noise, so the boolean/cid outputs are bit-stable.
+    dfQ("q169_semantic_dedup", """
+      WITH cent AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        ORDER BY vec_id LIMIT 8),
+      asg AS (
+        SELECT e.vec_id AS id, e.embedding AS vec, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC,
+                     c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c),
+      best AS (SELECT id, vec, cid FROM asg WHERE rn = 1)
+      SELECT b.id, b.cid,
+        EXISTS (SELECT 1 FROM best a WHERE a.cid = b.cid AND a.id < b.id
+          AND list_cosine_similarity(a.vec, b.vec) >= 0.43) AS dropped
+      FROM best b""") { (s, d) =>
+      import graft.operators.Dedup
+      Dedup.semanticDedup(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", k = 8, eps = 0.43)
     })
 }

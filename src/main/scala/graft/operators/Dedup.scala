@@ -443,4 +443,61 @@ object Dedup {
     verified.groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_spans"))
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space, then inside each cluster drop every
+    * document whose cosine similarity to an earlier (lower-id) cluster
+    * member reaches `eps`. Pairwise work is confined to clusters, so the
+    * quadratic term is (n/k)^2 per cluster — at corpus scale k grows with
+    * n (the paper uses ~10^5 clusters for billions of docs) and cluster
+    * size stays bounded; `maxCluster` guards the degenerate case the same
+    * way `maxBucket` guards LSH buckets (oversized clusters skip pruning
+    * rather than detonate a quadratic join).
+    *
+    * Clustering here is one deterministic assignment pass against the k
+    * lowest-id vectors as fixed centroids — exactly reproducible and
+    * SQL-replayable (the correctness contract). For production quality
+    * pass Lloyd-refined centroids from `Similarity.buildIvf` through
+    * `semanticDedupWith`; the prune semantics are identical.
+    *
+    * One broadcast (k centroids), one shuffle on cluster id for the
+    * intra-cluster join. Returns (id, cid, dropped). */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, eps: Double = 0.43, maxCluster: Int = 1000000): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val centroids = base.orderBy("id").limit(k)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    semanticDedupWith(df, idCol, vecCol, centroids, eps, maxCluster)
+  }
+
+  /** SemDeDup prune against caller-supplied centroids (cid, cvec) —
+    * the production entry point (plug in `Similarity.buildIvf` output). */
+  def semanticDedupWith(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, eps: Double, maxCluster: Int): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // nearest centroid; ties break to the lowest cid so assignment is
+    // deterministic under any aggregation merge order
+    val best = base.crossJoin(broadcast(centroids))
+      .select(col("id"), col("vec"), col("cid"),
+        Vectors.cosine(col("vec"), col("cvec")).as("sim"))
+      .groupBy("id")
+      .agg(min_by(struct(col("cid"), col("vec")),
+        struct(-col("sim"), col("cid"))).as("b"))
+      .select(col("id"), col("b.cid").as("cid"), col("b.vec").as("vec"))
+    val prunable = best.join(
+      best.groupBy("cid").agg(count(lit(1)).as("cn"))
+        .filter(col("cn") <= maxCluster).select("cid"),
+      Seq("cid"))
+    val l = prunable.select(col("cid"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val r = prunable.select(col("cid"), col("id").as("id_b"), col("vec").as("vec_b"))
+    val droppedIds = l.join(r, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Vectors.cosine(col("vec_a"), col("vec_b")) >= eps)
+      .select(col("id_b").as("id")).distinct()
+    best.join(droppedIds.withColumn("d", lit(true)), Seq("id"), "left_outer")
+      .select(col("id"), col("cid"),
+        coalesce(col("d"), lit(false)).as("dropped"))
+  }
 }

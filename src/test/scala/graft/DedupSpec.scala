@@ -72,6 +72,30 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L))
   }
 
+  test("semantic dedup drops the later of near-identical vectors, " +
+    "keeps cluster loners, and skips oversized clusters") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),      // centroid A (k=2 lowest ids)
+      (1L, Array(0f, 1f, 0f, 0f)),      // centroid B
+      (2L, Array(0.99f, 0.1f, 0f, 0f)), // cluster A, ~dup of 0 -> dropped
+      (3L, Array(0.1f, 0.99f, 0f, 0f)), // cluster B, ~dup of 1 -> dropped
+      (4L, Array(-1f, 0.5f, 0f, 0f))    // cluster B loner -> kept
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+      k = 2, eps = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(out(0L) == (0L, false) && out(2L) == (0L, true))
+    assert(out(1L) == (1L, false) && out(3L) == (1L, true))
+    assert(out(4L) == (1L, false), "dissimilar cluster member survives")
+    // oversized clusters skip the quadratic prune instead of running it
+    val capped = Dedup.semanticDedupWith(vecs, "vec_id", "embedding",
+      vecs.limit(2).selectExpr("vec_id as cid", "embedding as cvec"),
+      eps = 0.95, maxCluster = 2)
+    assert(capped.filter($"dropped").count() == 1,
+      "3-member cluster B exceeds the cap; only cluster A prunes")
+  }
+
   test("brute-force topK is exact and IVF reaches high recall on it") {
     val dir = "/root/testdata/sf0.001"
     val emb = Tables.load(spark, dir, "embeddings")
