@@ -519,5 +519,130 @@ object ScaleQueries {
       import graft.operators.Dedup
       Dedup.semanticDedup(Tables.load(s, d, "embeddings"),
         "vec_id", "embedding", k = 8, eps = 0.43)
+    },
+
+    // -- CDC changelog apply (MERGE/upsert compaction): both engines
+    //    synthesize the same I/U/D changelog from orders — including a
+    //    stale lower-seq update that must lose and a delete of rows that
+    //    also carry no other change — and the oracle replays
+    //    latest-per-key + full-outer apply in plain SQL.
+    dfQ("q170_cdc_apply", """
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      ch AS (
+        SELECT o_orderkey, 'D' AS op, 2::BIGINT AS seq,
+               o_orderstatus, o_totalprice
+          FROM base WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, 'U', 1, 'X', o_totalprice + 1
+          FROM base WHERE o_orderkey % 7 = 1
+        UNION ALL
+        SELECT o_orderkey, 'U', 2, 'U', o_totalprice + 100
+          FROM base WHERE o_orderkey % 7 = 1
+        UNION ALL
+        SELECT o_orderkey + 100000000, 'I', 2, 'N', o_totalprice
+          FROM base WHERE o_orderkey % 7 = 2),
+      latest AS (
+        SELECT o_orderkey, op, o_orderstatus, o_totalprice FROM (
+          SELECT ch.*, row_number() OVER (PARTITION BY o_orderkey
+            ORDER BY seq DESC) AS rn FROM ch) WHERE rn = 1)
+      SELECT coalesce(l.o_orderkey, b.o_orderkey) AS o_orderkey,
+        CASE WHEN l.op IS NOT NULL THEN l.o_orderstatus
+             ELSE b.o_orderstatus END AS o_orderstatus,
+        CASE WHEN l.op IS NOT NULL THEN l.o_totalprice
+             ELSE b.o_totalprice END AS o_totalprice
+      FROM base b FULL OUTER JOIN latest l ON b.o_orderkey = l.o_orderkey
+      WHERE l.op IS NULL OR l.op <> 'D'""") { (s, d) =>
+      import graft.operators.Cdc
+      val base = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val m7 = pmod(col("o_orderkey"), lit(7))
+      val changes = base.filter(m7 === 0)
+        .select(col("o_orderkey"), lit("D").as("op"), lit(2L).as("seq"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .unionByName(base.filter(m7 === 1)
+          .select(col("o_orderkey"), lit("U").as("op"), lit(1L).as("seq"),
+            lit("X").as("o_orderstatus"),
+            (col("o_totalprice") + 1).as("o_totalprice")))
+        .unionByName(base.filter(m7 === 1)
+          .select(col("o_orderkey"), lit("U").as("op"), lit(2L).as("seq"),
+            lit("U").as("o_orderstatus"),
+            (col("o_totalprice") + 100).as("o_totalprice")))
+        .unionByName(base.filter(m7 === 2)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            lit("I").as("op"), lit(2L).as("seq"),
+            lit("N").as("o_orderstatus"), col("o_totalprice")))
+      Cdc.applyCdc(base, changes, Seq("o_orderkey"), "seq", "op")
+    },
+
+    // -- BPE merge training: the oracle unrolls the same N sequential
+    //    merge rounds as chained CTEs — pair counts from the word dict,
+    //    deterministic argmax (cnt DESC, l, r), greedy fold application
+    //    via list_reduce — so every learned merge and its count is
+    //    hash-checked, not just the first round.
+    dfQ("q171_bpe_train", duckBpeOracle(8)) { (s, d) =>
+      TextAnalysis.bpeTrain(Tables.load(s, d, "documents"), "text", 8)
+    },
+
+    // -- Mergeable HLL sketch rollup: per-nation Datasketches HLL
+    //    sketches union to region totals WITHOUT rescanning rows — the
+    //    re-aggregatable-sketch pattern that makes 100 TB rollup cubes
+    //    cheap. Each customer belongs to one nation, so the exact region
+    //    NDV is the sum of exact nation NDVs; the oracle checks the exact
+    //    column and the engine asserts the sketch estimate lands within
+    //    tolerance (lgK=14 => ~0.8% rel. error; 5% bound).
+    dfQ("q172_hll_rollup", """
+      SELECT n_regionkey AS region,
+             count(DISTINCT c_custkey) AS ndv_exact,
+             TRUE AS within_tol
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1""") { (s, d) =>
+      val c = Tables.load(s, d, "customer")
+      val n = Tables.load(s, d, "nation")
+      val perNation = c
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey").as("region"), col("c_nationkey"))
+        .agg(expr("hll_sketch_agg(c_custkey, 14)").as("sk"),
+          countDistinct(col("c_custkey")).as("ndv"))
+      perNation.groupBy("region")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+          sum(col("ndv")).as("ndv_exact"))
+        .select(col("region"), col("ndv_exact"),
+          (abs(col("est") - col("ndv_exact")) <=
+            col("ndv_exact") * lit(0.05)).as("within_tol"))
     })
+
+  /** DuckDB replay of `TextAnalysis.bpeTrain`: N unrolled merge rounds.
+    * Each round i reads word dict w{i}, counts adjacent symbol pairs
+    * weighted by word frequency, picks the (cnt DESC, l, r) argmax m{i},
+    * and applies it with the identical greedy string-accumulator fold. */
+  private def duckBpeOracle(merges: Int): String = {
+    val rounds = (0 until merges).map { i =>
+      s"""p$i AS (
+        SELECT t[j] AS l, t[j+1] AS r, sum(cnt)::BIGINT AS c FROM (
+          SELECT string_split(sym, ' ') AS t, cnt,
+                 unnest(range(1, len(string_split(sym, ' ')))) AS j
+          FROM w$i) GROUP BY 1, 2),
+      m$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+      w${i + 1} AS (
+        SELECT list_reduce(string_split(sym, ' '),
+          (acc, x) -> CASE
+            WHEN (acc = m.l OR ends_with(acc, ' ' || m.l)) AND x = m.r
+            THEN acc || x ELSE acc || ' ' || x END) AS sym, cnt
+        FROM w$i, m$i m)"""
+    }.mkString(",\n")
+    val union = (0 until merges)
+      .map(i => s"""SELECT ${i + 1} AS step, l AS "left", r AS "right",
+        c AS cnt FROM m$i""")
+      .mkString("\nUNION ALL\n")
+    s"""
+      WITH words AS (
+        SELECT unnest($DUCK_TOKENS) AS w FROM documents),
+      w0 AS (
+        SELECT array_to_string(string_split(w, ''), ' ') AS sym,
+               count(*)::BIGINT AS cnt
+        FROM words GROUP BY 1),
+      $rounds
+      $union"""
+  }
 }

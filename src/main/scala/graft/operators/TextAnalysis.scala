@@ -293,4 +293,86 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         round(-(sum("lp").cast("double")) / count(lit(1)), 6).as("avg_nll"))
   }
+
+  /** Byte-pair-encoding merge training (Sennrich et al. 2016) on the
+    * corpus's word-frequency dictionary. Returns one row per learned
+    * merge: (step, left, right, cnt), tie-broken (cnt DESC, left, right)
+    * so training is fully deterministic.
+    *
+    * Scale shape (the fastBPE/Hugging-Face design): the ONLY corpus-scale
+    * work is the initial word-count aggregation (map-side combinable);
+    * every merge iteration then runs on the bounded vocabulary table.
+    * Merges are inherently sequential — each changes the next iteration's
+    * pair counts — so the loop drives from the coordinator, collecting
+    * exactly ONE row (the argmax pair) per step; per-round lineage is cut
+    * with an eager localCheckpoint and the previous round's blocks are
+    * released (the connectedComponents discipline).
+    *
+    * Merge application is classic greedy left-to-right: expressed as a
+    * string-accumulator fold, where an accumulator ending in the left
+    * symbol absorbs a right-symbol token with no separator (tokens never
+    * contain spaces, so `acc = l` / `acc ends-with " l"` is an exact
+    * last-token test). */
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    var words = df
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(concat_ws(" ", split(col("w"), "")).as("sym"), col("cnt"))
+      .localCheckpoint(true)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val toks = split(col("sym"), " ")
+      val best = words
+        .filter(size(toks) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("l"),
+            element_at(toks, i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (best.head.getString(0), best.head.getString(1),
+          best.head.getLong(2))
+        learned += ((step, l, r, c))
+        val prev = words
+        words = words.select(
+          mergeFold(col("sym"), l, r).as("sym"),
+          col("cnt")).localCheckpoint(true)
+        org.apache.spark.sql.graftbridge.CheckpointBridge.release(prev)
+        step += 1
+      }
+    }
+    val out = learned.toSeq.toDF("step", "left", "right", "cnt")
+    org.apache.spark.sql.graftbridge.CheckpointBridge.release(words)
+    out
+  }
+
+  /** One greedy left-to-right merge pass of pair (l, r) over a
+    * space-joined symbol string, as a string-accumulator fold. */
+  private def mergeFold(sym: Column, l: String, r: String): Column = {
+    val toks = split(sym, " ")
+    aggregate(
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      element_at(toks, 1),
+      (acc, x) => when(
+        (acc === lit(l) || acc.endsWith(lit(" " + l))) && x === lit(r),
+        concat(acc, x)).otherwise(concat(acc, lit(" "), x)))
+  }
+
+  /** Tokenize text with a learned merge list: the same greedy fold per
+    * word, applied in merge order — the inference side of `bpeTrain`.
+    * Merges never cross word boundaries (matching training). Returns the
+    * flattened subword array. */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    flatten(transform(TextOps.tokens(text), w =>
+      split(merges.foldLeft(concat_ws(" ", split(w, ""))) {
+        case (sym, (l, r)) => mergeFold(sym, l, r)
+      }, " ")))
 }

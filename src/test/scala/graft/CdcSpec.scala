@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Cdc
+
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val base = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)
+  ).toDF("k", "s", "v")
+
+  test("cdc apply: latest change wins, D deletes, I inserts, " +
+    "stale and absent-key changes are no-ops") {
+    val changes = Seq(
+      (1L, "U", 1L, "stale", 11.0),  // superseded by seq 2
+      (1L, "U", 2L, "new", 12.0),
+      (2L, "D", 1L, "b", 20.0),      // delete
+      (4L, "I", 1L, "d", 40.0),      // insert
+      (5L, "D", 1L, "x", 0.0)        // delete of absent key: no-op
+    ).toDF("k", "op", "seq", "s", "v")
+    val out = Cdc.applyCdc(base, changes, Seq("k"), "seq", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(out == Set((1L, "new", 12.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("cdc apply: a delete followed by a later insert resurrects the key") {
+    val changes = Seq(
+      (2L, "D", 1L, "b", 20.0),
+      (2L, "I", 2L, "b2", 21.0)
+    ).toDF("k", "op", "seq", "s", "v")
+    val out = Cdc.applyCdc(base, changes, Seq("k"), "seq", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(out == Set((1L, "a", 10.0), (2L, "b2", 21.0), (3L, "c", 30.0)))
+  }
+
+  test("cdc apply: duplicate sequence numbers resolve deterministically " +
+    "(max op/payload struct), independent of partitioning") {
+    val changes = Seq(
+      (1L, "U", 1L, "p", 1.0),
+      (1L, "U", 1L, "q", 2.0)        // same seq: 'q' > 'p' wins, always
+    ).toDF("k", "op", "seq", "s", "v")
+    (1 to 3).foreach { n =>
+      val out = Cdc.applyCdc(base, changes.repartition(n), Seq("k"),
+        "seq", "op")
+        .filter($"k" === 1L).collect().head
+      assert((out.getString(1), out.getDouble(2)) == ("q", 2.0))
+    }
+  }
+
+  test("cdc apply: missing changelog columns fail fast") {
+    val bad = Seq((1L, "U", 1L)).toDF("k", "op", "seq")
+    assertThrows[IllegalArgumentException] {
+      Cdc.applyCdc(base, bad, Seq("k"), "seq", "op")
+    }
+  }
+}
