@@ -20,7 +20,8 @@ object Bench {
     "q107_int8_quant", "q117_decontaminate", "q119_asof_join",
     "q145_chunk_overlap", "q147_pack_greedy", "q150_zorder",
     "q151_inverted_index", "q153_shuffle", "q165_mix_budget",
-    "q166_bigram_lm", "q168_shared_spans")
+    "q166_bigram_lm", "q168_shared_spans", "q169_semantic_dedup",
+    "q170_cdc_apply", "q171_bpe_train")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

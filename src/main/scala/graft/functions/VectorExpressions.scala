@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native dot product for dense embedding columns — the hot loop of
+  * every similarity operator (brute-force ANN, IVF search, SemDeDup's
+  * quadratic intra-cluster stage). The equivalent
+  * `aggregate(zip_with(a, b, *), 0.0, +)` composition allocates a zipped
+  * array and makes two interpreted lambda calls per element; this is one
+  * tight primitive loop per row.
+  *
+  * Result parity with the composition it replaces: identical
+  * left-to-right double accumulation (floats widened before multiply),
+  * NULL when either array is NULL, when lengths differ, or when any
+  * element is NULL — exactly what zip_with's null padding + null
+  * arithmetic produced. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  private def comp(dt: DataType, e: ArrayData, i: Int): Double =
+    dt match {
+      case ArrayType(FloatType, _)   => e.getFloat(i).toDouble
+      case ArrayType(IntegerType, _) => e.getInt(i).toDouble
+      case ArrayType(LongType, _)    => e.getLong(i).toDouble
+      case _                         => e.getDouble(i)
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += comp(left.dataType, x, i) * comp(right.dataType, y, i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
