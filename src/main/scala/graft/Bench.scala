@@ -21,7 +21,8 @@ object Bench {
     "q145_chunk_overlap", "q147_pack_greedy", "q150_zorder",
     "q151_inverted_index", "q153_shuffle", "q165_mix_budget",
     "q166_bigram_lm", "q168_shared_spans", "q169_semantic_dedup",
-    "q170_cdc_apply", "q171_bpe_train")
+    "q170_cdc_apply", "q171_bpe_train", "q173_pagerank",
+    "q176_hashing_tf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

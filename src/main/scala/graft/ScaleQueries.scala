@@ -610,7 +610,115 @@ object ScaleQueries {
         .select(col("region"), col("ndv_exact"),
           (abs(col("est") - col("ndv_exact")) <=
             col("ndv_exact") * lit(0.05)).as("within_tol"))
+    },
+
+    // -- PageRank (power method) on the symmetrized customer—supplier
+    //    purchase graph: the oracle unrolls the same 3 rounds as chained
+    //    CTEs with identical rounded-decimal mass sums, so every node's
+    //    rank is hash-checked through the full iteration history.
+    dfQ("q173_pagerank", duckPageRankOracle(3)) { (s, d) =>
+      import graft.operators.Graph
+      val half = Tables.load(s, d, "orders")
+        .join(Tables.load(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val edges = half.union(
+        half.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.pageRank(edges, "src", "dst", iters = 3)
+    },
+
+    // -- Interval-overlap join: bucketized equi-join + residual filter
+    //    (no BroadcastNestedLoopJoin — AsOfRangeJoinSpec asserts the
+    //    plan); the oracle is the plain theta join over the same
+    //    synthesized interval sets.
+    dfQ("q174_interval_overlap", """
+      WITH l AS (
+        SELECT o_orderkey AS lid, o_orderkey % 10000 AS ls,
+               o_orderkey % 10000 + 3 + o_orderkey % 9 AS le
+        FROM orders WHERE o_orderkey % 97 = 0),
+      r AS (
+        SELECT o_orderkey AS rid, o_orderkey % 10000 AS rs,
+               o_orderkey % 10000 + 3 + o_orderkey % 11 AS re
+        FROM orders WHERE o_orderkey % 89 = 0)
+      SELECT lid, ls, le, rid, rs, re
+      FROM l JOIN r ON ls < re AND rs < le""") { (s, d) =>
+      import graft.operators.RangeJoin
+      val o = Tables.load(s, d, "orders")
+      val base = pmod(col("o_orderkey"), lit(10000))
+      val l = o.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+        .select(col("o_orderkey").as("lid"), base.as("ls"),
+          (base + 3 + pmod(col("o_orderkey"), lit(9))).as("le"))
+      val r = o.filter(pmod(col("o_orderkey"), lit(89)) === 0)
+        .select(col("o_orderkey").as("rid"), base.as("rs"),
+          (base + 3 + pmod(col("o_orderkey"), lit(11))).as("re"))
+      RangeJoin.intervalOverlap(l, "ls", "le", r, "rs", "re",
+        "lid", "rid", bucketWidth = 8)
+        .select("lid", "ls", "le", "rid", "rs", "re")
+    },
+
+    // -- PIVOT (conditional-aggregation rotation) with the repo-wide
+    //    exact-decimal sum contract per output cell
+    dfQ("q175_pivot", """
+      SELECT l_linestatus,
+        cast(sum(CASE WHEN l_returnflag = 'A'
+          THEN cast(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "A",
+        cast(sum(CASE WHEN l_returnflag = 'N'
+          THEN cast(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "N",
+        cast(sum(CASE WHEN l_returnflag = 'R'
+          THEN cast(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "R"
+      FROM lineitem GROUP BY 1""") { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+    },
+
+    // -- Hashing-trick TF vectorization: stateless md5-bucket features,
+    //    oracle recomputes every non-zero (doc, bucket, tf) cell with
+    //    DuckDB's own md5 — the dense assembly is exercised by exploding
+    //    the engine's vector back to sparse form
+    dfQ("q176_hashing_tf", s"""
+      SELECT doc_id,
+        ('0x' || substr(md5('tf1:' || w), 1, 15))::BIGINT % 64 AS bucket,
+        count(*) AS tf
+      FROM (SELECT doc_id, unnest($DUCK_TOKENS) AS w FROM documents)
+      GROUP BY 1, 2""") { (s, d) =>
+      TextAnalysis.hashingTf(Tables.load(s, d, "documents"),
+        "doc_id", "text", dim = 64, seed = "tf1")
+        .select(col("doc_id"), posexplode(col("tf_vec")))
+        .filter(col("col") > 0)
+        .select(col("doc_id"), col("pos").cast("long").as("bucket"),
+          col("col").as("tf"))
     })
+
+  /** DuckDB replay of `Graph.pageRank`: N unrolled power-method rounds
+    * over the symmetrized customer—supplier edge list. Contributions are
+    * rounded-then-decimal-summed (the float-determinism contract), pr
+    * re-rounded to 9 per round — identical arithmetic to the engine. */
+  private def duckPageRankOracle(iters: Int): String = {
+    val rounds = (0 until iters).map { i =>
+      s"""c$i AS (
+        SELECT e.dst, sum(round(p.pr / od.outdeg, 12)::DECIMAL(28,12)) AS mass
+        FROM e JOIN pr$i p ON e.src = p.node JOIN od ON e.src = od.src
+        GROUP BY 1),
+      pr${i + 1} AS (
+        SELECT n.node,
+               round(0.15 + 0.85 * coalesce(c.mass::DOUBLE, 0.0), 9) AS pr
+        FROM n LEFT JOIN c$i c ON n.node = c.dst)"""
+    }.mkString(",\n")
+    s"""
+      WITH e0 AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+      n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      pr0 AS (SELECT node, 1.0::DOUBLE AS pr FROM n),
+      $rounds
+      SELECT node, pr FROM pr$iters"""
+  }
 
   /** DuckDB replay of `TextAnalysis.bpeTrain`: N unrolled merge rounds.
     * Each round i reads word dict w{i}, counts adjacent symbol pairs

@@ -44,4 +44,35 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval-OVERLAP join: rows of `left` `[ls, le)` joined to rows of
+    * `right` `[rs, re)` where the intervals intersect (ls < re AND
+    * rs < le). Same re-expression as `pointInRange`, applied to both
+    * sides: each interval explodes to its covered buckets, equi-join on
+    * bucket, exact overlap as a residual filter. Overlapping pairs meet
+    * in every bucket their INTERSECTION covers, so the join dedups on
+    * the provided key columns (must uniquely identify rows on each side).
+    * Work per pair is bounded by intervalWidth/bucketWidth — pick
+    * bucketWidth ≈ typical interval width; empty/inverted intervals
+    * produce nothing. */
+  def intervalOverlap(
+      left: DataFrame, ls: String, le: String,
+      right: DataFrame, rs: String, re: String,
+      leftKey: String, rightKey: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def buckets(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn("__bucket",
+        explode(when(col(e) > col(s),
+          sequence(
+            expr(s"`$s` div $bucketWidth"),
+            expr(s"(`$e` - 1) div $bucketWidth")))
+          .otherwise(array().cast("array<long>"))))
+    val lb = buckets(left, ls, le)
+    val rb = buckets(right, rs, re)
+    lb.join(rb, Seq("__bucket"))
+      .filter(col(ls) < col(re) && col(rs) < col(le))
+      .drop("__bucket")
+      .dropDuplicates(leftKey, rightKey)
+  }
 }

@@ -354,6 +354,36 @@ object TextAnalysis {
     out
   }
 
+  /** Feature-hashing (hashing-trick) term-frequency vectorization:
+    * token → bucket md5(seed:token) mod dim, counts per (id, bucket),
+    * assembled into a dense length-`dim` count vector. No vocabulary
+    * table, no fitting pass — the property that makes the hashing trick
+    * the 100 TB vectorizer (stateless, single shuffle on (id), bucket
+    * math inside codegen'd expressions). Docs with no tokens get the
+    * zero vector. The md5-based bucket is engine-portable, so the full
+    * sparse content is SQL-replayable. */
+  def hashingTf(
+      df: DataFrame, idCol: String, textCol: String,
+      dim: Int, seed: String): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val bucket = pmod(
+      conv(substring(md5(concat(lit(seed + ":"), col("w"))), 1, 15),
+        16, 10).cast("long"),
+      lit(dim.toLong))
+    val counts = df
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("w"))
+      .select(col(idCol), bucket.as("bucket"))
+      .groupBy(idCol, "bucket").agg(count(lit(1)).as("tf"))
+      .groupBy(idCol)
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("tf"))))
+        .as("m"))
+    df.select(col(idCol)).distinct()
+      .join(counts, Seq(idCol), "left")
+      .select(col(idCol),
+        transform(sequence(lit(0L), lit(dim - 1L)),
+          i => coalesce(element_at(col("m"), i), lit(0L))).as("tf_vec"))
+  }
+
   /** One greedy left-to-right merge pass of pair (l, r) over a
     * space-joined symbol string, as a string-accumulator fold. */
   private def mergeFold(sym: Column, l: String, r: String): Column = {

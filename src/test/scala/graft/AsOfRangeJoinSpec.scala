@@ -91,6 +91,26 @@ class AsOfRangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("interval overlap: matches the naive theta join, once per pair, " +
+    "no nested loop") {
+    val l = Seq((1L, 0L, 10L), (2L, 5L, 6L), (3L, 20L, 21L), (4L, 8L, 8L))
+      .toDF("lid", "ls", "le") // 4: empty interval
+    val r = Seq((10L, 9L, 25L), (11L, 0L, 1L), (12L, 10L, 12L))
+      .toDF("rid", "rs", "re")
+    val got = RangeJoin.intervalOverlap(l, "ls", "le", r, "rs", "re",
+      "lid", "rid", bucketWidth = 3)
+    val pairs = got.select("lid", "rid").collect()
+      .map(row => (row.getLong(0), row.getLong(1)))
+    // naive: [0,10)x[9,25) ✓, [0,10)x[0,1) ✓, [20,21)x[9,25) ✓;
+    // [0,10)x[10,12) touch but half-open → no; empty [8,8) → no
+    assert(pairs.sorted.toSeq == Seq((1L, 10L), (1L, 11L), (3L, 10L)),
+      "exact overlap set, each pair exactly once despite multi-bucket " +
+        "intersections")
+    val p = got.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("Cartesian"),
+      s"interval overlap must bucket-join, not nested-loop:\n$p")
+  }
+
   test("range join: empty or inverted ranges produce no buckets") {
     val facts = Seq((1L, 30L)).toDF("id", "p")
     val ranges = Seq(("empty", 30L, 30L), ("inverted", 1000L, 0L))

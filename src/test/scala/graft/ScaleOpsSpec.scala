@@ -208,4 +208,22 @@ class ScaleOpsSpec extends SparkSpec {
       assert(got == want, s"want $want, got $got")
     }
   }
+
+  test("hashingTf: dense dim-length counts, identical tokens collide, " +
+    "empty doc gets the zero vector") {
+    val docs = Seq(
+      (1L, "spark spark hive"),
+      (2L, "spark"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val vecs = TextAnalysis.hashingTf(docs, "doc_id", "text",
+        dim = 16, seed = "t")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(vecs.values.forall(_.length == 16))
+    assert(vecs(1L).sum == 3 && vecs(2L).sum == 1, "tf counts all tokens")
+    assert(vecs(3L).forall(_ == 0), "token-less doc -> zero vector")
+    // the same token hashes to the same bucket in every document
+    val sparkBucket = vecs(2L).indexWhere(_ == 1)
+    assert(vecs(1L)(sparkBucket) >= 2)
+  }
 }
