@@ -94,6 +94,14 @@ object GraftSession {
   private val DeleteRe =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+))?\s*""".r
   private val MacroRe = """(?is)\s*(?:CREATE|DROP)\s+TEMPORARY\s+MACRO\b.*""".r
+  private val MergeRe =
+    """(?is)\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+(.+)""".r
+  private val MergeUpdRe =
+    """(?is)\s*MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+UPDATE\s+SET\s+(.+)""".r
+  private val MergeDelRe =
+    """(?is)\s*MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE\s*""".r
+  private val MergeInsRe =
+    """(?is)\s*NOT\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+INSERT\s+VALUES\s*\((.+)\)\s*""".r
 
   private def parsePartitionSpec(spec: String): Seq[(String, String)] =
     spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { kv =>
@@ -127,6 +135,43 @@ object GraftSession {
       }
       i += 1
     }
+  }
+
+  /** Positions where `word` appears as a standalone top-level keyword
+    * (outside parens and string literals). */
+  private def topLevelKeyword(s: String, word: String): Seq[Int] = {
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val n = word.length
+    scanTopLevel(s) { (c, i, top) =>
+      if (top && c.toLower == word.charAt(0).toLower && i + n <= s.length &&
+          s.substring(i, i + n).equalsIgnoreCase(word) &&
+          (i == 0 || s.charAt(i - 1).isWhitespace) &&
+          (i + n == s.length || s.charAt(i + n).isWhitespace))
+        cuts += i
+    }
+    cuts.toSeq
+  }
+
+  /** Split the MERGE tail into (ON condition, WHEN-clause bodies). */
+  private def splitOnWhen(s: String): (String, Seq[String]) = {
+    val cuts = topLevelKeyword(s, "WHEN")
+    if (cuts.isEmpty) (s.trim, Nil)
+    else {
+      val bounds = cuts :+ s.length
+      val clauses = bounds.sliding(2).map {
+        case Seq(a, b) => s.substring(a + 4, b).trim
+      }.toSeq
+      (s.substring(0, cuts.head).trim, clauses)
+    }
+  }
+
+  /** Split on top-level commas (quote- and paren-aware). */
+  private def splitTopLevelCommas(s: String): Seq[String] = {
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    scanTopLevel(s) { (c, i, top) => if (top && c == ',') cuts += i }
+    ((-1 +: cuts.toSeq) :+ s.length).sliding(2).map {
+      case Seq(a, b) => s.substring(a + 1, b).trim
+    }.filter(_.nonEmpty).toSeq
   }
 
   /** Split the text after SET into (assignments, optional WHERE clause):
@@ -197,6 +242,28 @@ object GraftSession {
         spark.emptyDataFrame
       case DeleteRe(table, where) =>
         Warehouse.delete(spark, table, Option(where).getOrElse("true"))
+        spark.emptyDataFrame
+      case MergeRe(tgt, tAls, src, sAls, rest) =>
+        val (on, clauseTexts) = splitOnWhen(rest)
+        val matched =
+          scala.collection.mutable.ArrayBuffer.empty[Warehouse.MatchedClause]
+        var insert: Option[Warehouse.NotMatchedInsert] = None
+        clauseTexts.foreach {
+          case MergeInsRe(c, vals) =>
+            require(insert.isEmpty, "MERGE allows one NOT MATCHED clause")
+            insert = Some(Warehouse.NotMatchedInsert(Option(c),
+              splitTopLevelCommas(vals)))
+          case MergeUpdRe(c, sets) =>
+            matched += Warehouse.MatchedUpdate(Option(c), parseSetClause(sets))
+          case MergeDelRe(c) =>
+            matched += Warehouse.MatchedDelete(Option(c))
+          case other => sys.error(s"unsupported MERGE clause: WHEN $other")
+        }
+        Warehouse.merge(spark, tgt,
+          Option(tAls).getOrElse(tgt.split('.').last),
+          spark.table(src),
+          Option(sAls).getOrElse(src.split('.').last),
+          on, matched.toSeq, insert)
         spark.emptyDataFrame
       case other => spark.sql(other)
     }

@@ -691,6 +691,106 @@ object ScaleQueries {
         .filter(col("col") > 0)
         .select(col("doc_id"), col("pos").cast("long").as("bucket"),
           col("col").as("tf"))
+    },
+
+    // -- Hashed-TF cosine similarity pairs (vectorize → similarity
+    //    composition without a trained embedding): every sum is an
+    //    INTEGER (tf counts), so dot and norms are bit-identical across
+    //    engines and the threshold compare carries zero float risk; the
+    //    planted +1000000 copies must surface as the top pairs
+    dfQ("q177_tf_cosine_pairs", s"""
+      WITH d AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' graft extra near dup token'
+        FROM documents WHERE doc_id % 25 = 0),
+      cells AS (
+        SELECT doc_id,
+          ('0x' || substr(md5('nd1:' || w), 1, 15))::BIGINT % 64 AS b,
+          count(*)::BIGINT AS tf
+        FROM (SELECT doc_id, unnest($DUCK_TOKENS) AS w FROM d)
+        GROUP BY 1, 2),
+      n2 AS (SELECT doc_id, sum(tf * tf)::BIGINT AS n2 FROM cells
+             GROUP BY 1),
+      dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               sum(a.tf * b.tf)::BIGINT AS dp
+        FROM cells a JOIN cells b ON a.b = b.b AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+        round(dp / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) AS cos6
+      FROM dots
+      JOIN n2 na ON na.doc_id = id_a
+      JOIN n2 nb ON nb.doc_id = id_b
+      WHERE dp / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)) >= 0.5""") {
+      (s, d) =>
+      import graft.operators.Vectors
+      val docs = Tables.load(s, d, "documents")
+        .filter(pmod(col("doc_id"), lit(25)) === 0)
+      val planted = docs.select(col("doc_id"), col("text"))
+        .union(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" graft extra near dup token")).as("text")))
+      val tf = TextAnalysis.hashingTf(planted, "doc_id", "text",
+        dim = 64, seed = "nd1")
+        .withColumn("n2", Vectors.dot(col("tf_vec"), col("tf_vec")))
+        .filter(col("n2") > 0)
+      val a = tf.select(col("doc_id").as("id_a"),
+        col("tf_vec").as("va"), col("n2").as("na"))
+      val b = tf.select(col("doc_id").as("id_b"),
+        col("tf_vec").as("vb"), col("n2").as("nb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("cos",
+          Vectors.dot(col("va"), col("vb")) /
+            (sqrt(col("na")) * sqrt(col("nb"))))
+        .filter(col("cos") >= 0.5)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos6"))
+    },
+
+    // -- Accent folding: native NFD+strip-marks expression vs DuckDB's
+    //    ICU strip_accents over planted accents + real document text
+    //    (both engines read the same bytes; non-decomposable ß/ø must
+    //    pass through, combining-mark scripts like й→и must fold)
+    dfQ("q178_fold_accents", """
+      SELECT doc_id,
+        strip_accents('café Zürich señor naïve crème brûlée ÀÉÎÕÜ ß ø й '
+          || text) AS folded
+      FROM documents WHERE doc_id % 10 = 0""") { (s, d) =>
+      Tables.load(s, d, "documents")
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"),
+          TextOps.foldAccents(concat(
+            lit("café Zürich señor naïve crème brûlée ÀÉÎÕÜ ß ø й "),
+            col("text"))).as("folded"))
+    },
+
+    // -- Ordered funnel (view → click → purchase, each stage strictly
+    //    after the previous stage's earliest completion): one user-keyed
+    //    join + min-agg per stage, no per-user event-stream window; the
+    //    oracle replays the identical stage chain
+    dfQ("q179_funnel", """
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      s1 AS (
+        SELECT user_id, min(ts::TIMESTAMP) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (
+        SELECT e.user_id, min(e.ts::TIMESTAMP) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts::TIMESTAMP > s1.t1
+        GROUP BY 1),
+      s3 AS (
+        SELECT e.user_id, min(e.ts::TIMESTAMP) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > s2.t2
+        GROUP BY 1)
+      SELECT u.user_id,
+        CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+             WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage
+      FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
+             LEFT JOIN s2 ON u.user_id = s2.user_id
+             LEFT JOIN s3 ON u.user_id = s3.user_id""") { (s, d) =>
+      import graft.operators.Funnel
+      Funnel.stageReached(Tables.load(s, d, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
     })
 
   /** DuckDB replay of `Graph.pageRank`: N unrolled power-method rounds

@@ -191,6 +191,146 @@ object Warehouse {
     }
   }
 
+  sealed trait MatchedClause
+  /** WHEN MATCHED [AND cond] THEN UPDATE SET sets */
+  final case class MatchedUpdate(cond: Option[String],
+      sets: Map[String, String]) extends MatchedClause
+  /** WHEN MATCHED [AND cond] THEN DELETE */
+  final case class MatchedDelete(cond: Option[String]) extends MatchedClause
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT VALUES (exprs) */
+  final case class NotMatchedInsert(cond: Option[String],
+      values: Seq[String])
+
+  /** MERGE INTO — Hive grammar arrives in 2.2
+    * (MergeSemanticAnalyzer upstream; the 1.2 reference stops at
+    * UPDATE/DELETE, SURVEY §2.9), re-expressed as the standard
+    * three-branch rewrite: matched pairs transform per the first
+    * matching WHEN clause (listed order wins, Hive semantics), unmatched
+    * target rows pass through, NOT MATCHED source rows insert. Hive's
+    * cardinality check is enforced: a target row matching more than one
+    * source row aborts the merge.
+    *
+    * Scale shape: when the ON condition is an equi-predicate all three
+    * branches plan as hash joins on the merge key (inner + two
+    * left-antis over the same shuffle); partitioned targets rewrite only
+    * partitions holding matched or inserted rows, and partitions emptied
+    * by DELETE clauses are dropped (the `delete` discipline). */
+  def merge(
+      spark: SparkSession, table: String, targetAlias: String,
+      source: DataFrame, sourceAlias: String, on: String,
+      matched: Seq[MatchedClause],
+      notMatched: Option[NotMatchedInsert]): Unit = {
+    require(matched.nonEmpty || notMatched.nonEmpty,
+      "MERGE needs at least one WHEN clause")
+    val partCols = partitionColumns(spark, table)
+    val tCols = spark.table(table).columns.toSeq
+    matched.collect { case MatchedUpdate(_, sets) =>
+      val setPart = sets.keySet.map(_.toLowerCase)
+        .intersect(partCols.map(_.toLowerCase).toSet)
+      require(setPart.isEmpty,
+        s"MERGE UPDATE cannot set partition column(s) ${setPart.mkString(", ")}")
+      val unknown = sets.keySet.map(_.toLowerCase)
+        .diff(tCols.map(_.toLowerCase).toSet)
+      require(unknown.isEmpty,
+        s"MERGE UPDATE references unknown column(s) ${unknown.mkString(", ")}")
+    }
+    notMatched.foreach(ins => require(ins.values.size == tCols.size,
+      s"MERGE INSERT VALUES arity ${ins.values.size} != ${tCols.size} " +
+        s"columns of $table"))
+
+    val t = spark.table(table).alias(targetAlias)
+    val s = source.alias(sourceAlias)
+    val onExpr = expr(on)
+    val joined = t.join(s, onExpr, "inner")
+    val tKey = struct(tCols.map(c => col(s"$targetAlias.$c")): _*)
+
+    // Hive cardinality check: joined-count per target-row-value exceeding
+    // the target's own duplicate count means >1 source match per row
+    val tCounts = t.groupBy(tKey.as("k")).agg(count(lit(1)).as("tn"))
+    val jCounts = joined.groupBy(tKey.as("k")).agg(count(lit(1)).as("jn"))
+    val violations = jCounts.join(tCounts, col("jn") =!= col("tn") &&
+      jCounts("k") <=> tCounts("k")).limit(1).count()
+    require(violations == 0,
+      s"MERGE cardinality violation: a row of $table matches more than " +
+        "one source row")
+
+    // first listed WHEN MATCHED clause whose condition holds applies
+    val outcome = matched.zipWithIndex.foldRight(lit(0)) {
+      case ((cl, i), els) =>
+        val c = cl match {
+          case MatchedUpdate(cond, _) => cond
+          case MatchedDelete(cond)    => cond
+        }
+        when(c.map(expr).getOrElse(lit(true)), lit(i + 1)).otherwise(els)
+    }
+    val deleteIdx = matched.zipWithIndex.collect {
+      case (MatchedDelete(_), i) => i + 1
+    }
+    val transformed = joined
+      .withColumn("__out", outcome)
+      .filter(deleteIdx.foldLeft(lit(true))(
+        (acc, i) => acc && col("__out") =!= i))
+      .select(tCols.map { c =>
+        matched.zipWithIndex.foldLeft(col(s"$targetAlias.$c")) {
+          case (els, (MatchedUpdate(_, sets), i)) =>
+            sets.collectFirst {
+              case (sc, e) if sc.equalsIgnoreCase(c) ||
+                sc.equalsIgnoreCase(s"$targetAlias.$c") => e
+            } match {
+              case Some(e) => when(col("__out") === i + 1, expr(e))
+                .otherwise(els)
+              case None => els
+            }
+          case (els, _) => els
+        }.as(c)
+      }: _*)
+
+    val unmatchedT = t.join(s, onExpr, "left_anti")
+      .select(tCols.map(c => col(s"$targetAlias.$c").as(c)): _*)
+    val inserts = notMatched.map { ins =>
+      val base = s.join(t, onExpr, "left_anti")
+      ins.cond.map(c => base.filter(expr(c))).getOrElse(base)
+        .select(ins.values.zip(tCols).map {
+          case (e, c) => expr(e).as(c)
+        }: _*)
+    }
+
+    if (partCols.isEmpty) {
+      val next = (Seq(unmatchedT, transformed) ++ inserts)
+        .map(df => df.select(tCols.map(col): _*))
+        .reduce(_.unionByName(_))
+      overwriteUnpartitioned(spark, table, next)
+    } else {
+      // rewrite only partitions holding matched target rows or inserts;
+      // untouched partitions keep their files
+      val touched = joined
+        .select(partCols.map(c => col(s"$targetAlias.$c").as(c)): _*)
+        .unionByName(inserts.map(_.select(partCols.map(col): _*))
+          .getOrElse(spark.emptyDataFrame
+            .select(partCols.map(c => lit(null).as(c)): _*).limit(0)))
+        .distinct()
+      val replacement = (Seq(
+        semiJoinOnPartitions(unmatchedT, touched, partCols),
+        transformed) ++ inserts)
+        .map(df => df.select(tCols.map(col): _*))
+        .reduce(_.unionByName(_))
+      val touchedRows = touched.collect()
+      val expected = replacement
+        .select(partCols.map(col): _*).distinct().collect().toSet
+      insertOverwriteDynamic(spark, table, replacement)
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      touchedRows.filterNot(expected).foreach { p =>
+        val spec: Map[String, String] = partCols.zipWithIndex.map {
+          case (c, i) =>
+            c -> (if (p.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"
+                  else p.get(i).toString)
+        }.toMap
+        spark.sessionState.catalog.dropPartitions(ident, Seq(spec),
+          ignoreIfNotExists = true, purge = false, retainData = false)
+      }
+    }
+  }
+
   private[graft] def overwriteUnpartitioned(spark: SparkSession, table: String,
       replacement: DataFrame): Unit = {
     // stage to a scratch location first: the rewrite reads the same files

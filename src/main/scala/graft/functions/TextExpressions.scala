@@ -161,3 +161,37 @@ case class NfcNormalize(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Accent folding: NFD-decompose, drop combining marks (\p{Mn}), NFC
+  * re-compose. café→cafe, Zürich→Zurich; non-decomposable letters (ß, ø)
+  * pass through — the same contract as DuckDB/ICU `strip_accents`, which
+  * the q178 oracle leans on. ASCII fast path: no decomposition, no copy. */
+case class FoldAccents(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  private val marks = java.util.regex.Pattern.compile("\\p{Mn}+")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val s = u.toString
+    var ascii = true
+    var i = 0
+    while (ascii && i < s.length) {
+      if (s.charAt(i) >= 0x80) ascii = false
+      i += 1
+    }
+    if (ascii) u
+    else {
+      val nfd = java.text.Normalizer.normalize(
+        s, java.text.Normalizer.Form.NFD)
+      val stripped = marks.matcher(nfd).replaceAll("")
+      UTF8String.fromString(java.text.Normalizer.normalize(
+        stripped, java.text.Normalizer.Form.NFC))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

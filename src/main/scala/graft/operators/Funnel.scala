@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis (the MATCH_RECOGNIZE-lite shape): for each
+  * user, how far did they progress through a stage sequence, where stage
+  * i+1 only counts if it happens strictly after the user's earliest
+  * completion of stage i.
+  *
+  * Scale shape: one user-keyed join + min-aggregate per stage — no
+  * per-user window over the full event stream (the naive sort-per-user
+  * plan funnels every hot user's events through one task), no
+  * driver-side state. Stage tables shrink monotonically (only users who
+  * reached stage i are joined for stage i+1), so later stages get
+  * cheaper.
+  */
+object Funnel {
+
+  /** Returns (userCol, stage): 0 = never hit stages.head, k = completed
+    * all k stages in order. */
+  def stageReached(
+      df: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one stage")
+    val users = df.select(col(userCol).as("user")).distinct()
+    var cur: DataFrame = null
+    val stageTimes = stages.zipWithIndex.map { case (st, i) =>
+      val evs = df.filter(col(typeCol) === st)
+        .select(col(userCol).as("user"), col(tsCol).as("ts"))
+      val eligible =
+        if (cur == null) evs
+        else evs.join(cur, "user").filter(col("ts") > col(s"t$i"))
+          .select(col("user"), col("ts"))
+      cur = eligible.groupBy("user").agg(min("ts").as(s"t${i + 1}"))
+      cur
+    }
+    val joined = stageTimes.foldLeft(users)(
+      (acc, st) => acc.join(st, Seq("user"), "left"))
+    // ascending fold leaves the DEEPEST stage as the outermost branch:
+    // when(t_k, k).otherwise(... when(t_1, 1).otherwise(0))
+    val stage = stages.indices.foldLeft(lit(0)) {
+      (els, i) => when(col(s"t${i + 1}").isNotNull, lit(i + 1)).otherwise(els)
+    }
+    joined.select(col("user").as(userCol), stage.as("stage"))
+  }
+}

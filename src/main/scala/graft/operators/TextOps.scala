@@ -62,6 +62,11 @@ object TextOps {
   def nfcNormalize(text: Column): Column =
     toCol(graft.functions.NfcNormalize(toExpr(text)))
 
+  /** Accent folding (café→cafe; ß/ø pass through) — native NFD +
+    * strip-marks expression, contract-identical to `strip_accents`. */
+  def foldAccents(text: Column): Column =
+    toCol(graft.functions.FoldAccents(toExpr(text)))
+
   /** Standard text cleanup: NFC, then whitespace runs collapsed to one
     * space, then trimmed. Composed from the native NFC expression and
     * codegen'd built-ins. */

@@ -102,6 +102,72 @@ class WarehouseSpec extends SparkSpec {
     assert(rows == Seq((1, 20.0), (2, 20.0), (3, 30.0)))
   }
 
+  test("MERGE INTO: update/delete/insert branches through the front door") {
+    val t = "wh_merge"
+    Warehouse.dropTable(spark, t)
+    Warehouse.createTable(
+      Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0))
+        .toDF("id", "s", "v"), t)
+    Seq((1, 100.0), (3, -1.0), (9, 90.0))
+      .toDF("id", "nv").createOrReplaceTempView("wh_merge_src")
+    GraftSession.sql(spark,
+      """MERGE INTO wh_merge t USING wh_merge_src s ON t.id = s.id
+         WHEN MATCHED AND s.nv < 0 THEN DELETE
+         WHEN MATCHED THEN UPDATE SET v = s.nv
+         WHEN NOT MATCHED THEN INSERT VALUES (s.id, 'new', s.nv);""")
+    val rows = spark.table(t).orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows == Seq(
+      (1, "a", 100.0),    // matched -> update
+      (2, "b", 20.0),     // untouched
+      (4, "d", 40.0),     // untouched
+      (9, "new", 90.0)))  // not matched -> insert; id 3 deleted
+  }
+
+  test("MERGE INTO: clause order wins and cardinality violations abort") {
+    val t = "wh_merge2"
+    Warehouse.dropTable(spark, t)
+    Warehouse.createTable(Seq((1, 10.0)).toDF("id", "v"), t)
+    // update listed FIRST claims the row even though the delete's
+    // condition also holds
+    Seq((1, 0.0)).toDF("id", "nv").createOrReplaceTempView("wh_merge2_src")
+    GraftSession.sql(spark,
+      """MERGE INTO wh_merge2 t USING wh_merge2_src s ON t.id = s.id
+         WHEN MATCHED AND s.nv = 0 THEN UPDATE SET v = -1
+         WHEN MATCHED THEN DELETE""")
+    assert(spark.table(t).collect().map(_.getDouble(1)).toSeq == Seq(-1.0))
+    // two source rows for one target row -> Hive cardinality violation
+    Seq((1, 1.0), (1, 2.0)).toDF("id", "nv")
+      .createOrReplaceTempView("wh_merge2_dup")
+    val e = intercept[IllegalArgumentException] {
+      GraftSession.sql(spark,
+        """MERGE INTO wh_merge2 t USING wh_merge2_dup s ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET v = s.nv""")
+    }
+    assert(e.getMessage.contains("cardinality"))
+  }
+
+  test("MERGE INTO partitioned target rewrites touched partitions and " +
+    "drops emptied ones") {
+    val t = "wh_merge_part"
+    Warehouse.dropTable(spark, t)
+    Warehouse.createTable(
+      Seq((1, 10.0, 2020), (2, 20.0, 2020), (3, 30.0, 2021))
+        .toDF("id", "v", "yr"), t, partitionBy = Seq("yr"))
+    Seq((3, 0.0, 2022), (7, 70.0, 2022)).toDF("id", "nv", "nyr")
+      .createOrReplaceTempView("wh_mp_src")
+    GraftSession.sql(spark,
+      """MERGE INTO wh_merge_part t USING wh_mp_src s ON t.id = s.id
+         WHEN MATCHED THEN DELETE
+         WHEN NOT MATCHED THEN INSERT VALUES (s.id, s.nv, s.nyr)""")
+    val rows = spark.table(t).orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getInt(2))).toSeq
+    assert(rows == Seq((1, 2020), (2, 2020), (7, 2022)))
+    // 2021 emptied by the delete -> partition gone, 2022 created
+    val parts = spark.sql(s"SHOW PARTITIONS $t").collect().map(_.getString(0))
+    assert(parts.sorted.toSeq == Seq("yr=2020", "yr=2022"))
+  }
+
   test("DELETE removes matching rows only") {
     val t = "wh_del"
     Warehouse.dropTable(spark, t)
