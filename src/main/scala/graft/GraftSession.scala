@@ -152,9 +152,16 @@ object GraftSession {
     cuts.toSeq
   }
 
-  /** Split the MERGE tail into (ON condition, WHEN-clause bodies). */
+  /** Split the MERGE tail into (ON condition, WHEN-clause bodies). Only
+    * WHEN followed by MATCHED / NOT MATCHED is a clause boundary — an
+    * unparenthesized CASE WHEN inside the ON condition or a clause body
+    * must not split the statement. */
   private def splitOnWhen(s: String): (String, Seq[String]) = {
-    val cuts = topLevelKeyword(s, "WHEN")
+    val cuts = topLevelKeyword(s, "WHEN").filter { i =>
+      val rest = s.substring(i + 4).dropWhile(_.isWhitespace)
+      rest.toUpperCase.startsWith("MATCHED") ||
+        rest.toUpperCase.matches("(?s)NOT\\s+MATCHED\\b.*")
+    }
     if (cuts.isEmpty) (s.trim, Nil)
     else {
       val bounds = cuts :+ s.length
@@ -176,34 +183,23 @@ object GraftSession {
 
   /** Split the text after SET into (assignments, optional WHERE clause):
     * the WHERE keyword counts only at top level, outside string literals. */
-  private def splitSetWhere(s: String): (String, Option[String]) = {
-    var cut = -1
-    scanTopLevel(s) { (c, i, top) =>
-      if (cut < 0 && top && (c == 'w' || c == 'W') &&
-          i + 5 <= s.length &&
-          s.substring(i, i + 5).equalsIgnoreCase("where") &&
-          (i == 0 || s.charAt(i - 1).isWhitespace) &&
-          (i + 5 == s.length || s.charAt(i + 5).isWhitespace))
-        cut = i
+  private def splitSetWhere(s: String): (String, Option[String]) =
+    topLevelKeyword(s, "where").headOption match {
+      case None      => (s.trim, None)
+      case Some(cut) =>
+        (s.substring(0, cut).trim, Some(s.substring(cut + 5).trim))
     }
-    if (cut < 0) (s.trim, None)
-    else (s.substring(0, cut).trim, Some(s.substring(cut + 5).trim))
-  }
 
   /** Split `a = e1, b = e2` on top-level commas (quote- and paren-aware);
     * each assignment splits on its FIRST '=' (column names are simple
     * identifiers, so an '=' inside the expression never comes first). */
   private def parseSetClause(s: String): Map[String, String] = {
-    val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
-    scanTopLevel(s) { (c, i, top) => if (top && c == ',') cuts += i }
-    val bounds = (-1 +: cuts.toSeq) :+ s.length
-    val pairs = bounds.sliding(2).map { case Seq(a, b) => s.substring(a + 1, b) }
-      .map(_.trim).filter(_.nonEmpty).map { a =>
-        require(a.contains("="), s"bad SET assignment: $a")
-        val Array(c, e) = a.split("=", 2).map(_.trim)
-        require(c.matches("""[\w.]+"""), s"bad SET column: $c")
-        c -> e
-      }.toSeq
+    val pairs = splitTopLevelCommas(s).map { a =>
+      require(a.contains("="), s"bad SET assignment: $a")
+      val Array(c, e) = a.split("=", 2).map(_.trim)
+      require(c.matches("""[\w.]+"""), s"bad SET column: $c")
+      c -> e
+    }
     // Hive rejects assigning the same column twice; .toMap would silently
     // keep the last one
     val dup = pairs.groupBy(_._1.toLowerCase).collect {

@@ -176,18 +176,29 @@ object Warehouse {
       val expected = replacement
         .select(partCols.map(col): _*).distinct().collect().toSet
       insertOverwriteDynamic(spark, table, replacement)
-      // drop via the catalog API, not rendered SQL: literal rendering
-      // breaks on NULL values, dates, and backslash escapes
-      val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
-      touchedRows.filterNot(expected).foreach { p =>
-        val spec: Map[String, String] = partCols.zipWithIndex.map {
-          case (c, i) =>
-            c -> (if (p.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"
-                  else p.get(i).toString)
-        }.toMap
-        spark.sessionState.catalog.dropPartitions(ident, Seq(spec),
-          ignoreIfNotExists = true, purge = false, retainData = false)
-      }
+      dropEmptiedPartitions(spark, table, partCols, touchedRows, expected)
+    }
+  }
+
+  /** Drop touched partitions that ended up with no rows after a rewrite
+    * (dynamic overwrite never touches a partition absent from the data,
+    * so an emptied one would silently keep its old files). Catalog API,
+    * not rendered SQL: literal rendering breaks on NULL values, dates,
+    * and backslash escapes. Both row sets must be computed BEFORE the
+    * overwrite. */
+  private def dropEmptiedPartitions(spark: SparkSession, table: String,
+      partCols: Seq[String],
+      touchedRows: Array[org.apache.spark.sql.Row],
+      expected: Set[org.apache.spark.sql.Row]): Unit = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    touchedRows.filterNot(expected).foreach { p =>
+      val spec: Map[String, String] = partCols.zipWithIndex.map {
+        case (c, i) =>
+          c -> (if (p.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"
+                else p.get(i).toString)
+      }.toMap
+      spark.sessionState.catalog.dropPartitions(ident, Seq(spec),
+        ignoreIfNotExists = true, purge = false, retainData = false)
     }
   }
 
@@ -241,7 +252,13 @@ object Warehouse {
     val t = spark.table(table).alias(targetAlias)
     val s = source.alias(sourceAlias)
     val onExpr = expr(on)
+    // persisted: the cardinality check, the touched-partition collect and
+    // the final write all read the matched pairs — without this the
+    // dominant join re-executes per action (and a nondeterministic
+    // source could pass the check yet write different rows)
     val joined = t.join(s, onExpr, "inner")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val tKey = struct(tCols.map(c => col(s"$targetAlias.$c")): _*)
 
     // Hive cardinality check: joined-count per target-row-value exceeding
@@ -314,21 +331,16 @@ object Warehouse {
         transformed) ++ inserts)
         .map(df => df.select(tCols.map(col): _*))
         .reduce(_.unionByName(_))
-      val touchedRows = touched.collect()
-      val expected = replacement
-        .select(partCols.map(col): _*).distinct().collect().toSet
-      insertOverwriteDynamic(spark, table, replacement)
-      val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
-      touchedRows.filterNot(expected).foreach { p =>
-        val spec: Map[String, String] = partCols.zipWithIndex.map {
-          case (c, i) =>
-            c -> (if (p.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"
-                  else p.get(i).toString)
-        }.toMap
-        spark.sessionState.catalog.dropPartitions(ident, Seq(spec),
-          ignoreIfNotExists = true, purge = false, retainData = false)
-      }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val touchedRows = touched.collect()
+        val expected = replacement
+          .select(partCols.map(col): _*).distinct().collect().toSet
+        insertOverwriteDynamic(spark, table, replacement)
+        dropEmptiedPartitions(spark, table, partCols, touchedRows, expected)
+      } finally replacement.unpersist(false)
     }
+    } finally joined.unpersist(false)
   }
 
   private[graft] def overwriteUnpartitioned(spark: SparkSession, table: String,

@@ -22,11 +22,30 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
+  // reject element types comp doesn't read (decimal, string, ...) at
+  // analysis time — the typed ArrayData getters would otherwise
+  // reinterpret memory silently
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType |
+        ShortType | ByteType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_product needs numeric arrays, got ${left.dataType.sql} " +
+          s"and ${right.dataType.sql}")
+  }
+
   private def comp(dt: DataType, e: ArrayData, i: Int): Double =
     dt match {
       case ArrayType(FloatType, _)   => e.getFloat(i).toDouble
       case ArrayType(IntegerType, _) => e.getInt(i).toDouble
       case ArrayType(LongType, _)    => e.getLong(i).toDouble
+      case ArrayType(ShortType, _)   => e.getShort(i).toDouble
+      case ArrayType(ByteType, _)    => e.getByte(i).toDouble
       case _                         => e.getDouble(i)
     }
 

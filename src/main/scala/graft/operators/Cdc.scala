@@ -33,7 +33,7 @@ object Cdc {
       base: DataFrame, changes: DataFrame, keyCols: Seq[String],
       seqCol: String, opCol: String): DataFrame = {
     val payload = base.columns.filterNot(keyCols.contains).toSeq
-    val missing = (payload :+ seqCol :+ opCol)
+    val missing = (keyCols ++ payload :+ seqCol :+ opCol)
       .filterNot(changes.columns.contains)
     require(missing.isEmpty, s"changes is missing columns: $missing")
 

@@ -26,6 +26,11 @@ object Graph {
       edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    // decimal-exact teleport constant: 1 - 0.85 in binary doubles is
+    // 0.15000000000000002, one ulp ABOVE the double a SQL oracle's
+    // literal 0.15 parses to — compute it the way the replaying engine
+    // will, or every rank is off by an ulp before rounding
+    val teleport = (BigDecimal(1) - BigDecimal(damping)).toDouble
     // pre-partition the edge list on src: every round's rank join then
     // lines up with the checkpoint-preserved hash(node) layout of the
     // rank table, so the only per-round exchange is the mass aggregate
@@ -57,7 +62,7 @@ object Graph {
         pr = nodes
           .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
           .select(col("node"), col("outdeg"),
-            round(lit(1 - damping) +
+            round(lit(teleport) +
               lit(damping) * coalesce(col("mass").cast("double"), lit(0.0)),
               9).as("pr"))
           // eager cut per round (the connectedComponents discipline):

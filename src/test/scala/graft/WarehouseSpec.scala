@@ -124,6 +124,21 @@ class WarehouseSpec extends SparkSpec {
       (9, "new", 90.0)))  // not matched -> insert; id 3 deleted
   }
 
+  test("MERGE INTO: unparenthesized CASE WHEN inside a clause body " +
+    "does not split the statement") {
+    val t = "wh_merge_case"
+    Warehouse.dropTable(spark, t)
+    Warehouse.createTable(Seq((1, 10.0), (2, 20.0)).toDF("id", "v"), t)
+    Seq((1, 5.0), (2, -3.0)).toDF("id", "nv")
+      .createOrReplaceTempView("wh_mc_src")
+    GraftSession.sql(spark,
+      """MERGE INTO wh_merge_case t USING wh_mc_src s ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET
+           v = CASE WHEN s.nv > 0 THEN s.nv ELSE 0 END""")
+    assert(spark.table(t).orderBy("id").collect()
+      .map(_.getDouble(1)).toSeq == Seq(5.0, 0.0))
+  }
+
   test("MERGE INTO: clause order wins and cardinality violations abort") {
     val t = "wh_merge2"
     Warehouse.dropTable(spark, t)
