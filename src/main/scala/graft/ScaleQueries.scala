@@ -791,6 +791,64 @@ object ScaleQueries {
       import graft.operators.Funnel
       Funnel.stageReached(Tables.load(s, d, "events"),
         "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+    },
+
+    // -- Conjunctive term search (retrieval side of the inverted index):
+    //    docs containing EVERY query term
+    dfQ("q180_search_and", s"""
+      SELECT doc_id FROM (
+        SELECT doc_id, unnest(list_distinct($DUCK_TOKENS)) AS term
+        FROM documents)
+      WHERE term IN ('batch', 'customer', 'hash')
+      GROUP BY doc_id HAVING count(*) = 3""") { (s, d) =>
+      TextAnalysis.searchAllTerms(Tables.load(s, d, "documents"),
+        "doc_id", "text", Seq("batch", "customer", "hash"))
+    },
+
+    // -- Order-independent table fingerprint: commutative 40-bit md5-key
+    //    sum — identical under any partitioning/order; the cheap
+    //    equality check between two pipeline outputs
+    dfQ("q181_fingerprint", """
+      SELECT count(*) AS n_rows, sum(k)::HUGEINT::VARCHAR AS fp FROM (
+        SELECT ('0x' || substr(md5(concat_ws('|', l_orderkey, l_partkey,
+          l_suppkey, l_returnflag)), 1, 15))::BIGINT % 1099511627776 AS k
+        FROM lineitem)""") { (s, d) =>
+      import graft.operators.Diff
+      Diff.tableFingerprint(Tables.load(s, d, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"))
+    },
+
+    // -- Fuzzy (levenshtein) join via prefix/suffix blocking: planted
+    //    one-char corruptions of supplier names must pair with their
+    //    originals; the oracle replays the same block + verify
+    dfQ("q182_fuzzy_join", """
+      WITH corrupt AS (
+        SELECT s_suppkey + 1000000 AS c_id,
+               substr(s_name, 1, 3) || 'x' || substr(s_name, 5) AS c_name
+        FROM supplier WHERE s_suppkey % 3 = 0),
+      lb AS (
+        SELECT s_suppkey AS l_id, s_name AS l_v,
+               unnest(['p:' || substr(s_name, 1, 4),
+                       's:' || right(s_name, 4)]) AS bk
+        FROM supplier),
+      rb AS (
+        SELECT c_id AS r_id, c_name AS r_v,
+               unnest(['p:' || substr(c_name, 1, 4),
+                       's:' || right(c_name, 4)]) AS bk
+        FROM corrupt),
+      cand AS (
+        SELECT DISTINCT l_id, l_v, r_id, r_v FROM lb JOIN rb USING (bk))
+      SELECT l_id, r_id, levenshtein(l_v, r_v) AS dist
+      FROM cand WHERE levenshtein(l_v, r_v) <= 1""") { (s, d) =>
+      import graft.operators.Joins
+      val sup = Tables.load(s, d, "supplier")
+      val corrupt = sup.filter(pmod(col("s_suppkey"), lit(3)) === 0)
+        .select((col("s_suppkey") + 1000000L).as("c_id"),
+          concat(substring(col("s_name"), 1, 3), lit("x"),
+            expr("substr(s_name, 5)")).as("c_name"))
+      Joins.fuzzyJoin(sup, "s_suppkey", "s_name",
+        corrupt, "c_id", "c_name", maxDist = 1)
+        .select(col("l_id"), col("r_id"), col("dist"))
     })
 
   /** DuckDB replay of `Graph.pageRank`: N unrolled power-method rounds

@@ -49,4 +49,25 @@ object Diff {
       keyCols: Seq[String]): DataFrame =
     datasetDiff(oldDf, newDf, keyCols)
       .groupBy("status").agg(count(lit(1)).as("n"))
+
+  /** Order-independent table fingerprint over `cols`: one (n_rows, fp)
+    * row, where fp = Σ per-row 40-bit md5 key as an exact decimal —
+    * commutative, so any partitioning/ordering of the same rows yields
+    * the same fingerprint, and two copies of a pipeline output can be
+    * compared with a single row exchange instead of a full diff join.
+    * 40-bit keys keep a 2^38-row table's sum inside decimal(38,0);
+    * duplicate-row multiplicity is counted (a sum, not a set hash). */
+  def tableFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val canon = concat_ws("|", cols.map(c => col(c).cast("string")): _*)
+    val key = pmod(
+      conv(substring(md5(canon), 1, 15), 16, 10).cast("long"),
+      lit(1L << 40))
+    df.select(key.as("k"))
+      .agg(count(lit(1)).as("n_rows"),
+        // decimal-exact sum rendered as digits: the value exceeds
+        // double's 2^53 integer range on real tables, and engines render
+        // wide decimals differently — a string survives any transport
+        sum(col("k").cast("decimal(38,0)")).cast("string").as("fp"))
+  }
 }

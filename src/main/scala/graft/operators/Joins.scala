@@ -39,4 +39,28 @@ object Joins {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, saltCol)).drop(saltCol)
   }
+
+  /** Fuzzy (edit-distance) string join: candidates block on shared
+    * 4-char prefix OR 4-char suffix, then verify with exact levenshtein
+    * ≤ maxDist — the LSH candidate/verify pattern applied to strings
+    * (never a quadratic cross join). Blocking recall: a single edit
+    * leaves prefix4 or suffix4 intact whenever the string is ≥ 8 chars,
+    * so recall is total there; shorter strings may miss mid-string
+    * edits (documented trade-off — add more block keys if they matter).
+    * Returns (left id, right id, dist). */
+  def fuzzyJoin(
+      left: DataFrame, lId: String, lCol: String,
+      right: DataFrame, rId: String, rCol: String,
+      maxDist: Int = 1): DataFrame = {
+    def blocked(df: DataFrame, id: String, v: String, pfx: String) =
+      df.select(col(id).as(s"${pfx}_id"), col(v).as(s"${pfx}_v"),
+        explode(array(
+          concat(lit("p:"), substring(col(v), 1, 4)),
+          concat(lit("s:"), expr(s"right(`$v`, 4)")))).as("bk"))
+    blocked(left, lId, lCol, "l").join(blocked(right, rId, rCol, "r"), "bk")
+      .select("l_id", "l_v", "r_id", "r_v").distinct()
+      .select(col("l_id"), col("r_id"),
+        levenshtein(col("l_v"), col("r_v")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }

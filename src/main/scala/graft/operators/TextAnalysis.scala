@@ -354,6 +354,24 @@ object TextAnalysis {
     out
   }
 
+  /** Conjunctive (AND) term search: documents containing EVERY query
+    * term. The tiny term set rides inside the filter expression
+    * (broadcast-free), candidate rows shrink to |terms| per doc before
+    * the one doc-keyed aggregate — no per-term corpus scans, no joins.
+    * The retrieval-side complement of `invertedIndex`. */
+  def searchAllTerms(
+      df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val t = terms.distinct
+    df.select(col(idCol),
+        explode(array_distinct(TextOps.tokens(col(textCol)))).as("term"))
+      .filter(col("term").isin(t: _*))
+      .groupBy(idCol).agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === t.size)
+      .select(col(idCol))
+  }
+
   /** Feature-hashing (hashing-trick) term-frequency vectorization:
     * token → bucket md5(seed:token) mod dim, counts per (id, bucket),
     * assembled into a dense length-`dim` count vector. No vocabulary

@@ -209,6 +209,42 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("searchAllTerms finds only docs containing every query term") {
+    val docs = Seq(
+      (1L, "spark runs fast queries"),
+      (2L, "spark queries"),
+      (3L, "fast queries"),
+      (4L, "spark spark fast")   // repeated term must not fake a hit
+    ).toDF("doc_id", "text")
+    val hit = TextAnalysis.searchAllTerms(docs, "doc_id", "text",
+        Seq("spark", "fast")).collect().map(_.getLong(0)).toSet
+    assert(hit == Set(1L, 4L))
+  }
+
+  test("tableFingerprint: partitioning-invariant, sensitive to any row " +
+    "change, counts duplicate multiplicity") {
+    import graft.operators.Diff
+    val df = (1L to 500L).map(i => (i, s"v$i")).toDF("id", "v")
+    def fp(d: org.apache.spark.sql.DataFrame) =
+      Diff.tableFingerprint(d, Seq("id", "v")).collect().head.getString(1)
+    assert(fp(df) == fp(df.repartition(17)), "order/partitioning invariant")
+    assert(fp(df) != fp(df.filter($"id" =!= 250L)), "missing row detected")
+    assert(fp(df) != fp(df.union(df.limit(1))), "duplicated row detected")
+  }
+
+  test("fuzzyJoin pairs one-edit strings via prefix/suffix blocks, " +
+    "skips distant ones") {
+    import graft.operators.Joins
+    val l = Seq((1L, "warehouse-alpha"), (2L, "warehouse-beta"))
+      .toDF("id", "name")
+    val r = Seq((10L, "warehouse-alphx"),  // 1 sub of alpha
+      (11L, "warehouse-betas"),            // 1 insert on beta
+      (12L, "completely-other")).toDF("id", "name")
+    val pairs = Joins.fuzzyJoin(l, "id", "name", r, "id", "name", 1)
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(pairs == Set((1L, 10L), (2L, 11L)))
+  }
+
   test("hashingTf: dense dim-length counts, identical tokens collide, " +
     "empty doc gets the zero vector") {
     val docs = Seq(
