@@ -849,6 +849,24 @@ object ScaleQueries {
       Joins.fuzzyJoin(sup, "s_suppkey", "s_name",
         corrupt, "c_id", "c_name", maxDist = 1)
         .select(col("l_id"), col("r_id"), col("dist"))
+    },
+
+    // -- Deterministic train/val/test split: md5-bucket cutoffs, stable
+    //    under re-runs and appends; the oracle replays the cutoff CASE
+    dfQ("q183_assign_splits", """
+      SELECT doc_id,
+        CASE WHEN b < 800000 THEN 'train'
+             WHEN b < 900000 THEN 'val'
+             ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+          ('0x' || substr(md5('sp1:' || doc_id::VARCHAR), 1, 15))::BIGINT
+            % 1000000 AS b
+        FROM documents)""") { (s, d) =>
+      Sampling.assignSplits(Tables.load(s, d, "documents"),
+        "doc_id", seed = "sp1",
+        splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
     })
 
   /** DuckDB replay of `Graph.pageRank`: N unrolled power-method rounds

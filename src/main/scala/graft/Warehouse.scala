@@ -343,6 +343,59 @@ object Warehouse {
     } finally joined.unpersist(false)
   }
 
+  /** Size-aware small-file compaction — ALTER TABLE ... CONCATENATE
+    * (ql/parse/DDLSemanticAnalyzer mergeFiles) upgraded from "pick a
+    * file count" to "hit a target file size". Partitioned tables compact
+    * each partition directory independently (only directories whose file
+    * count can shrink are rewritten); unpartitioned tables go through
+    * the staged self-overwrite. Streaming ingest + micro-batches make
+    * small files the default failure mode at scale; a target-size
+    * compactor is the maintenance loop's primitive. */
+  def compact(spark: SparkSession, table: String,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    def targetFiles(files: Array[java.io.File]): Int =
+      math.max(1, math.ceil(
+        files.map(_.length).sum.toDouble / targetBytes).toInt)
+    val partCols = partitionColumns(spark, table)
+    if (partCols.isEmpty) {
+      val files = dataFiles(tableLocation(spark, table))
+      val n = targetFiles(files)
+      if (files.length > n)
+        overwriteUnpartitioned(spark, table,
+          spark.table(table).coalesce(n))
+    } else {
+      // per-partition directories: plain parquet files without the
+      // partition columns — rewrite each oversized directory in place
+      def partDirs(dir: java.io.File): Seq[java.io.File] = {
+        val subs = Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.contains("="))
+        subs.flatMap(s => if (partDirs(s).isEmpty) Seq(s) else partDirs(s))
+          .toSeq
+      }
+      partDirs(tableLocation(spark, table)).foreach { dir =>
+        val files = dataFiles(dir)
+        val n = targetFiles(files)
+        if (files.length > n) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft-compact")
+          try {
+            spark.read.parquet(dir.toString).coalesce(n)
+              .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+            files.foreach(_.delete())
+            dataFiles(tmp.toFile).foreach { f =>
+              java.nio.file.Files.move(f.toPath,
+                new java.io.File(dir, f.getName).toPath)
+            }
+          } finally {
+            import scala.reflect.io.Directory
+            new Directory(tmp.toFile).deleteRecursively()
+          }
+        }
+      }
+      spark.sql(s"REFRESH TABLE $table")
+    }
+  }
+
   private[graft] def overwriteUnpartitioned(spark: SparkSession, table: String,
       replacement: DataFrame): Unit = {
     // stage to a scratch location first: the rewrite reads the same files

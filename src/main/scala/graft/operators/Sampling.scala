@@ -56,6 +56,33 @@ object Sampling {
     df.filter(bucket < cutoff)
   }
 
+  /** Deterministic train/val/test split assignment: the row's
+    * md5(seed:id) bucket (0..buckets) lands in cumulative-weight ranges,
+    * so every row gets exactly one split label, assignments survive
+    * re-runs / repartitioning / incremental appends (a new row never
+    * moves an old one), and changing the seed re-deals the whole split.
+    * Zero shuffle — one expression per row. `splits` is ordered
+    * (name, weight); weights are normalized. */
+  def assignSplits(
+      df: DataFrame, idCol: String, seed: String,
+      splits: Seq[(String, Double)], buckets: Int = 1000000): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 > 0), "split weights must be positive")
+    val total = splits.map(_._2).sum
+    val bucket = pmod(
+      conv(substring(md5(
+        concat(lit(seed + ":"), col(idCol).cast("string"))), 1, 15),
+        16, 10).cast("long"),
+      lit(buckets.toLong))
+    val cums = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.round(c / total * buckets))
+    val label = splits.map(_._1).zip(cums).reverse
+      .foldLeft(lit(splits.last._1)) { case (els, (name, cut)) =>
+        when(bucket < cut, lit(name)).otherwise(els)
+      }
+    df.withColumn("split", label)
+  }
+
   /** Deterministic weighted resampling: weight 2.5 repeats every row
     * twice and a stable half of the rows a third time (decided by the
     * same id-hash buckets, so re-runs emit identical copies). Weights

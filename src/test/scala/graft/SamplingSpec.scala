@@ -50,6 +50,27 @@ class SamplingSpec extends SparkSpec {
     assert(kept.toSeq == Seq(2L, 3L), "en dropped at rate 0, NULLs kept at default")
   }
 
+  test("assignSplits: exhaustive, disjoint, append-stable, near-ratio") {
+    val df = (1L to 2000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Sampling.assignSplits(df, "id", "s1", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 2000, "every row gets exactly one label")
+    val counts = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 1600) < 80 &&
+      math.abs(counts("val") - 200) < 60 && math.abs(counts("test") - 200) < 60,
+      s"ratios roughly honored: $counts")
+    // appending rows never moves existing assignments
+    val appended = Sampling.assignSplits(
+      (1L to 3000L).toDF("id"), "id", "s1", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((1L to 2000L).forall(i => appended(i) == got(i)))
+    // a different seed re-deals
+    val redealt = Sampling.assignSplits(df, "id", "other", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((1L to 2000L).exists(i => redealt(i) != got(i)))
+  }
+
   test("resampleByWeight: integer, fractional, and zero weights") {
     val docs = Seq((0L, "en"), (1L, "en"), (5L, "en"), (2L, "zh"), (3L, "de"))
       .toDF("id", "lang")

@@ -183,6 +183,40 @@ class WarehouseSpec extends SparkSpec {
     assert(parts.sorted.toSeq == Seq("yr=2020", "yr=2022"))
   }
 
+  test("compact merges small files to the size target, partitioned " +
+    "tables per-directory, preserving data") {
+    val t = "wh_compact"
+    Warehouse.dropTable(spark, t)
+    Warehouse.createTable(
+      (1 to 400).map(i => (i, s"row$i", 2020 + i % 2)).toDF("id", "v", "yr")
+        .repartition(10),
+      t, partitionBy = Seq("yr"))
+    val loc = new java.io.File(
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(t)).location.getPath)
+    def filesPerPart = loc.listFiles().filter(_.isDirectory).map(d =>
+      d.getName -> d.listFiles().count(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    ).toMap
+    assert(filesPerPart.values.forall(_ > 1), "fixture needs small files")
+    val before = spark.table(t).orderBy("id").collect().toSeq
+    Warehouse.compact(spark, t) // 128MB target >> data -> 1 file each
+    assert(filesPerPart.values.forall(_ == 1), s"got $filesPerPart")
+    assert(spark.table(t).orderBy("id").collect().toSeq == before)
+
+    val u = "wh_compact_flat"
+    Warehouse.dropTable(spark, u)
+    Warehouse.createTable(
+      (1 to 100).map(i => (i, i * 2)).toDF("a", "b").repartition(8), u)
+    Warehouse.compact(spark, u)
+    val files = new java.io.File(
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(u)).location.getPath)
+      .listFiles().count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    assert(files == 1 && spark.table(u).count() == 100)
+  }
+
   test("DELETE removes matching rows only") {
     val t = "wh_del"
     Warehouse.dropTable(spark, t)
