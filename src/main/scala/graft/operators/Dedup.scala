@@ -416,6 +416,10 @@ object Dedup {
       maxBucket: Int = 100000): DataFrame = {
     require(spanTokens >= 2, "spanTokens must be >= 2")
     val toks = TextOps.tokens(col(textCol))
+    // persisted: this frame feeds the hash path AND both sides of the
+    // exact-verify join — unpersisted, the corpus would re-tokenize and
+    // re-build every gram string three times (the minhash working-set
+    // discipline; released below once the small pair set materializes)
     val gramText = df
       .select(col(idCol).as("id"), toks.as("__t"))
       .filter(size(col("__t")) >= spanTokens)
@@ -425,6 +429,7 @@ object Dedup {
           concat_ws(" ", slice(col("__t"), i, lit(spanTokens))).as("gram"))))
         .as("pg"))
       .select(col("id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hashed = gramText
       .select(col("id"), col("pos"), xxhash64(col("gram")).as("h"))
     val ok = hashed.groupBy("h").agg(count(lit(1)).as("bn"))
@@ -440,8 +445,11 @@ object Dedup {
       .join(gramText.select(col("id").as("id_b"), col("pos").as("pos_b"),
         col("gram").as("g_b")), Seq("id_b", "pos_b"))
       .filter(col("g_a") === col("g_b"))
-    verified.groupBy("id_a", "id_b")
+    val out = verified.groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_spans"))
+      .localCheckpoint(true)
+    gramText.unpersist(false)
+    out
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):

@@ -72,18 +72,24 @@ object Ingest {
       keyCol: String,
       tsCol: String,
       watermarkDelay: String,
-      joinWindow: String): DataFrame = {
+      joinWindow: String,
+      joinType: String = "inner"): DataFrame = {
     def side(df: DataFrame, p: String): DataFrame =
       df.withWatermark(tsCol, watermarkDelay)
         .select(col(keyCol).as(if (p == "l") keyCol else s"${p}_$keyCol") +:
           df.columns.filterNot(_ == keyCol).map(c => col(c).as(s"${p}_$c")): _*)
     val l = side(left, "l")
     val r = side(right, "r")
+    // outer variants are legal because both sides carry watermarks and
+    // the join has a two-sided time bound: state for an unmatched row is
+    // held until the watermark passes its window, THEN the null-extended
+    // row emits — late output, not lost output
     l.join(r,
       col(keyCol) === col(s"r_$keyCol") &&
         col(s"r_$tsCol").between(
           expr(s"l_$tsCol - INTERVAL $joinWindow"),
-          expr(s"l_$tsCol + INTERVAL $joinWindow")))
+          expr(s"l_$tsCol + INTERVAL $joinWindow")),
+      joinType)
       .drop(s"r_$keyCol")
   }
 

@@ -17,6 +17,40 @@ class PropertySpec extends SparkSpec {
   private def sentence(n: Int): String =
     Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
 
+  test("bpeEncode fold ≡ reference greedy left-to-right merge on random " +
+    "words and merge lists (incl. repeated-symbol runs)") {
+    // reference: classic greedy single pass per merge, per word
+    def refMergeOnce(toks: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.toList
+    }
+    def refEncode(word: String, merges: Seq[(String, String)]): List[String] =
+      merges.foldLeft(word.map(_.toString).toList) {
+        case (t, (l, r)) => refMergeOnce(t, l, r)
+      }
+    val letters = "ab"
+    val words = Seq.fill(120)(
+      Seq.fill(1 + rnd.nextInt(10))(letters(rnd.nextInt(2))).mkString)
+      .distinct
+    // merge lists over the growing symbol space, biased toward runs
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "a"), ("b", "b"),
+      ("ab", "bb"))
+    val got = words.toDF("text")
+      .select($"text", operators.TextAnalysis.bpeEncode($"text", merges)
+        .as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    words.foreach { w =>
+      assert(got(w) == refEncode(w, merges),
+        s"word $w: got ${got(w)}, want ${refEncode(w, merges)}")
+    }
+  }
+
   test("native ShingleSet ≡ composed split/filter/transform pipeline") {
     val texts = Seq.fill(60)(sentence(3 + rnd.nextInt(40))) ++
       Seq("", "a", "a b", "  Punct,--here!! and\tsome\nspace  ", "ÜBER hällo")

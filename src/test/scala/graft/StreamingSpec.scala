@@ -154,6 +154,38 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("r_amount") == 9.99)
   }
 
+  test("stream-stream LEFT OUTER join emits null-extended rows once the " +
+    "watermark passes the window") {
+    val clicks = MemoryStream[(Long, Timestamp, String)](spark, 17)
+    val buys = MemoryStream[(Long, Timestamp, Double)](spark, 18)
+    val joined = Ingest.streamJoin(
+      clicks.toDF().toDF("user", "ts", "page"),
+      buys.toDF().toDF("user", "ts", "amount"),
+      "user", "ts", watermarkDelay = "10 minutes",
+      joinWindow = "10 minutes", joinType = "left_outer")
+    val ckpt = tmp("ssoj-ckpt")
+    val q = joined.writeStream.format("memory").queryName("ssoj_out")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    clicks.addData((1L, t(0), "home"), (2L, t(0), "search"))
+    buys.addData((1L, t(5), 9.99))
+    q.processAllAvailable()
+    // push BOTH watermarks far past user 2's window so its unmatched
+    // state expires and the null-extended row can emit
+    clicks.addData((9L, Timestamp.valueOf("2024-01-01 13:00:00"), "x"))
+    buys.addData((9L, Timestamp.valueOf("2024-01-01 13:00:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ssoj_out").collect()
+      .map(r => (r.getAs[Long]("user"), Option(r.get(r.fieldIndex("r_amount")))))
+      .toSet
+    assert(rows.contains((1L, Some(9.99))), "matched pair joins")
+    assert(rows.contains((2L, None)),
+      s"unmatched left row emits null-extended after watermark: ${rows}")
+  }
+
   test("streaming near-dup filter appends only novel docs, index grows across batches") {
     import graft.operators.Dedup
     val corpusText = "the quick brown fox jumps over the lazy dog again and again"
