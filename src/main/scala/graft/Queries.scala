@@ -38,7 +38,7 @@ object Queries {
   def all: Seq[Q] =
     RelationalQueries.all ++ WindowQueries.all ++ FunctionQueries.all ++
       PipelineQueries.all ++ SurfaceQueries.all ++ DepthQueries.all ++
-      GapQueries.all ++ ScaleQueries.all
+      GapQueries.all ++ ScaleQueries.all ++ AnalyticsQueries.all
 
   lazy val byName: Map[String, Q] = {
     val qs = all

@@ -44,4 +44,32 @@ object Funnel {
     }
     joined.select(col("user").as(userCol), stage.as("stage"))
   }
+
+  /** Weekly cohort retention: users are cohorted by the Monday of their
+    * first qualifying event, and each (cohort_week, week_offset) cell
+    * counts how many of them were active `week_offset` weeks later.
+    * Pre-filter `df` to the qualifying activity (event type, value
+    * threshold) before calling.
+    *
+    * Scale shape: the event stream collapses to distinct (user, week)
+    * FIRST — a map-side-combinable aggregate that shrinks the data to
+    * |users| × |weeks| before anything else — then one user-keyed join
+    * against the min-week cohort table (both sides already hashed on
+    * user) and a small final aggregate. No per-user window over raw
+    * events. Offsets are exact integer arithmetic on Monday-truncated
+    * dates (both engines truncate weeks to Monday), never float date
+    * math. */
+  def cohortRetention(
+      df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val uw = df.select(col(userCol).as("user"),
+        date_trunc("week", col(tsCol)).cast("date").as("wk"))
+      .filter(col("user").isNotNull && col("wk").isNotNull)
+      .distinct()
+    val cohort = uw.groupBy("user").agg(min("wk").as("cohort_week"))
+    uw.join(cohort, "user")
+      .groupBy(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("int")
+          .as("week_offset"))
+      .agg(countDistinct("user").as("n_users"))
+  }
 }

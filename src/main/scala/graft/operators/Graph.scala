@@ -81,4 +81,74 @@ object Graph {
       pr.select(col("node"), col("pr"))
     } finally e.unpersist(false)
   }
+
+  /** Exact per-node triangle counting by degree orientation
+    * (compact-forward): every undirected edge is directed from its
+    * (degree, id)-smaller endpoint to the larger, turning the graph into
+    * a DAG where each wedge — and so each triangle — is enumerated
+    * exactly once, at its (degree, id)-smallest vertex.
+    *
+    * Scale shape: the whole computation is three equi-joins and one
+    * aggregate. Orientation is what makes the wedge join skew-safe: a
+    * hub of degree d would naively generate d² wedge candidates, but
+    * after orientation every vertex's out-degree is O(√m) on any graph
+    * (edges "point up" the degree order), so per-key join fan-out is
+    * bounded regardless of the degree distribution. Pair with
+    * deterministic hash edge-sampling (DOULION, Tsourakakis et al.
+    * KDD'09: keep each edge with probability 1/p, scale triangle counts
+    * by p³) when even the oriented join is too large — the q184 query
+    * composes exactly that.
+    *
+    * Returns (node, triangles) for every node incident to at least one
+    * edge; self-loops and duplicate/reversed edges are tolerated. */
+  def triangleCount(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(aCol).cast("string"), col(bCol).cast("string")).as("a"),
+        greatest(col(aCol).cast("string"), col(bCol).cast("string")).as("b"))
+      .filter(col("a").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = und.select(col("a").as("v"))
+        .union(und.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      // orient toward the (degree, id)-larger endpoint; carry the head's
+      // degree so the wedge filter can compare order keys without a
+      // second degree join
+      val oriented = und
+        .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+        .select(
+          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+            struct(col("a").as("s"), col("b").as("t"), col("db").as("dt")))
+            .otherwise(
+              struct(col("b").as("s"), col("a").as("t"), col("da").as("dt")))
+            .as("e"))
+        .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val wedges = oriented.select(col("s"), col("t").as("u"), col("dt").as("du"))
+          .join(oriented.select(col("s"), col("t").as("w"), col("dt").as("dw")),
+            Seq("s"))
+          .filter(struct(col("du"), col("u")) < struct(col("dw"), col("w")))
+          .select(col("s"), col("u"), col("w"))
+        val tris = wedges.join(
+          oriented.select(col("s").as("u"), col("t").as("w")),
+          Seq("u", "w"), "left_semi")
+        // one pass over the triangle set: each triangle credits all
+        // three corners (explode, not three unioned rescans)
+        val perNode = tris
+          .select(explode(array(col("s"), col("u"), col("w"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("triangles"))
+        // materialize the small |V|-row result BEFORE the persisted
+        // edge frames are released (the minhashNearDups discipline) —
+        // returning it lazy would silently recompute und/oriented 3×
+        deg.select(col("v").as("node"))
+          .join(perNode, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("triangles"), lit(0L)).as("triangles"))
+          .localCheckpoint(true)
+      } finally oriented.unpersist(false)
+    } finally und.unpersist(false)
+  }
 }

@@ -178,6 +178,37 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Weighted k-row sample without replacement, deterministic in
+    * (seed, id) — Efraimidis–Spirakis A-Res (IPL 2006): each row draws
+    * key = u^(1/w) from its deterministic 52-bit uniform
+    * u = (md5-hash + 0.5) / 2^52, and the k largest keys are the sample.
+    * Inclusion probability is proportional to weight without
+    * replacement, and like `hashMinK` the selection survives re-runs,
+    * repartitioning, and incremental appends (an old row's key never
+    * changes).
+    *
+    * Runs as distributed top-k (per-partition heads + one k-row merge),
+    * never a global sort. Rows with NULL id or non-positive/NULL weight
+    * are excluded (no stable identity / zero inclusion mass). Keys of
+    * heavy rows cluster near 1.0 (u^(1/w) → 1 as w grows) but stay
+    * separated by ~1e-6 per distinct u at corpus scale — far above the
+    * 1-ulp cross-engine pow() jitter; ids tie-break the impossible
+    * exact-equal case deterministically. */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (conv(substring(
+        md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))), 1, 13),
+      16, 10).cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    df.filter(col(idCol).isNotNull &&
+        col(weightCol).isNotNull && col(weightCol).cast("double") > 0)
+      .withColumn("__skey", pow(u, lit(1.0) / col(weightCol).cast("double")))
+      .orderBy(col("__skey").desc, col(idCol).cast("string"))
+      .limit(k)
+      .drop("__skey")
+  }
+
   /** Uniform k-row sample without replacement, deterministic in (seed, id):
     * the k rows with the smallest md5(seed:id). Runs as distributed top-k
     * (per-partition heads, then one k-row merge — TakeOrderedAndProject),

@@ -25,4 +25,26 @@ class FunnelSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 0, 5L -> 1, 6L -> 2))
   }
+
+  test("cohortRetention cohorts by first-activity Monday, offsets in weeks") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      // u1: first active Tue wk of Jan 1 (Mon), back in wk+1 and wk+3
+      (1L, ts("2024-01-02 10:00:00")), (1L, ts("2024-01-09 10:00:00")),
+      (1L, ts("2024-01-24 10:00:00")),
+      // u2: same cohort week, never returns; two events same week dedup
+      (2L, ts("2024-01-03 10:00:00")), (2L, ts("2024-01-05 10:00:00")),
+      // u3: cohort wk of Jan 8, back in wk+1
+      (3L, ts("2024-01-08 00:00:00")), (3L, ts("2024-01-14 23:59:59")),
+      (3L, ts("2024-01-15 00:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Funnel.cohortRetention(events, "user_id", "ts")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("2024-01-01", 0) -> 2L, ("2024-01-01", 1) -> 1L,
+      ("2024-01-01", 3) -> 1L,
+      ("2024-01-08", 0) -> 1L, ("2024-01-08", 1) -> 1L))
+  }
 }

@@ -25,6 +25,38 @@ class GraphSpec extends SparkSpec {
     assert(pr2 == Map("a" -> 0.63875, "b" -> 0.575, "c" -> 0.575))
   }
 
+  test("triangleCount: K4 has 4 triangles, 3 per node; path has none") {
+    val k4 = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d")).toDF("x", "y")
+    val got = Graph.triangleCount(k4, "x", "y")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("x", "y")
+    val none = Graph.triangleCount(path, "x", "y")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(none == Map("a" -> 0L, "b" -> 0L, "c" -> 0L, "d" -> 0L))
+  }
+
+  test("triangleCount tolerates duplicate, reversed, and self-loop edges") {
+    val messy = Seq(("a", "b"), ("b", "a"), ("a", "b"), ("b", "c"),
+      ("c", "a"), ("a", "a")).toDF("x", "y")
+    val got = Graph.triangleCount(messy, "x", "y")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("triangleCount on a hub graph: star plus one rim edge = 1 triangle") {
+    // hub connected to 50 spokes; one rim edge closes exactly one
+    // triangle — the degree-orientation case where a naive wedge join
+    // at the hub would enumerate 50*49/2 candidate wedges
+    val star = (1 to 50).map(i => ("hub", s"v$i")) :+ (("v7", "v8"))
+    val got = Graph.triangleCount(star.toDF("x", "y"), "x", "y")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("hub") == 1L && got("v7") == 1L && got("v8") == 1L)
+    assert(got.values.sum == 3L)
+    assert(got.size == 51)
+  }
+
   test("pageRank is partitioning-invariant (decimal-exact mass sums)") {
     val big = (0L until 200L).map(i => (s"n$i", s"n${(i * 7) % 200}"))
       .toDF("src", "dst")

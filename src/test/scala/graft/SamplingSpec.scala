@@ -113,6 +113,41 @@ class SamplingSpec extends SparkSpec {
     assert(copies == 4L, "weight 2 must duplicate NULL-id rows too")
   }
 
+  test("weightedSample: deterministic, repartition-invariant, nested in k") {
+    val weighted = (0L until 1000L).map(i => (i, 1.0 + (i % 7)))
+      .toDF("id", "w")
+    val a = Sampling.weightedSample(weighted, "id", "w", 50, "s1")
+      .select("id").collect().map(_.getLong(0)).sorted
+    val b = Sampling.weightedSample(weighted.repartition(13), "id", "w",
+        50, "s1")
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+    // A-Res keys don't depend on k: the 50-sample is a subset of the 80
+    val c = Sampling.weightedSample(weighted, "id", "w", 80, "s1")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a.forall(c.contains), "smaller sample nests inside larger")
+  }
+
+  test("weightedSample favors heavy rows; drops NULL/zero-weight rows") {
+    // 100 rows at weight 40 vs 900 at weight 1: heavy rows should
+    // dominate a 100-row sample (uniform would give them ~10 slots)
+    val skewed = (0L until 1000L)
+      .map(i => (i, if (i < 100) 40.0 else 1.0)).toDF("id", "w")
+    val got = Sampling.weightedSample(skewed, "id", "w", 100, "s2")
+      .select("id").collect().map(_.getLong(0))
+    assert(got.length == 100)
+    val heavy = got.count(_ < 100)
+    assert(heavy > 60, s"heavy rows got $heavy of 100 slots")
+    val withBad = skewed.union(Seq((2000L, 0.0), (2001L, -1.0))
+      .toDF("id", "w"))
+      .union(Seq((Option.empty[Long], Option(5.0)),
+        (Option(2002L), Option.empty[Double])).toDF("id", "w"))
+    val clean = Sampling.weightedSample(withBad, "id", "w", 2000, "s2")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(clean.size == 1000 && !clean.exists(_ >= 2000),
+      "zero/negative/NULL weights and NULL ids are excluded")
+  }
+
   test("resampleByWeight rejects an input that already has copy_id") {
     val docs = Seq((1L, "en", 0)).toDF("id", "lang", "copy_id")
     intercept[IllegalArgumentException] {
