@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Funnel, Graph, Sampling}
+import graft.operators.{Dedup, Funnel, Graph, Sampling, TextAnalysis, TextOps, TimeSeries}
 import Queries._
 
 /** Round-4 analytics + sampling operators: exact triangle counting over
@@ -95,6 +95,106 @@ object AnalyticsQueries {
         Tables.load(s, d, "events")
           .filter(col("event_type") === "purchase" && col("value") > 150),
         "user_id", "ts")
+    },
+
+    // -- Asymmetric containment (quote detection): planted 30-token
+    //    quotes of every 40th doc must score containment 1.0 against
+    //    their source; the oracle replays the whole pipeline — same
+    //    tokenizer, same distinct-gram sets, same df cap (on gram
+    //    strings; the engine's 64-bit-hash cap agrees absent a
+    //    collision), same int/int division.
+    dfQ("q187_containment", s"""
+      WITH corpus AS (
+        SELECT doc_id AS id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS id,
+               array_to_string(list_slice($DUCK_TOKENS, 1, 30), ' ') AS text
+        FROM documents
+        WHERE doc_id % 40 = 0 AND len($DUCK_TOKENS) >= 30),
+      toks AS (SELECT id, $DUCK_TOKENS AS t FROM corpus),
+      pos AS (
+        SELECT id, t, unnest(range(1, len(t) - 6)) AS i
+        FROM toks WHERE len(t) >= 8),
+      grams AS (
+        SELECT DISTINCT id, array_to_string(list_slice(t, i, i + 7), ' ') AS g
+        FROM pos),
+      ok AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT id) <= 50),
+      kept AS (SELECT id, g FROM grams JOIN ok USING (g)),
+      sizes AS (SELECT id, count(*) AS n FROM kept GROUP BY 1),
+      inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+        FROM kept a JOIN kept b ON a.g = b.g AND a.id <> b.id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, n_shared,
+             n_shared::DOUBLE / s.n AS containment
+      FROM inter JOIN sizes s ON s.id = id_a
+      WHERE n_shared::DOUBLE / s.n >= 0.8""") { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val toks = TextOps.tokens(col("text"))
+      val quotes = docs
+        .filter(pmod(col("doc_id"), lit(40)) === 0 && size(toks) >= 30)
+        .select((col("doc_id") + 100000L).as("id"),
+          concat_ws(" ", slice(toks, 1, 30)).as("text"))
+      val corpus = docs.select(col("doc_id").as("id"), col("text"))
+        .unionByName(quotes)
+      Dedup.containmentPairs(corpus, "id", "text",
+        spanTokens = 8, threshold = 0.8, maxDf = 50)
+    },
+
+    // -- Fixed-step resample + forward fill: dense daily grid per user,
+    //    exact-decimal bucket sums, watermark-free batch gap-fill. The
+    //    oracle rebuilds the same grid with generate_series and replays
+    //    the fill with IGNORE NULLS last_value.
+    dfQ("q188_gapfill", """
+      WITH ev AS (
+        SELECT user_id AS k,
+               (floor(epoch(ts) / 86400) * 86400)::BIGINT AS b,
+               value
+        FROM events
+        WHERE user_id % 15 = 0 AND user_id IS NOT NULL AND ts IS NOT NULL),
+      obs AS (
+        SELECT k, b,
+               cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS observed
+        FROM ev GROUP BY 1, 2),
+      bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM ev),
+      grid AS (
+        SELECT k, unnest(range(lo, hi + 86400, 86400)) AS b
+        FROM (SELECT DISTINCT k FROM ev), bounds)
+      SELECT g.k AS user_id, g.b AS bucket, o.observed,
+             last_value(o.observed IGNORE NULLS)
+               OVER (PARTITION BY g.k ORDER BY g.b) AS filled,
+             o.observed IS NOT NULL AS was_observed
+      FROM grid g LEFT JOIN obs o ON o.k = g.k AND o.b = g.b""") { (s, d) =>
+      TimeSeries.gapFill(
+        Tables.load(s, d, "events")
+          .filter(pmod(col("user_id"), lit(15)) === 0),
+        "user_id", "ts", "value", stepSeconds = 86400L)
+    },
+
+    // -- OOV rate against the corpus's own top-200 vocabulary:
+    //    deterministic (count DESC, word) top-k both sides, then exact
+    //    integer token accounting per doc.
+    dfQ("q189_oov_rate", s"""
+      WITH tok AS (
+        SELECT doc_id AS id, unnest($DUCK_TOKENS) AS w FROM documents),
+      vocab AS (
+        SELECT w FROM tok GROUP BY w
+        ORDER BY count(*) DESC, w LIMIT 200)
+      SELECT id AS doc_id, count(*) AS n_tokens,
+             sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+             sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)
+               AS oov_rate
+      FROM tok LEFT JOIN vocab v ON v.w = tok.w
+      GROUP BY 1""") { (s, d) =>
+      TextAnalysis.oovRate(Tables.load(s, d, "documents"),
+        "doc_id", "text", vocabSize = 200)
     }
   )
+
+  // DuckDB tokenizer identical to TextOps.tokens (the q62/q89 parity
+  // rule; same constant as ScaleQueries.DUCK_TOKENS, kept local to the
+  // file for self-containment)
+  private val DUCK_TOKENS =
+    """list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       x -> len(x) > 0)"""
 }

@@ -452,6 +452,63 @@ object Dedup {
     out
   }
 
+  /** Asymmetric containment (quote / subset detection): for every
+    * ordered pair (id_a, id_b), containment = |G_a ∩ G_b| / |G_a| where
+    * G_x is doc x's DISTINCT `spanTokens`-gram set. This is the measure
+    * symmetric Jaccard structurally misses: a short doc embedded
+    * verbatim in a long one scores |A∩B|/|A∪B| ≈ |A|/|B| → 0 under
+    * Jaccard but 1.0 under containment (Broder's "containment of A in
+    * B", SEQUENCES'97).
+    *
+    * Scale shape: one gram-hash equi-join with exact string verify (the
+    * `sharedSpans` discipline). Grams appearing in more than `maxDf`
+    * docs are dropped first — a boilerplate gram would otherwise pair
+    * every doc with every doc. The cap keys on the 64-bit gram hash, so
+    * a collision can only drop a legit gram early (never invent a
+    * pair); scores use distinct-gram counts AFTER the cap on both the
+    * numerator and denominator, keeping the ratio internally
+    * consistent. Returns (id_a, id_b, n_shared, containment ≥
+    * `threshold`); both orders of a pair can emerge, each scored
+    * against its own denominator. */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int = 8,
+      threshold: Double = 0.8,
+      maxDf: Int = 1000): DataFrame = {
+    require(spanTokens >= 2, "spanTokens must be >= 2")
+    val toks = TextOps.tokens(col(textCol))
+    val grams = df
+      .select(col(idCol).as("id"), toks.as("__t"))
+      .filter(size(col("__t")) >= spanTokens)
+      .select(col("id"), explode(transform(
+        sequence(lit(1), size(col("__t")) - (spanTokens - 1)),
+        i => concat_ws(" ", slice(col("__t"), i, lit(spanTokens)))))
+        .as("g"))
+      .distinct()
+      .select(col("id"), col("g"), xxhash64(col("g")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ok = grams.groupBy("h").agg(countDistinct(col("id")).as("gdf"))
+      .filter(col("gdf") <= maxDf).select("h")
+    val kept = grams.join(ok, Seq("h"))
+    val sizes = kept.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = kept.select(col("h"), col("id").as("id_a"), col("g").as("g_a"))
+      .join(kept.select(col("h"), col("id").as("id_b"), col("g").as("g_b")),
+        Seq("h"))
+      .filter(col("id_a") =!= col("id_b") && col("g_a") === col("g_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+    // single int/int division — bit-identical across engines
+    val out = inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("__na")), "id_a")
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        (col("n_shared").cast("double") / col("__na")).as("containment"))
+      .filter(col("containment") >= threshold)
+      .localCheckpoint(true)
+    grams.unpersist(false)
+    out
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster the embedding space, then inside each cluster drop every
     * document whose cosine similarity to an earlier (lower-id) cluster

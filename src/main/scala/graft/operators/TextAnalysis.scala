@@ -359,6 +359,34 @@ object TextAnalysis {
     * (broadcast-free), candidate rows shrink to |terms| per doc before
     * the one doc-keyed aggregate — no per-term corpus scans, no joins.
     * The retrieval-side complement of `invertedIndex`. */
+  /** Per-doc out-of-vocabulary rate against the corpus's own top-
+    * `vocabSize` words — the cheap tokenizer-coverage signal (a doc
+    * whose tokens mostly miss the vocabulary is noise, wrong-language,
+    * or will explode into byte-fallback tokens at training time).
+    *
+    * Scale shape: the vocabulary is a distributed top-k over the word
+    * counts (TakeOrderedAndProject — per-partition heads, one k-row
+    * merge, no global sort) with a deterministic (count DESC, word)
+    * tie-break, then broadcasts into a per-token membership join — the
+    * corpus-side token stream is never shuffled. Zero-token docs have
+    * no rate and are absent from the output. */
+  def oovRate(
+      df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val tok = df.select(col(idCol).as("id"),
+      explode(TextOps.tokens(col(textCol))).as("w"))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(vocabSize)
+      .select(col("w"), lit(1).as("__in"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("id").as(idCol), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+  }
+
   def searchAllTerms(
       df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String]): DataFrame = {

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization over event streams: fixed-step resampling
+  * with gap-fill and forward-fill — the prep step that turns an
+  * irregular event log into the dense per-key series a feature pipeline
+  * or monitoring query expects.
+  *
+  * Scale shape: events first collapse to (key, bucket) aggregates — a
+  * map-side-combinable shuffle that reduces the data to |keys| × |time
+  * range / step| before anything else. The dense grid is generated
+  * distributively (sequence + explode per key — never a driver loop),
+  * and the global bucket bounds arrive via a one-row broadcast, not a
+  * collect. The forward-fill window sorts each key's buckets only: its
+  * partition size is bounded by the time range over the step, which is
+  * fixed by the query, not by data volume — hot keys cost the same as
+  * cold ones.
+  */
+object TimeSeries {
+
+  /** One row per (key, bucket) for every `stepSeconds` bucket between
+    * the stream's global min and max event bucket:
+    *   - `observed`: exact-decimal sum of `valueCol` in the bucket
+    *     (NULL where the key had no event — a gap);
+    *   - `filled`: last non-NULL observed value at or before the bucket
+    *     (NULL before the key's first observation);
+    *   - `was_observed`: whether the bucket had any event.
+    * Buckets are epoch-second longs (bucket start), exact integer
+    * arithmetic end-to-end. NULL-key and NULL-ts rows are dropped. */
+  def gapFill(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, "stepSeconds must be positive")
+    val step = lit(stepSeconds)
+    val ev = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k"),
+        (floor(unix_timestamp(col(tsCol)) / step) * step).cast("long")
+          .as("__b"),
+        col(valueCol).as("__v"))
+    val obs = ev.groupBy("__k", "__b")
+      .agg(cast_sum(col("__v")).as("observed"))
+    // global bounds: a one-row frame, broadcast into the grid join
+    val bounds = ev.agg(min("__b").as("__lo"), max("__b").as("__hi"))
+    val grid = ev.select(col("__k")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("__k"),
+        explode(sequence(col("__lo"), col("__hi"), step)).as("__b"))
+    val w = Window.partitionBy("__k").orderBy("__b")
+    grid.join(obs, Seq("__k", "__b"), "left")
+      .select(col("__k").as(keyCol), col("__b").as("bucket"),
+        col("observed"),
+        last(col("observed"), ignoreNulls = true).over(w).as("filled"),
+        col("observed").isNotNull.as("was_observed"))
+  }
+
+  /** The repo-wide float-determinism contract: doubles sum through
+    * exact decimals so the result is independent of partial-aggregation
+    * order and bit-identical to a SQL oracle's replay. */
+  private def cast_sum(v: org.apache.spark.sql.Column) =
+    sum(v.cast("decimal(18,2)")).cast("double")
+}

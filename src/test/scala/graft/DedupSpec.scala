@@ -323,4 +323,39 @@ class DedupSpec extends SparkSpec {
     // no pair involves doc 3, no self-pairs
     assert(!out.keys.exists(k => k._1 == 3L || k._2 == 3L || k._1 == k._2))
   }
+
+  test("containmentPairs: embedded quote scores 1.0 one way, small the other") {
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")    // 40 tokens
+    val quote = (11 to 22).map(i => s"w$i").mkString(" ")  // 12 of them
+    val docs = Seq(
+      (1L, long), (2L, quote),
+      (3L, "totally different text about other things entirely with " +
+        "many words that overlap nothing at all in the corpus here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text",
+        spanTokens = 8, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // all 5 of the quote's 8-grams appear in the long doc
+    assert(out((2L, 1L)) == 1.0)
+    // the reverse direction: 5 of the long doc's 33 grams → small
+    assert(out((1L, 2L)) == 5.0 / 33.0)
+    assert(!out.keys.exists(k => k._1 == 3L || k._2 == 3L))
+    // threshold gates: only the quote direction survives 0.8
+    val gated = Dedup.containmentPairs(docs, "doc_id", "text",
+        spanTokens = 8, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gated == Set((2L, 1L)))
+  }
+
+  test("containmentPairs df cap drops boilerplate grams instead of pairing everything") {
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    // 6 docs all sharing one boilerplate 8-gram + distinct content
+    val docs = (1L to 6L).map(i =>
+      (i, s"$boiler unique$i content$i words$i here$i now$i more$i x$i y$i"))
+      .toDF("doc_id", "text")
+    // cap 3 < 6 docs → the boilerplate gram is dropped, no pairs at all
+    val out = Dedup.containmentPairs(docs, "doc_id", "text",
+      spanTokens = 8, threshold = 0.0, maxDf = 3)
+    assert(out.count() == 0)
+  }
 }
