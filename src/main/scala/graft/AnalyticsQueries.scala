@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Funnel, Graph, Sampling, TextAnalysis, TextOps, TimeSeries}
+import graft.operators.{Dedup, Funnel, Graph, Sampling, Similarity, Stats, TextAnalysis, TextOps, TimeSeries}
 import Queries._
 
 /** Round-4 analytics + sampling operators: exact triangle counting over
@@ -188,6 +188,88 @@ object AnalyticsQueries {
       GROUP BY 1""") { (s, d) =>
       TextAnalysis.oovRate(Tables.load(s, d, "documents"),
         "doc_id", "text", vocabSize = 200)
+    },
+
+    // -- Rank-based winsorization: bounds are actual data values
+    //    selected by exact decimal rank arithmetic (never float
+    //    interpolation), so the per-row clip replays bit-for-bit.
+    dfQ("q190_winsorize", """
+      WITH ranked AS (
+        SELECT o_orderkey, o_orderpriority AS grp, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders),
+      bounds AS (
+        SELECT grp,
+          max(CASE WHEN rn = greatest(1, ceil(n * 0.05)) THEN o_totalprice
+              END) AS lo,
+          max(CASE WHEN rn = ceil(n * 0.95) THEN o_totalprice END) AS hi
+        FROM ranked GROUP BY 1)
+      SELECT r.o_orderkey, r.grp, r.o_totalprice,
+        CASE WHEN r.o_totalprice < b.lo THEN b.lo
+             WHEN r.o_totalprice > b.hi THEN b.hi
+             ELSE r.o_totalprice END AS clipped
+      FROM ranked r JOIN bounds b USING (grp)""") { (s, d) =>
+      Stats.winsorizeByRank(
+        Tables.load(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority").as("grp"),
+            col("o_totalprice")),
+        "grp", "o_totalprice", BigDecimal("0.05"), BigDecimal("0.95"))
+        .select("o_orderkey", "grp", "o_totalprice", "clipped")
+    },
+
+    // -- Per-group z-score standardization: exact decimal sum/sumsq,
+    //    then an identical fixed sequence of IEEE ops in both engines —
+    //    raw doubles hash-match without rounding.
+    dfQ("q191_zscore", """
+      WITH st AS (
+        SELECT l_returnflag AS grp, count(*) AS n,
+               sum(cast(l_extendedprice AS DECIMAL(18,2))) AS s,
+               sum(cast(cast(l_extendedprice AS DECIMAL(18,2)) *
+                        cast(l_extendedprice AS DECIMAL(18,2))
+                        AS DECIMAL(38,4))) AS sq
+        FROM lineitem GROUP BY 1)
+      SELECT l.l_orderkey, l.l_linenumber, st.grp, l.l_extendedprice,
+        CASE WHEN (sq::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+                  / n::DOUBLE <= 0 THEN 0.0
+             ELSE (l.l_extendedprice::DOUBLE - s::DOUBLE / n::DOUBLE)
+                  / sqrt((sq::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+                         / n::DOUBLE) END AS zscore
+      FROM lineitem l JOIN st ON st.grp = l.l_returnflag""") { (s, d) =>
+      Stats.zscore(
+        Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag").as("grp"), col("l_extendedprice")),
+        "grp", "l_extendedprice")
+        .select("l_orderkey", "l_linenumber", "grp", "l_extendedprice",
+          "zscore")
+    },
+
+    // -- Hard-negative mining: for 5 query vectors, the 10 most
+    //    cosine-similar vectors of a DIFFERENT label (the confusable
+    //    cross-class examples contrastive training wants). Oracle =
+    //    label-filtered windowed top-k over DuckDB's own cosine.
+    dfQ("q192_hard_negatives", """
+      WITH q AS (
+        SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+        FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+      scored AS (
+        SELECT q.qid, e.vec_id AS id, e.label,
+               list_cosine_similarity(e.embedding, q.qvec)::DOUBLE AS c
+        FROM embeddings e JOIN q ON e.label <> q.qlabel),
+      top AS (
+        SELECT qid, id, label, c,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY c DESC, id) AS rank
+        FROM scored)
+      SELECT qid, id, label, round(c, 4) AS cos4, rank
+      FROM top WHERE rank <= 10""") { (s, d) =>
+      Similarity.hardNegatives(
+        Tables.load(s, d, "embeddings"), "vec_id", "embedding", "label",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+        .select(col("qid"), col("id"), col("label"),
+          round(col("cosine"), 4).as("cos4"), col("rank"))
     }
   )
 

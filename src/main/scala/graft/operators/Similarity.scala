@@ -74,6 +74,43 @@ object Similarity {
       .select("qid", "id", "cosine", "rank")
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query row (drawn from the corpus by id), the `k` nearest corpus
+    * vectors whose `labelCol` DIFFERS from the query's — the confusable
+    * cross-class examples a contrastive loss learns the most from
+    * (in-batch random negatives are mostly easy).
+    *
+    * Same bounded two-phase top-k as `topKBatch` (per-partition heads,
+    * then ≤ k·numPartitions survivors per query — never a full-corpus
+    * sort per query); the label exclusion rides the broadcast join
+    * filter, so the corpus is still scanned once for the whole query
+    * batch. NULL-label corpus rows never qualify as negatives (NULL <>
+    * x is not true). */
+  def hardNegatives(
+      corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      queryIds: Seq[Long], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = corpus
+      .filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        col(labelCol).as("qlabel"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col(labelCol) =!= col("qlabel"))
+      .select(col("qid"), col(idCol).as("id"), col(labelCol).as("label"),
+        safeCosine(col(vecCol), col("qvec")).as("cosine"))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy("qid", "__pid")
+      .orderBy(col("cosine").desc, col("id"))
+    val wGlobal = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("id"))
+    scored
+      .withColumn("__rn", row_number().over(wLocal))
+      .filter(col("__rn") <= k)
+      .withColumn("rank", row_number().over(wGlobal))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "label", "cosine", "rank")
+  }
+
   /** IVF index: rows tagged with nearest-centroid id + centroid table. */
   final case class Ivf(assigned: DataFrame, centroids: DataFrame)
 

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution statistics for feature preparation: per-group outlier
+  * clipping and standardization, built on exact arithmetic so results
+  * are independent of partition order and bit-replayable by a SQL
+  * oracle — the repo-wide float-determinism contract.
+  */
+object Stats {
+
+  /** Rank-based winsorization: per group, clip values below the
+    * ceil(n·pLow)-th smallest (floored at rank 1) and above the
+    * ceil(n·pHigh)-th smallest. Rank selection — never float
+    * interpolation — so the bound is always an actual data value and
+    * the rank thresholds are exact decimal arithmetic (0.05 as a
+    * DECIMAL literal: ceil(200 · 0.05) is exactly 10, where the double
+    * 200 · 0.05 = 10.000000000000002 would ceil to 11).
+    *
+    * Scale shape: one shuffle on the group key; the two window passes
+    * (rank + count) share it. Winsorize inherently needs per-group
+    * order statistics — for groups too large to sort, switch the
+    * bounds to approx_percentile and keep the same clip join. The
+    * tiny per-group bounds table broadcasts back. Ties: the k-th
+    * smallest VALUE is unique regardless of which tied row gets which
+    * row_number. */
+  def winsorizeByRank(
+      df: DataFrame,
+      groupCol: String,
+      valCol: String,
+      pLow: BigDecimal,
+      pHigh: BigDecimal): DataFrame = {
+    require(pLow >= 0 && pLow < pHigh && pHigh <= 1,
+      "need 0 <= pLow < pHigh <= 1")
+    val byVal = Window.partitionBy(groupCol).orderBy(valCol)
+    val all = Window.partitionBy(groupCol)
+    val ranked = df
+      .withColumn("__rn", row_number().over(byVal))
+      .withColumn("__n", count(lit(1)).over(all))
+    val bounds = ranked.groupBy(groupCol)
+      .agg(
+        max(when(col("__rn") ===
+          greatest(lit(1), ceil(col("__n") * lit(pLow.bigDecimal))),
+          col(valCol))).as("__lo"),
+        max(when(col("__rn") === ceil(col("__n") * lit(pHigh.bigDecimal)),
+          col(valCol))).as("__hi"))
+    ranked.drop("__rn", "__n")
+      .join(broadcast(bounds), Seq(groupCol))
+      .withColumn("clipped",
+        when(col(valCol) < col("__lo"), col("__lo"))
+          .when(col(valCol) > col("__hi"), col("__hi"))
+          .otherwise(col(valCol)))
+      .drop("__lo", "__hi")
+  }
+
+  /** Per-group z-score standardization with population variance from
+    * EXACT decimal sums: sum(x) and sum(x²) accumulate as decimals
+    * (order-independent), and the float arithmetic that follows is a
+    * fixed sequence of single IEEE ops on identical operands —
+    * replayable bit-for-bit by the oracle:
+    *   mean = double(sum)/n
+    *   var  = (double(sumsq) - double(sum)·double(sum)/n)/n
+    *   z    = (x - mean)/sqrt(var)   (0 when var = 0)
+    * Values are treated as DECIMAL(18,2); adjust upstream if more
+    * fractional digits matter. One map-side-combinable aggregate plus a
+    * broadcast join back — no window, no per-group sort. */
+  def zscore(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val d = col(valCol).cast("decimal(18,2)")
+    val stats = df.groupBy(groupCol).agg(
+      count(lit(1)).as("__n"),
+      sum(d).as("__s"),
+      sum((d * d).cast("decimal(38,4)")).as("__sq"))
+    val n = col("__n").cast("double")
+    val s = col("__s").cast("double")
+    val mean = s / n
+    val variance = (col("__sq").cast("double") - s * s / n) / n
+    df.join(broadcast(stats), Seq(groupCol))
+      .withColumn("zscore",
+        when(variance <= 0, lit(0.0))
+          .otherwise((col(valCol).cast("double") - mean) / sqrt(variance)))
+      .drop("__n", "__s", "__sq")
+  }
+}

@@ -111,6 +111,24 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("hardNegatives excludes the query's own label, ranks by cosine") {
+    // axis-aligned vectors: label 0 along +x, label 1 along +y, label 2
+    // mixed — negatives for query 0 (label 0) must all be label 1/2,
+    // led by the mixed vector (cosine ~0.707 beats the orthogonal 0.0)
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0.9f, 0f), 0),
+      (2L, Array(0f, 1f), 1), (3L, Array(0f, 0.8f), 1),
+      (4L, Array(1f, 1f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+        queryIds = Seq(0L), k = 3)
+      .collect().map(r => (r.getInt(4), r.getLong(1), r.getInt(2)))
+      .sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(4L, 2L, 3L),
+      s"mixed vector first, then orthogonal by id: ${got.toSeq}")
+    assert(got.forall(_._3 != 0), "no same-label row may appear")
+  }
+
   test("simhash ignores token-less docs (no false hamming-0 pairs)") {
     // CJK-only and punctuation-only docs have zero [a-z0-9] tokens; all
     // would hash to 0 and pair with each other without the guard

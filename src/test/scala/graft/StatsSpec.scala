@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Stats
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("winsorizeByRank clips to exact rank-selected bounds") {
+    // group g: values 1..20 → lo = ceil(20*0.1)=2nd smallest = 2,
+    //                         hi = ceil(20*0.9)=18th smallest = 18
+    val df = (1 to 20).map(v => ("g", v.toDouble)).toDF("grp", "v")
+    val got = Stats.winsorizeByRank(df, "grp", "v",
+        BigDecimal("0.1"), BigDecimal("0.9"))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(got(1.0) == 2.0 && got(2.0) == 2.0)
+    assert(got(19.0) == 18.0 && got(20.0) == 18.0)
+    assert(got(10.0) == 10.0)
+  }
+
+  test("winsorizeByRank: decimal rank math, tied values, tiny groups") {
+    // n=200, p=0.05: double 200*0.05 rounds ABOVE 10 → ceil would give
+    // 11; the decimal path must select rank exactly 10
+    val big = (1 to 200).map(v => ("b", v.toDouble)).toDF("grp", "v")
+    val bounds = Stats.winsorizeByRank(big, "grp", "v",
+        BigDecimal("0.05"), BigDecimal("0.95"))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(bounds(1.0) == 10.0, "lo bound is the 10th smallest, not 11th")
+    assert(bounds(200.0) == 190.0)
+    // all-tied group: bounds equal the value, nothing changes
+    val tied = Seq.fill(10)(("t", 5.0)).toDF("grp", "v")
+    assert(Stats.winsorizeByRank(tied, "grp", "v",
+        BigDecimal("0.1"), BigDecimal("0.9"))
+      .collect().forall(r => r.getDouble(2) == 5.0))
+    // single-row group: lo floored to rank 1 = hi = the value
+    val one = Seq(("s", 7.0)).toDF("grp", "v")
+    assert(Stats.winsorizeByRank(one, "grp", "v",
+        BigDecimal("0.05"), BigDecimal("0.95"))
+      .collect().head.getDouble(2) == 7.0)
+  }
+
+  test("zscore: exact hand-computed standardization; zero variance → 0") {
+    // g1: values 2, 4, 6 → mean 4, var = (4+16+36 - 144/3)/3 = 8/3
+    val df = Seq(("g1", 2.0), ("g1", 4.0), ("g1", 6.0),
+      ("g2", 5.0), ("g2", 5.0)).toDF("grp", "v")
+    val got = Stats.zscore(df, "grp", "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    val sd = math.sqrt((56.0 - 12.0 * 12.0 / 3.0) / 3.0)
+    assert(got(("g1", 2.0)) == (2.0 - 4.0) / sd)
+    assert(got(("g1", 4.0)) == 0.0)
+    assert(got(("g1", 6.0)) == (6.0 - 4.0) / sd)
+    assert(got(("g2", 5.0)) == 0.0, "zero-variance group maps to 0")
+  }
+
+  test("zscore is partition-invariant (decimal-exact sums)") {
+    val df = (1 to 997).map(v => ("g", v * 0.01)).toDF("grp", "v")
+    val a = Stats.zscore(df, "grp", "v")
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val b = Stats.zscore(df.repartition(13), "grp", "v")
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(a == b)
+  }
+}

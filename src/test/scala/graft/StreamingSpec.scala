@@ -186,6 +186,27 @@ class StreamingSpec extends SparkSpec {
       s"unmatched left row emits null-extended after watermark: ${rows}")
   }
 
+  test("stream-static dimension enrichment joins each micro-batch " +
+    "against the broadcast dim without state") {
+    val dim = Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"))
+      .toDF("key", "name")
+    val events = MemoryStream[(Long, Int)](spark, 19)
+    val enriched = events.toDF().toDF("id", "key")
+      .join(broadcast(dim), Seq("key"), "left")
+    val q = enriched.writeStream.format("memory").queryName("ssd_out")
+      .outputMode("append").start()
+    events.addData((1L, 0), (2L, 2), (3L, 9)) // 9: no dim row
+    q.processAllAvailable()
+    events.addData((4L, 1)) // second batch re-joins the same static dim
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssd_out").collect()
+      .map(r => r.getAs[Long]("id") -> Option(r.getAs[String]("name")))
+      .toMap
+    assert(rows == Map(1L -> Some("AFRICA"), 2L -> Some("ASIA"),
+      3L -> None, 4L -> Some("AMERICA")))
+  }
+
   test("streaming near-dup filter appends only novel docs, index grows across batches") {
     import graft.operators.Dedup
     val corpusText = "the quick brown fox jumps over the lazy dog again and again"
