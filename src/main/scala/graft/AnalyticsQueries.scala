@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Funnel, Graph, Sampling, Similarity, Stats, TextAnalysis, TextOps, TimeSeries}
+import graft.operators.{Cdc, Dedup, Funnel, Graph, Sampling, Similarity, Stats, TextAnalysis, TextOps, TimeSeries}
 import Queries._
 
 /** Round-4 analytics + sampling operators: exact triangle counting over
@@ -270,6 +270,107 @@ object AnalyticsQueries {
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
         .select(col("qid"), col("id"), col("label"),
           round(col("cosine"), 4).as("cos4"), col("rank"))
+    },
+
+    // -- Incremental aggregate maintenance (materialized-view refresh):
+    //    snapshot(old) ⊕ snapshot(new batch) must equal the full
+    //    recompute the oracle runs directly — counts and exact-decimal
+    //    sums combine associatively, so history is never rescanned.
+    dfQ("q193_incremental_agg", """
+      SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+             cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total,
+             cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS avg_price
+      FROM orders GROUP BY 1, 2""") { (s, d) =>
+      val o = Tables.load(s, d, "orders")
+      val keys = Seq("o_orderpriority", "o_orderstatus")
+      val old = o.filter(pmod(col("o_orderkey"), lit(5)) < 3)
+      val batch = o.filter(pmod(col("o_orderkey"), lit(5)) >= 3)
+      val merged = Cdc.mergeSnapshots(
+        Cdc.aggregateSnapshot(old, keys, Seq("o_totalprice")),
+        Cdc.aggregateSnapshot(batch, keys, Seq("o_totalprice")),
+        keys, Seq("o_totalprice"))
+      merged.select(col("o_orderpriority"), col("o_orderstatus"), col("n"),
+        col("o_totalprice_sum").cast("double").as("total"),
+        (col("o_totalprice_sum").cast("double") / col("n")).as("avg_price"))
+    },
+
+    // -- 2-hop neighbor feature averaging (GraphSAGE-mean prep) on the
+    //    sampled co-purchase graph: the oracle unrolls both hops as
+    //    chained CTEs with the identical round-6 decimal-sum discipline.
+    dfQ("q194_neighbor_agg", """
+      WITH ps AS (
+        SELECT DISTINCT l_orderkey AS o, l_suppkey::VARCHAR AS s
+        FROM lineitem),
+      e0 AS (
+        SELECT DISTINCT a.s AS a, b.s AS b
+        FROM ps a JOIN ps b ON a.o = b.o AND a.s < b.s),
+      e AS (
+        SELECT a, b FROM e0
+        WHERE ('0x' || substr(md5(a || ':' || b), 1, 15))::BIGINT % 17 = 0),
+      sym AS (SELECT a AS src, b AS dst FROM e
+              UNION SELECT b AS src, a AS dst FROM e),
+      f0 AS (SELECT s_suppkey::VARCHAR AS node, s_acctbal::DOUBLE AS v
+             FROM supplier),
+      h1 AS (
+        SELECT dst AS node, count(*) AS n_nbrs,
+               round(sum(cast(round(v, 6) AS DECIMAL(28,6)))::DOUBLE
+                     / count(*), 6) AS v
+        FROM sym JOIN f0 ON f0.node = sym.src GROUP BY 1),
+      h2 AS (
+        SELECT dst AS node, count(*) AS n_nbrs,
+               round(sum(cast(round(v, 6) AS DECIMAL(28,6)))::DOUBLE
+                     / count(*), 6) AS v
+        FROM sym JOIN h1 ON h1.node = sym.src GROUP BY 1)
+      SELECT node, n_nbrs, v AS nbr_mean FROM h2""") { (s, d) =>
+      val ps = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"),
+          col("l_suppkey").cast("string").as("sv"))
+        .distinct()
+      val pairs = ps.join(ps.withColumnRenamed("sv", "sw"), "o")
+        .filter(col("sv") < col("sw"))
+        .select(col("sv").as("a"), col("sw").as("b"))
+        .distinct()
+      val e = pairs.filter(
+        pmod(conv(substring(
+            md5(concat(col("a"), lit(":"), col("b"))), 1, 15),
+          16, 10).cast("long"), lit(17)) === 0)
+      val sym = e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+      Graph.neighborhoodMean(sym, "src", "dst",
+        Tables.load(s, d, "supplier"), "s_suppkey", "s_acctbal", hops = 2)
+    },
+
+    // -- Robust (median/IQR) scaling: all three order statistics by
+    //    exact rank selection, one single-division per row.
+    dfQ("q195_robust_scale", """
+      WITH ranked AS (
+        SELECT l_orderkey, l_linenumber, l_returnflag AS grp, l_quantity,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_quantity) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem),
+      b AS (
+        SELECT grp,
+          max(CASE WHEN rn = greatest(1, ceil(n * 0.25)) THEN l_quantity
+              END) AS q1,
+          max(CASE WHEN rn = greatest(1, ceil(n * 0.5)) THEN l_quantity
+              END) AS med,
+          max(CASE WHEN rn = greatest(1, ceil(n * 0.75)) THEN l_quantity
+              END) AS q3
+        FROM ranked GROUP BY 1)
+      SELECT r.l_orderkey, r.l_linenumber, r.grp, r.l_quantity,
+        CASE WHEN b.q3 = b.q1 THEN 0.0
+             ELSE (r.l_quantity::DOUBLE - b.med::DOUBLE)
+                  / (b.q3::DOUBLE - b.q1::DOUBLE) END AS scaled
+      FROM ranked r JOIN b USING (grp)""") { (s, d) =>
+      Stats.robustScale(
+        Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag").as("grp"), col("l_quantity")),
+        "grp", "l_quantity")
+        .select("l_orderkey", "l_linenumber", "grp", "l_quantity", "scaled")
     }
   )
 

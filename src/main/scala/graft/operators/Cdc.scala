@@ -51,4 +51,42 @@ object Cdc {
         when(col("__op").isNotNull, col(s"__c_$p")).otherwise(col(p))
           .as(p)): _*)
   }
+
+  /** Build a mergeable aggregate snapshot: per key, row count `n` and an
+    * exact-decimal `<c>_sum` per value column. This is the materialized-
+    * view state for incremental ETL: counts and decimal sums combine
+    * associatively, so a snapshot can absorb any number of later batches
+    * through `mergeSnapshots` and stay bit-identical to a full recompute
+    * (derive avg as sum/n at read time). */
+  def aggregateSnapshot(
+      df: DataFrame, keyCols: Seq[String], valCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        valCols.map(c =>
+          sum(col(c).cast("decimal(18,2)")).cast("decimal(38,2)")
+            .as(s"${c}_sum")): _*)
+  }
+
+  /** Merge two aggregate snapshots (same schema, from
+    * `aggregateSnapshot`): one key-partitioned full-outer join, counts
+    * and sums added with NULL→identity coalescing. Incremental refresh
+    * is `mergeSnapshots(yesterday, aggregateSnapshot(todaysBatch, …))` —
+    * history is never rescanned, and when the batch snapshot is small
+    * AQE broadcasts it so the stored side never shuffles either. */
+  def mergeSnapshots(
+      a: DataFrame, b: DataFrame,
+      keyCols: Seq[String], valCols: Seq[String]): DataFrame = {
+    val sums = valCols.map(c => s"${c}_sum")
+    val bb = (Seq("n") ++ sums).foldLeft(b)((d, c) =>
+      d.withColumnRenamed(c, s"__b_$c"))
+    a.join(bb, keyCols, "full_outer")
+      .select(keyCols.map(col) ++
+        Seq((coalesce(col("n"), lit(0L)) +
+          coalesce(col("__b_n"), lit(0L))).as("n")) ++
+        sums.map(c =>
+          (coalesce(col(c), lit(BigDecimal(0)).cast("decimal(38,2)")) +
+            coalesce(col(s"__b_$c"), lit(BigDecimal(0)).cast("decimal(38,2)")))
+            .cast("decimal(38,2)").as(c)): _*)
+  }
 }

@@ -82,6 +82,44 @@ object Graph {
     } finally e.unpersist(false)
   }
 
+  /** `hops` rounds of in-neighbor feature averaging (the GraphSAGE-mean
+    * aggregation step, Hamilton et al. NeurIPS'17, as a data-prep
+    * operator): round r gives every node the mean of its in-neighbors'
+    * round-(r-1) values. Returns (node, n_nbrs, nbr_mean) for nodes
+    * with at least one in-neighbor in the FINAL round; nodes outside
+    * `features` contribute nothing.
+    *
+    * Scale shape: each hop is one edge join + one destination-keyed
+    * aggregate — the `pageRank` per-round profile, with the same
+    * determinism discipline: per-edge values round to 6 decimals and
+    * sum as exact decimals, so hop-2-and-beyond means are independent
+    * of partial-aggregation order and SQL-replayable. */
+  def neighborhoodMean(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      features: DataFrame, nodeCol: String, valCol: String,
+      hops: Int): DataFrame = {
+    require(hops >= 1, "hops must be >= 1")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var f = features.select(col(nodeCol).cast("string").as("node"),
+        col(valCol).cast("double").as("v"))
+      for (_ <- 1 to hops) {
+        f = e.join(f.select(col("node").as("src"), col("v")), "src")
+          .groupBy(col("dst"))
+          .agg(count(lit(1)).as("n_nbrs"),
+            round(sum(round(col("v"), 6).cast("decimal(28,6)"))
+              .cast("double") / count(lit(1)), 6).as("v"))
+          .select(col("dst").as("node"), col("n_nbrs"), col("v"))
+      }
+      f.select(col("node"), col("n_nbrs"), col("v").as("nbr_mean"))
+        .localCheckpoint(true)
+    } finally e.unpersist(false)
+  }
+
   /** Exact per-node triangle counting by degree orientation
     * (compact-forward): every undirected edge is directed from its
     * (degree, id)-smaller endpoint to the larger, turning the graph into

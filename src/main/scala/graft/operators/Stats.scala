@@ -55,6 +55,35 @@ object Stats {
       .drop("__lo", "__hi")
   }
 
+  /** Robust (median/IQR) scaling — outlier-insensitive standardization:
+    * scaled = (x − median) / (q3 − q1), with all three order statistics
+    * selected by exact rank (`ceil(n·p)`-th smallest, decimal
+    * arithmetic — the `winsorizeByRank` discipline), never float
+    * interpolation. Zero-IQR groups (over half the rows tied) scale to
+    * 0. Same scale shape as winsorize: one group-keyed sort shuffle,
+    * |groups|-row bounds broadcast back, one single-division per row. */
+  def robustScale(
+      df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val byVal = Window.partitionBy(groupCol).orderBy(valCol)
+    val all = Window.partitionBy(groupCol)
+    val ranked = df
+      .withColumn("__rn", row_number().over(byVal))
+      .withColumn("__n", count(lit(1)).over(all))
+    def atP(p: String): Column =
+      max(when(col("__rn") ===
+        greatest(lit(1), ceil(col("__n") * lit(new java.math.BigDecimal(p)))),
+        col(valCol)))
+    val bounds = ranked.groupBy(groupCol).agg(
+      atP("0.25").as("__q1"), atP("0.5").as("__med"), atP("0.75").as("__q3"))
+    ranked.drop("__rn", "__n")
+      .join(broadcast(bounds), Seq(groupCol))
+      .withColumn("scaled",
+        when(col("__q3") === col("__q1"), lit(0.0))
+          .otherwise((col(valCol).cast("double") - col("__med").cast("double"))
+            / (col("__q3").cast("double") - col("__q1").cast("double"))))
+      .drop("__q1", "__med", "__q3")
+  }
+
   /** Per-group z-score standardization with population variance from
     * EXACT decimal sums: sum(x) and sum(x²) accumulate as decimals
     * (order-independent), and the float arithmetic that follows is a

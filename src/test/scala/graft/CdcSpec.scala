@@ -55,4 +55,46 @@ class CdcSpec extends SparkSpec {
       Cdc.applyCdc(base, bad, Seq("k"), "seq", "op")
     }
   }
+
+  test("snapshot merge ≡ full recompute over any batch split") {
+    val rows = (1 to 300).map(i => (s"g${i % 7}", i * 1.01))
+      .toDF("grp", "v")
+    def full(df: org.apache.spark.sql.DataFrame) =
+      Cdc.aggregateSnapshot(df, Seq("grp"), Seq("v"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2)))
+        .toMap
+    val expected = full(rows)
+    // three uneven increments, including one introducing no new keys
+    val s1 = Cdc.aggregateSnapshot(rows.limit(100), Seq("grp"), Seq("v"))
+    val s2 = Cdc.aggregateSnapshot(
+      rows.offset(100).limit(50), Seq("grp"), Seq("v"))
+    val s3 = Cdc.aggregateSnapshot(rows.offset(150), Seq("grp"), Seq("v"))
+    val merged = Cdc.mergeSnapshots(
+      Cdc.mergeSnapshots(s1, s2, Seq("grp"), Seq("v")),
+      s3, Seq("grp"), Seq("v"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2)))
+      .toMap
+    assert(merged == expected)
+  }
+
+  test("snapshot merge: disjoint and empty sides keep identity") {
+    val a = Cdc.aggregateSnapshot(
+      Seq(("x", 1.0), ("x", 2.0)).toDF("grp", "v"), Seq("grp"), Seq("v"))
+    val b = Cdc.aggregateSnapshot(
+      Seq(("y", 5.0)).toDF("grp", "v"), Seq("grp"), Seq("v"))
+    val empty = Cdc.aggregateSnapshot(
+      Seq.empty[(String, Double)].toDF("grp", "v"), Seq("grp"), Seq("v"))
+    val ab = Cdc.mergeSnapshots(a, b, Seq("grp"), Seq("v"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2).doubleValue))
+      .toMap
+    assert(ab == Map("x" -> ((2L, 3.0)), "y" -> ((1L, 5.0))))
+    val aEmpty = Cdc.mergeSnapshots(a, empty, Seq("grp"), Seq("v"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2).doubleValue))
+      .toMap
+    assert(aEmpty == Map("x" -> ((2L, 3.0))))
+  }
 }

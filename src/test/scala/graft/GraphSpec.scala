@@ -57,6 +57,22 @@ class GraphSpec extends SparkSpec {
     assert(got.size == 51)
   }
 
+  test("neighborhoodMean: hand-computed 1 and 2 hop means, isolated drop") {
+    val e = Seq(("a", "c"), ("b", "c"), ("c", "a")).toDF("s", "d")
+    val feats = Seq(("a", 10.0), ("b", 20.0), ("c", 40.0)).toDF("n", "v")
+    // hop1: c <- mean(a,b) = 15, a <- mean(c) = 40; b has no in-edge
+    val h1 = Graph.neighborhoodMean(e, "s", "d", feats, "n", "v", hops = 1)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(h1 == Map("c" -> ((2L, 15.0)), "a" -> ((1L, 40.0))))
+    // hop2 over h1 values: c <- mean(a=40) (b dropped out after hop 1),
+    // a <- mean(c=15)
+    val h2 = Graph.neighborhoodMean(e, "s", "d", feats, "n", "v", hops = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(h2 == Map("c" -> ((1L, 40.0)), "a" -> ((1L, 15.0))))
+  }
+
   test("pageRank is partitioning-invariant (decimal-exact mass sums)") {
     val big = (0L until 200L).map(i => (s"n$i", s"n${(i * 7) % 200}"))
       .toDF("src", "dst")

@@ -38,6 +38,18 @@ class StatsSpec extends SparkSpec {
       .collect().head.getDouble(2) == 7.0)
   }
 
+  test("robustScale: rank-selected median/IQR; zero-IQR group → 0") {
+    // values 1..8: q1 = ceil(8*.25)=2nd = 2, med = ceil(8*.5)=4th = 4,
+    // q3 = ceil(8*.75)=6th = 6 → IQR 4
+    val df = (1 to 8).map(v => ("g", v.toDouble)).toDF("grp", "v")
+    val got = Stats.robustScale(df, "grp", "v")
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(got(4.0) == 0.0 && got(8.0) == 1.0 && got(2.0) == -0.5)
+    val tied = Seq.fill(6)(("t", 9.0)).toDF("grp", "v")
+    assert(Stats.robustScale(tied, "grp", "v")
+      .collect().forall(_.getDouble(2) == 0.0))
+  }
+
   test("zscore: exact hand-computed standardization; zero variance → 0") {
     // g1: values 2, 4, 6 → mean 4, var = (4+16+36 - 144/3)/3 = 8/3
     val df = Seq(("g1", 2.0), ("g1", 4.0), ("g1", 6.0),
