@@ -371,6 +371,117 @@ object AnalyticsQueries {
             col("l_returnflag").as("grp"), col("l_quantity")),
         "grp", "l_quantity")
         .select("l_orderkey", "l_linenumber", "grp", "l_quantity", "scaled")
+    },
+
+    // -- Pairwise Pearson correlation matrix from ONE pass of exact
+    //    decimal sums; both engines then run the identical IEEE formula
+    //    so the raw doubles hash-match (no rounding).
+    dfQ("q196_corr_matrix", """
+      WITH s AS (
+        SELECT count(*) AS n,
+          sum(cast(l_quantity AS DECIMAL(18,2))) AS s0,
+          sum(cast(l_extendedprice AS DECIMAL(18,2))) AS s1,
+          sum(cast(l_discount AS DECIMAL(18,2))) AS s2,
+          sum(cast(cast(l_quantity AS DECIMAL(18,2)) *
+                   cast(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+            AS p00,
+          sum(cast(cast(l_quantity AS DECIMAL(18,2)) *
+                   cast(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+            AS p01,
+          sum(cast(cast(l_quantity AS DECIMAL(18,2)) *
+                   cast(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+            AS p02,
+          sum(cast(cast(l_extendedprice AS DECIMAL(18,2)) *
+                   cast(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+            AS p11,
+          sum(cast(cast(l_extendedprice AS DECIMAL(18,2)) *
+                   cast(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+            AS p12,
+          sum(cast(cast(l_discount AS DECIMAL(18,2)) *
+                   cast(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+            AS p22
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+          AND l_discount IS NOT NULL)
+      SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        (n::DOUBLE * p01::DOUBLE - s0::DOUBLE * s1::DOUBLE) /
+        (sqrt(n::DOUBLE * p00::DOUBLE - s0::DOUBLE * s0::DOUBLE) *
+         sqrt(n::DOUBLE * p11::DOUBLE - s1::DOUBLE * s1::DOUBLE)) AS corr
+      FROM s
+      UNION ALL
+      SELECT 'l_quantity', 'l_discount',
+        (n::DOUBLE * p02::DOUBLE - s0::DOUBLE * s2::DOUBLE) /
+        (sqrt(n::DOUBLE * p00::DOUBLE - s0::DOUBLE * s0::DOUBLE) *
+         sqrt(n::DOUBLE * p22::DOUBLE - s2::DOUBLE * s2::DOUBLE))
+      FROM s
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_discount',
+        (n::DOUBLE * p12::DOUBLE - s1::DOUBLE * s2::DOUBLE) /
+        (sqrt(n::DOUBLE * p11::DOUBLE - s1::DOUBLE * s1::DOUBLE) *
+         sqrt(n::DOUBLE * p22::DOUBLE - s2::DOUBLE * s2::DOUBLE))
+      FROM s""") { (s, d) =>
+      Stats.corrMatrix(Tables.load(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+    },
+
+    // -- Token-distribution entropy (gibberish/repetition signal):
+    //    exact integer counts, one ln() fold per doc, round-6 storage
+    //    (the q55 cosine discipline for order-sensitive float folds).
+    dfQ("q197_token_entropy", s"""
+      WITH wc AS (
+        SELECT id, w, count(*) AS c FROM (
+          SELECT doc_id AS id, unnest($DUCK_TOKENS) AS w FROM documents)
+        GROUP BY 1, 2),
+      tot AS (
+        SELECT id, sum(c)::BIGINT AS n_tokens, count(*) AS n_types
+        FROM wc GROUP BY 1)
+      SELECT wc.id AS doc_id, t.n_tokens, t.n_types,
+        round(-sum((wc.c::DOUBLE / t.n_tokens) *
+                   ln(wc.c::DOUBLE / t.n_tokens)), 6) AS entropy
+      FROM wc JOIN tot t ON t.id = wc.id
+      GROUP BY 1, 2, 3""") { (s, d) =>
+      TextAnalysis.tokenEntropy(Tables.load(s, d, "documents"),
+        "doc_id", "text")
+    },
+
+    // -- Bounded-round k-core peeling (k=3, 3 rounds) on the sampled
+    //    co-purchase graph; the oracle unrolls every peel round as
+    //    chained CTEs — all-integer work, hash-exact.
+    dfQ("q198_kcore", """
+      WITH ps AS (
+        SELECT DISTINCT l_orderkey AS o, l_suppkey::VARCHAR AS s
+        FROM lineitem),
+      e0 AS (
+        SELECT DISTINCT a.s AS a, b.s AS b
+        FROM ps a JOIN ps b ON a.o = b.o AND a.s < b.s),
+      e AS (
+        SELECT a, b FROM e0
+        WHERE ('0x' || substr(md5(a || ':' || b), 1, 15))::BIGINT % 17 = 0),
+      sym AS (SELECT a AS src, b AS dst FROM e
+              UNION SELECT b AS src, a AS dst FROM e),
+      d1 AS (SELECT src, count(*) AS c FROM sym GROUP BY 1),
+      n1 AS (SELECT src AS v FROM d1 WHERE c >= 3),
+      e1 AS (SELECT s.src, s.dst FROM sym s
+             JOIN n1 x ON s.src = x.v JOIN n1 y ON s.dst = y.v),
+      d2 AS (SELECT src, count(*) AS c FROM e1 GROUP BY 1),
+      n2 AS (SELECT src AS v FROM d2 WHERE c >= 3),
+      e2 AS (SELECT s.src, s.dst FROM e1 s
+             JOIN n2 x ON s.src = x.v JOIN n2 y ON s.dst = y.v),
+      d3 AS (SELECT src, count(*) AS c FROM e2 GROUP BY 1)
+      SELECT src AS node, c AS degree FROM d3 WHERE c >= 3""") { (s, d) =>
+      val ps = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"),
+          col("l_suppkey").cast("string").as("sv"))
+        .distinct()
+      val pairs = ps.join(ps.withColumnRenamed("sv", "sw"), "o")
+        .filter(col("sv") < col("sw"))
+        .select(col("sv").as("a"), col("sw").as("b"))
+        .distinct()
+      val sampled = pairs.filter(
+        pmod(conv(substring(
+            md5(concat(col("a"), lit(":"), col("b"))), 1, 15),
+          16, 10).cast("long"), lit(17)) === 0)
+      Graph.kCoreMembers(sampled, "a", "b", k = 3, rounds = 3)
     }
   )
 

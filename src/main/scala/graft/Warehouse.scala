@@ -408,6 +408,10 @@ object Warehouse {
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       spark.read.parquet(tmp.toString)
         .write.mode(SaveMode.Overwrite).insertInto(table)
+      // the partitioned rewrite path refreshes after its file moves; the
+      // unpartitioned overwrite needs the same, or a reader that cached
+      // the old file listing hits FILE_NOT_EXIST on its next scan
+      spark.sql(s"REFRESH TABLE $table")
     } finally {
       // the staged copy is a full table snapshot — never orphan it (a
       // per-batch streaming upsert would fill the disk)

@@ -120,6 +120,55 @@ object Graph {
     } finally e.unpersist(false)
   }
 
+  /** Bounded-round k-core peeling: `rounds` rounds of "compute degrees,
+    * drop every node with degree < k, restrict edges to survivors".
+    * Returns the nodes that still have degree ≥ k at round `rounds`,
+    * with that round's degree. With enough rounds this converges to the
+    * exact k-core (a round that removes nothing is a fixpoint); a small
+    * fixed bound is usually enough in practice because peeling depth,
+    * like near-dup cluster diameter, is shallow — and a FIXED bound is
+    * what keeps the computation SQL-replayable round by round.
+    *
+    * Scale shape: per round, one degree aggregate + two semi-joins
+    * against the (shrinking) survivor set — the connectedComponents
+    * per-round cost profile, with the same eager-checkpoint lineage
+    * cuts and release discipline. */
+  def kCoreMembers(
+      edges: DataFrame, aCol: String, bCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1, "rounds must be >= 1")
+    val und = edges
+      .select(least(col(aCol).cast("string"), col(bCol).cast("string")).as("a"),
+        greatest(col(aCol).cast("string"), col(bCol).cast("string")).as("b"))
+      .filter(col("a").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    var e = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    var deg: DataFrame = null
+    for (i <- 1 to rounds) {
+      deg = e.groupBy("src").agg(count(lit(1)).as("degree"))
+      // the final round only needs its degree table — restricting the
+      // edge set again would be dead work (and deg must materialize
+      // BEFORE the edges it reads are released)
+      if (i < rounds) {
+        val keep = deg.filter(col("degree") >= k).select("src")
+        val prev = e
+        e = e.join(keep, Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+          .select("src", "dst")
+          .localCheckpoint(true)
+        org.apache.spark.sql.graftbridge.CheckpointBridge.release(prev)
+      }
+    }
+    val out = deg.filter(col("degree") >= k)
+      .select(col("src").as("node"), col("degree"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftbridge.CheckpointBridge.release(e)
+    out
+  }
+
   /** Exact per-node triangle counting by degree orientation
     * (compact-forward): every undirected edge is directed from its
     * (degree, id)-smaller endpoint to the larger, turning the graph into

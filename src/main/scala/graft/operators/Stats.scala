@@ -55,6 +55,49 @@ object Stats {
       .drop("__lo", "__hi")
   }
 
+  /** Pairwise Pearson correlation matrix over `cols` in ONE aggregate
+    * pass: every sum, square-sum, and cross-sum accumulates as an exact
+    * decimal (order-independent), then each pair's correlation is the
+    * fixed IEEE sequence
+    *   (n·sxy − sx·sy) / (sqrt(n·sxx − sx·sx) · sqrt(n·syy − sy·sy))
+    * — identical to the SQL replay, so raw doubles hash-match. Rows
+    * with a NULL in ANY of `cols` are excluded (listwise deletion),
+    * which is what a single shared-sums pass implies. Values treated as
+    * DECIMAL(18,2). Constant columns yield NULL (0/0 → NaN is
+    * normalized to NULL for SQL parity).
+    *
+    * Scale shape: one map-side-combinable aggregate producing a single
+    * k²-sized row; the per-pair math runs driver-free on that row. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val clean = df.na.drop(cols)
+    def dec(c: String) = col(c).cast("decimal(18,2)")
+    val pairs = for (i <- cols.indices; j <- i until cols.size)
+      yield (i, j)
+    val aggs = cols.zipWithIndex.map { case (c, i) =>
+      sum(dec(c)).as(s"__s_$i")
+    } ++ pairs.map { case (i, j) =>
+      sum((dec(cols(i)) * dec(cols(j))).cast("decimal(38,4)"))
+        .as(s"__p_${i}_$j")
+    }
+    val one = clean.agg(count(lit(1)).as("__n"), aggs: _*)
+    val n = col("__n").cast("double")
+    def s(i: Int) = col(s"__s_$i").cast("double")
+    def p(i: Int, j: Int) = col(s"__p_${i}_$j").cast("double")
+    val rows = for (i <- cols.indices; j <- (i + 1) until cols.size) yield {
+      // exact-decimal sums ⇒ a zero-variance column gives an EXACT 0.0
+      // denominator: guard it (NULL, matching SQL semantics) instead of
+      // letting ANSI mode throw DIVIDE_BY_ZERO
+      val denom =
+        sqrt(n * p(i, i) - s(i) * s(i)) * sqrt(n * p(j, j) - s(j) * s(j))
+      val corr = when(denom === 0.0, lit(null).cast("double"))
+        .otherwise((n * p(i, j) - s(i) * s(j)) / denom)
+      one.select(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        corr.as("corr"))
+    }
+    rows.reduce(_ unionByName _)
+  }
+
   /** Robust (median/IQR) scaling — outlier-insensitive standardization:
     * scaled = (x − median) / (q3 − q1), with all three order statistics
     * selected by exact rank (`ceil(n·p)`-th smallest, decimal

@@ -359,6 +359,33 @@ object TextAnalysis {
     * (broadcast-free), candidate rows shrink to |terms| per doc before
     * the one doc-keyed aggregate — no per-term corpus scans, no joins.
     * The retrieval-side complement of `invertedIndex`. */
+  /** Per-doc Shannon entropy of the token distribution (nats) — the
+    * classic gibberish/repetition signal: near-zero entropy means one
+    * token dominates, log(n_types) means perfectly uniform. Returns
+    * (idCol, n_tokens, n_types, entropy) with entropy rounded to 6
+    * decimals: the per-term doubles carry ~1-ulp ln() jitter and the
+    * term sum is order-sensitive in the last bits, so the stored value
+    * is rounded the same way q55 rounds cosine. Zero-token docs are
+    * absent (no distribution to measure).
+    *
+    * Scale shape: two map-side-combinable aggregates on the same
+    * (id, word) shuffle key — counts, then the entropy fold — nothing
+    * driver-side, no window. */
+  def tokenEntropy(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val wc = df.select(col(idCol).as("id"),
+        explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy("id", "w").agg(count(lit(1)).as("c"))
+    val totals = wc.groupBy("id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"))
+    val p = col("c").cast("double") / col("n_tokens")
+    wc.join(totals, Seq("id")) // both sides already hashed on id
+      .groupBy(col("id"), col("n_tokens"), col("n_types"))
+      .agg(round(-sum(p * log(p)), 6).as("entropy"))
+      .select(col("id").as(idCol), col("n_tokens"), col("n_types"),
+        col("entropy"))
+  }
+
   /** Per-doc out-of-vocabulary rate against the corpus's own top-
     * `vocabSize` words — the cheap tokenizer-coverage signal (a doc
     * whose tokens mostly miss the vocabulary is noise, wrong-language,

@@ -141,6 +141,48 @@ object Ingest {
       }
       .start()
 
+  /** Streaming materialized-aggregate maintenance: each micro-batch's
+    * partial aggregate (`Cdc.aggregateSnapshot`) merges into the
+    * endpoint table via `Cdc.mergeSnapshots`, so the stored aggregate
+    * stays equal to a full recompute over everything ingested — without
+    * ever rescanning history. Additive state is NOT replay-idempotent
+    * by itself (re-adding a batch double-counts), so the snapshot
+    * carries the last applied batch id and a replayed batch is skipped
+    * — the standard foreachBatch exactly-once recipe, same transactional
+    * caveat as `startUpsert` (staged, non-ACID overwrite). */
+  def startAggMaintenance(
+      stream: DataFrame,
+      ep: Endpoint,
+      keyCols: Seq[String],
+      valCols: Seq[String],
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ep.checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.Cdc
+        val snap = Cdc.aggregateSnapshot(batch, keyCols, valCols)
+        if (!spark.catalog.tableExists(ep.table)) {
+          snap.withColumn("_batch_id", lit(batchId))
+            .write.saveAsTable(ep.table)
+        } else {
+          val current = spark.table(ep.table)
+          // coalesce: an empty first batch leaves a 0-row table whose
+          // max is NULL — treat as "nothing applied yet"
+          val applied = current.agg(coalesce(max("_batch_id"), lit(-1L)))
+            .collect().head.getLong(0)
+          if (batchId > applied) {
+            val merged = Cdc.mergeSnapshots(
+              current.drop("_batch_id"), snap, keyCols, valCols)
+            graft.Warehouse.overwriteUnpartitioned(spark, ep.table,
+              merged.withColumn("_batch_id", lit(batchId)))
+          }
+        }
+        ()
+      }
+      .start()
+
   /** Streaming NEAR-dup filtering against a stored MinHash index — the
     * online arm of `Dedup.minhashAgainstIndex`: each micro-batch is
     * sketched, probed against the index, and only documents with no

@@ -73,6 +73,18 @@ class GraphSpec extends SparkSpec {
     assert(h2 == Map("c" -> ((1L, 40.0)), "a" -> ((1L, 15.0))))
   }
 
+  test("kCoreMembers peels tails: K4 plus a pendant path, k=2") {
+    val k4 = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"))
+    // path d-e-f: e has degree 2 at round 1 but loses f in round 2
+    val edges = (k4 ++ Seq(("d", "e"), ("e", "f"))).toDF("x", "y")
+    val got = Graph.kCoreMembers(edges, "x", "y", k = 2, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // f (deg 1) peels in round 1, e (deg 1 after f goes) in round 2;
+    // the K4 survives with internal degree 3 (d's pendant edge is gone)
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
+
   test("pageRank is partitioning-invariant (decimal-exact mass sums)") {
     val big = (0L until 200L).map(i => (s"n$i", s"n${(i * 7) % 200}"))
       .toDF("src", "dst")

@@ -64,6 +64,37 @@ class StatsSpec extends SparkSpec {
     assert(got(("g2", 5.0)) == 0.0, "zero-variance group maps to 0")
   }
 
+  test("corrMatrix: perfect +/- correlation, constant column → NULL, " +
+    "listwise NULL handling") {
+    val df = Seq(
+      (1.0, 2.0, -1.0, 5.0),
+      (2.0, 4.0, -2.0, 5.0),
+      (3.0, 6.0, -3.0, 5.0),
+      (4.0, 8.0, -4.0, 5.0)
+    ).toDF("a", "b", "negb", "const")
+    val got = Stats.corrMatrix(df, Seq("a", "b", "negb", "const"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double]))
+      .toMap
+    // the one-pass formula carries last-ulp float noise; the CONTRACT is
+    // cross-engine bit-equality (q196), not symbolic exactness
+    assert(math.abs(got(("a", "b")).get - 1.0) < 1e-12)
+    assert(math.abs(got(("a", "negb")).get + 1.0) < 1e-12)
+    assert(got(("a", "const")) == None, "zero variance → NULL, not NaN")
+    assert(got.size == 6)
+    // a row with any NULL is excluded everywhere (listwise)
+    val withNull = df.union(Seq((Option(9.0), Option.empty[Double],
+      Option(1.0), Option(5.0))).toDF("a", "b", "negb", "const"))
+    val got2 = Stats.corrMatrix(withNull, Seq("a", "b", "negb", "const"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(math.abs(got2(("a", "negb")).get + 1.0) < 1e-12,
+      "the NULL row must not perturb unrelated pairs")
+  }
+
   test("zscore is partition-invariant (decimal-exact sums)") {
     val df = (1 to 997).map(v => ("g", v * 0.01)).toDF("grp", "v")
     val a = Stats.zscore(df, "grp", "v")

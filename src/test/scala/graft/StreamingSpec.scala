@@ -186,6 +186,40 @@ class StreamingSpec extends SparkSpec {
       s"unmatched left row emits null-extended after watermark: ${rows}")
   }
 
+  test("streaming aggregate maintenance: snapshot tracks the full " +
+    "aggregate across micro-batches") {
+    val table = s"agg_snap_${System.nanoTime()}"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val src = MemoryStream[(String, Double)](spark, 21)
+    val ep = Ingest.Endpoint(table, tmp("aggm-ckpt"))
+
+    def snapshot(): Map[String, (Long, Double)] = {
+      // the overwrite runs in the micro-batch's cloned session; relation
+      // caches are per-session, so this reader refreshes its own
+      spark.catalog.refreshTable(table)
+      spark.table(table).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getDecimal(2).doubleValue))
+        .toMap
+    }
+
+    src.addData(("a", 1.0), ("a", 2.0), ("b", 10.0))
+    val q1 = Ingest.startAggMaintenance(src.toDF().toDF("grp", "v"),
+      ep, Seq("grp"), Seq("v"))
+    q1.awaitTermination()
+    assert(snapshot() == Map("a" -> ((2L, 3.0)), "b" -> ((1L, 10.0))))
+
+    // second increment: existing key grows, new key appears — equals a
+    // full recompute over everything ingested
+    src.addData(("a", 4.0), ("c", 7.0))
+    val q2 = Ingest.startAggMaintenance(src.toDF().toDF("grp", "v"),
+      ep, Seq("grp"), Seq("v"))
+    q2.awaitTermination()
+    assert(snapshot() == Map("a" -> ((3L, 7.0)), "b" -> ((1L, 10.0)),
+      "c" -> ((1L, 7.0))))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("stream-static dimension enrichment joins each micro-batch " +
     "against the broadcast dim without state") {
     val dim = Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"))

@@ -54,6 +54,22 @@ class TimeSeriesSpec extends SparkSpec {
     assert(a == b && a == 100.0, "decimal-exact sum under any partitioning")
   }
 
+  test("tokenEntropy: 0 for one repeated token, ln(k) for uniform") {
+    val docs = Seq(
+      (1L, "same same same same"),            // H = 0
+      (2L, "a b c d"),                        // uniform over 4 → ln 4
+      (3L, "x x x y")                         // 0.75/0.25 mix
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L) == ((4L, 1L, 0.0)))
+    assert(got(2L)._3 == math.rint(math.log(4.0) * 1e6) / 1e6)
+    val mixed = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(math.abs(got(3L)._3 - mixed) < 1e-6)
+  }
+
   test("oovRate: vocabulary tie-break and exact token accounting") {
     val docs = Seq(
       (1L, "apple apple banana"),      // apple:2 banana:1(+1 below)
