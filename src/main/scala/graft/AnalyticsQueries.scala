@@ -404,21 +404,22 @@ object AnalyticsQueries {
         WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
           AND l_discount IS NOT NULL)
       SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
-        (n::DOUBLE * p01::DOUBLE - s0::DOUBLE * s1::DOUBLE) /
+        round((n::DOUBLE * p01::DOUBLE - s0::DOUBLE * s1::DOUBLE) /
         (sqrt(n::DOUBLE * p00::DOUBLE - s0::DOUBLE * s0::DOUBLE) *
-         sqrt(n::DOUBLE * p11::DOUBLE - s1::DOUBLE * s1::DOUBLE)) AS corr
+         sqrt(n::DOUBLE * p11::DOUBLE - s1::DOUBLE * s1::DOUBLE)), 12)
+          AS corr
       FROM s
       UNION ALL
       SELECT 'l_quantity', 'l_discount',
-        (n::DOUBLE * p02::DOUBLE - s0::DOUBLE * s2::DOUBLE) /
+        round((n::DOUBLE * p02::DOUBLE - s0::DOUBLE * s2::DOUBLE) /
         (sqrt(n::DOUBLE * p00::DOUBLE - s0::DOUBLE * s0::DOUBLE) *
-         sqrt(n::DOUBLE * p22::DOUBLE - s2::DOUBLE * s2::DOUBLE))
+         sqrt(n::DOUBLE * p22::DOUBLE - s2::DOUBLE * s2::DOUBLE)), 12)
       FROM s
       UNION ALL
       SELECT 'l_extendedprice', 'l_discount',
-        (n::DOUBLE * p12::DOUBLE - s1::DOUBLE * s2::DOUBLE) /
+        round((n::DOUBLE * p12::DOUBLE - s1::DOUBLE * s2::DOUBLE) /
         (sqrt(n::DOUBLE * p11::DOUBLE - s1::DOUBLE * s1::DOUBLE) *
-         sqrt(n::DOUBLE * p22::DOUBLE - s2::DOUBLE * s2::DOUBLE))
+         sqrt(n::DOUBLE * p22::DOUBLE - s2::DOUBLE * s2::DOUBLE)), 12)
       FROM s""") { (s, d) =>
       Stats.corrMatrix(Tables.load(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount"))

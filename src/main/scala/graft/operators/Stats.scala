@@ -60,11 +60,15 @@ object Stats {
     * decimal (order-independent), then each pair's correlation is the
     * fixed IEEE sequence
     *   (n·sxy − sx·sy) / (sqrt(n·sxx − sx·sx) · sqrt(n·syy − sy·sy))
-    * — identical to the SQL replay, so raw doubles hash-match. Rows
-    * with a NULL in ANY of `cols` are excluded (listwise deletion),
-    * which is what a single shared-sums pass implies. Values treated as
-    * DECIMAL(18,2). Constant columns yield NULL (0/0 → NaN is
-    * normalized to NULL for SQL parity).
+    * — identical to the SQL replay. The result is rounded to 12
+    * decimals: the SUMS are exact at any scale, but once a square-sum
+    * exceeds 2^53 in scaled units the decimal→double conversion itself
+    * is where engines can differ by an ulp (observed at sf0.1), and
+    * round-12 absorbs exactly that while staying far below statistical
+    * meaning. Rows with a NULL in ANY of `cols` are excluded (listwise
+    * deletion), which is what a single shared-sums pass implies. Values
+    * treated as DECIMAL(18,2). Constant columns yield NULL (0/0 → NaN
+    * is normalized to NULL for SQL parity).
     *
     * Scale shape: one map-side-combinable aggregate producing a single
     * k²-sized row; the per-pair math runs driver-free on that row. */
@@ -91,7 +95,7 @@ object Stats {
       val denom =
         sqrt(n * p(i, i) - s(i) * s(i)) * sqrt(n * p(j, j) - s(j) * s(j))
       val corr = when(denom === 0.0, lit(null).cast("double"))
-        .otherwise((n * p(i, j) - s(i) * s(j)) / denom)
+        .otherwise(round((n * p(i, j) - s(i) * s(j)) / denom, 12))
       one.select(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
         corr.as("corr"))
     }
