@@ -190,6 +190,35 @@ class PlanSpec extends SparkSpec {
     Warehouse.dropTable(spark, t)
   }
 
+  test("round-4 ops keep scale-safe plans: no nested-loop joins, " +
+    "broadcast join-backs, no window in zscore") {
+    // triangle counting: every join is an equi-join — a cartesian or
+    // BroadcastNestedLoopJoin here would be quadratic in |E|
+    val tri = plan("q184_triangles")
+    assert(!tri.contains("CartesianProduct") &&
+      !tri.contains("BroadcastNestedLoopJoin"),
+      s"triangle join must stay equi:\n$tri")
+    // zscore: aggregate + broadcast join back — a Window would sort
+    // every group's rows through one task
+    val z = plan("q191_zscore")
+    assert(!z.contains("Window"), s"zscore must not plan a window:\n$z")
+    assert(z.contains("BroadcastHashJoin"),
+      s"per-group stats must broadcast back:\n$z")
+    // oovRate: the vocab side broadcasts; the token stream must not
+    // shuffle for the membership join
+    val o = plan("q189_oov_rate")
+    assert(o.contains("BroadcastHashJoin"),
+      s"vocab membership must be a broadcast join:\n$o")
+    // weighted sample: distributed top-k, never a global sort
+    val w = plan("q185_weighted_sample")
+    assert(w.contains("TakeOrderedAndProject"),
+      s"A-Res selection must plan as top-k:\n$w")
+    // winsorize bounds join back broadcast
+    val wz = plan("q190_winsorize")
+    assert(wz.contains("BroadcastHashJoin"),
+      s"bounds must broadcast back:\n$wz")
+  }
+
   test("chunk() is pure per-row work: no shuffle, stays in codegen") {
     import graft.operators.Packing
     val df = Packing.chunk(Tables.load(spark, dir, "documents"),
