@@ -19,16 +19,8 @@ object AnalyticsQueries {
     //    q122/q155 — the sampled edge set is identical cross-engine).
     //    The oracle counts triangles through a completely different
     //    algorithm: the canonical a<b<c triple self-join.
-    dfQ("q184_triangles", """
-      WITH ps AS (
-        SELECT DISTINCT l_orderkey AS o, l_suppkey::VARCHAR AS s
-        FROM lineitem),
-      e0 AS (
-        SELECT DISTINCT a.s AS a, b.s AS b
-        FROM ps a JOIN ps b ON a.o = b.o AND a.s < b.s),
-      e AS (
-        SELECT a, b FROM e0
-        WHERE ('0x' || substr(md5(a || ':' || b), 1, 15))::BIGINT % 17 = 0),
+    dfQ("q184_triangles", s"""
+      WITH $DUCK_COPURCHASE,
       t AS (
         SELECT e1.a AS x, e1.b AS y, e2.b AS z
         FROM e e1
@@ -43,18 +35,7 @@ object AnalyticsQueries {
       nodes AS (SELECT a AS node FROM e UNION SELECT b AS node FROM e)
       SELECT node, coalesce(triangles, 0) AS triangles
       FROM nodes LEFT JOIN pn USING (node)""") { (s, d) =>
-      val ps = Tables.load(s, d, "lineitem")
-        .select(col("l_orderkey").as("o"),
-          col("l_suppkey").cast("string").as("sv"))
-        .distinct()
-      val pairs = ps.join(ps.withColumnRenamed("sv", "sw"), "o")
-        .filter(col("sv") < col("sw"))
-        .select(col("sv").as("a"), col("sw").as("b"))
-        .distinct()
-      val sampled = pairs.filter(
-        pmod(conv(substring(
-            md5(concat(col("a"), lit(":"), col("b"))), 1, 15),
-          16, 10).cast("long"), lit(17)) === 0)
+      val sampled = sampledCoPurchase(s, d)
       Graph.triangleCount(sampled, "a", "b")
     },
 
@@ -299,16 +280,8 @@ object AnalyticsQueries {
     // -- 2-hop neighbor feature averaging (GraphSAGE-mean prep) on the
     //    sampled co-purchase graph: the oracle unrolls both hops as
     //    chained CTEs with the identical round-6 decimal-sum discipline.
-    dfQ("q194_neighbor_agg", """
-      WITH ps AS (
-        SELECT DISTINCT l_orderkey AS o, l_suppkey::VARCHAR AS s
-        FROM lineitem),
-      e0 AS (
-        SELECT DISTINCT a.s AS a, b.s AS b
-        FROM ps a JOIN ps b ON a.o = b.o AND a.s < b.s),
-      e AS (
-        SELECT a, b FROM e0
-        WHERE ('0x' || substr(md5(a || ':' || b), 1, 15))::BIGINT % 17 = 0),
+    dfQ("q194_neighbor_agg", s"""
+      WITH $DUCK_COPURCHASE,
       sym AS (SELECT a AS src, b AS dst FROM e
               UNION SELECT b AS src, a AS dst FROM e),
       f0 AS (SELECT s_suppkey::VARCHAR AS node, s_acctbal::DOUBLE AS v
@@ -324,18 +297,7 @@ object AnalyticsQueries {
                      / count(*), 6) AS v
         FROM sym JOIN h1 ON h1.node = sym.src GROUP BY 1)
       SELECT node, n_nbrs, v AS nbr_mean FROM h2""") { (s, d) =>
-      val ps = Tables.load(s, d, "lineitem")
-        .select(col("l_orderkey").as("o"),
-          col("l_suppkey").cast("string").as("sv"))
-        .distinct()
-      val pairs = ps.join(ps.withColumnRenamed("sv", "sw"), "o")
-        .filter(col("sv") < col("sw"))
-        .select(col("sv").as("a"), col("sw").as("b"))
-        .distinct()
-      val e = pairs.filter(
-        pmod(conv(substring(
-            md5(concat(col("a"), lit(":"), col("b"))), 1, 15),
-          16, 10).cast("long"), lit(17)) === 0)
+      val e = sampledCoPurchase(s, d)
       val sym = e.select(col("a").as("src"), col("b").as("dst"))
         .union(e.select(col("b").as("src"), col("a").as("dst")))
       Graph.neighborhoodMean(sym, "src", "dst",
@@ -448,16 +410,8 @@ object AnalyticsQueries {
     // -- Bounded-round k-core peeling (k=3, 3 rounds) on the sampled
     //    co-purchase graph; the oracle unrolls every peel round as
     //    chained CTEs — all-integer work, hash-exact.
-    dfQ("q198_kcore", """
-      WITH ps AS (
-        SELECT DISTINCT l_orderkey AS o, l_suppkey::VARCHAR AS s
-        FROM lineitem),
-      e0 AS (
-        SELECT DISTINCT a.s AS a, b.s AS b
-        FROM ps a JOIN ps b ON a.o = b.o AND a.s < b.s),
-      e AS (
-        SELECT a, b FROM e0
-        WHERE ('0x' || substr(md5(a || ':' || b), 1, 15))::BIGINT % 17 = 0),
+    dfQ("q198_kcore", s"""
+      WITH $DUCK_COPURCHASE,
       sym AS (SELECT a AS src, b AS dst FROM e
               UNION SELECT b AS src, a AS dst FROM e),
       d1 AS (SELECT src, count(*) AS c FROM sym GROUP BY 1),
@@ -470,21 +424,42 @@ object AnalyticsQueries {
              JOIN n2 x ON s.src = x.v JOIN n2 y ON s.dst = y.v),
       d3 AS (SELECT src, count(*) AS c FROM e2 GROUP BY 1)
       SELECT src AS node, c AS degree FROM d3 WHERE c >= 3""") { (s, d) =>
-      val ps = Tables.load(s, d, "lineitem")
-        .select(col("l_orderkey").as("o"),
-          col("l_suppkey").cast("string").as("sv"))
-        .distinct()
-      val pairs = ps.join(ps.withColumnRenamed("sv", "sw"), "o")
-        .filter(col("sv") < col("sw"))
-        .select(col("sv").as("a"), col("sw").as("b"))
-        .distinct()
-      val sampled = pairs.filter(
-        pmod(conv(substring(
-            md5(concat(col("a"), lit(":"), col("b"))), 1, 15),
-          16, 10).cast("long"), lit(17)) === 0)
+      val sampled = sampledCoPurchase(s, d)
       Graph.kCoreMembers(sampled, "a", "b", k = 3, rounds = 3)
     }
   )
+
+  /** The shared graph fixture for q184/q194/q198: the supplier
+    * co-purchase projection (suppliers appearing in the same order),
+    * thinned by DOULION-style deterministic md5 edge sampling (mod 17 —
+    * the q122/q155 hash-sampling discipline) so the graph is sparse at
+    * every SF. `DUCK_COPURCHASE` is the identical construction in
+    * DuckDB SQL; edit BOTH or oracle parity silently breaks. */
+  private def sampledCoPurchase(
+      s: org.apache.spark.sql.SparkSession, d: String) = {
+    val ps = Tables.load(s, d, "lineitem")
+      .select(col("l_orderkey").as("o"),
+        col("l_suppkey").cast("string").as("sv"))
+      .distinct()
+    val pairs = ps.join(ps.withColumnRenamed("sv", "sw"), "o")
+      .filter(col("sv") < col("sw"))
+      .select(col("sv").as("a"), col("sw").as("b"))
+      .distinct()
+    pairs.filter(
+      pmod(conv(substring(
+          md5(concat(col("a"), lit(":"), col("b"))), 1, 15),
+        16, 10).cast("long"), lit(17)) === 0)
+  }
+
+  private val DUCK_COPURCHASE = """ps AS (
+        SELECT DISTINCT l_orderkey AS o, l_suppkey::VARCHAR AS s
+        FROM lineitem),
+      e0 AS (
+        SELECT DISTINCT a.s AS a, b.s AS b
+        FROM ps a JOIN ps b ON a.o = b.o AND a.s < b.s),
+      e AS (
+        SELECT a, b FROM e0
+        WHERE ('0x' || substr(md5(a || ':' || b), 1, 15))::BIGINT % 17 = 0)"""
 
   // DuckDB tokenizer identical to TextOps.tokens (the q62/q89 parity
   // rule; same constant as ScaleQueries.DUCK_TOKENS, kept local to the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Change-data-capture application: compact a changelog onto a base
@@ -70,23 +70,32 @@ object Cdc {
 
   /** Merge two aggregate snapshots (same schema, from
     * `aggregateSnapshot`): one key-partitioned full-outer join, counts
-    * and sums added with NULL→identity coalescing. Incremental refresh
-    * is `mergeSnapshots(yesterday, aggregateSnapshot(todaysBatch, …))` —
-    * history is never rescanned, and when the batch snapshot is small
-    * AQE broadcasts it so the stored side never shuffles either. */
+    * and sums added. The join is NULL-SAFE on the keys (a NULL group is
+    * one group, as groupBy treats it — a plain equi-join would emit a
+    * duplicate NULL-key row per merge), and a sum stays NULL when BOTH
+    * sides are NULL (all values NULL so far — SQL sum semantics; a
+    * coalesce-to-0 would diverge from the full recompute). Incremental
+    * refresh is `mergeSnapshots(yesterday, aggregateSnapshot(batch,
+    * …))` — history is never rescanned, and when the batch snapshot is
+    * small AQE broadcasts it so the stored side never shuffles either. */
   def mergeSnapshots(
       a: DataFrame, b: DataFrame,
       keyCols: Seq[String], valCols: Seq[String]): DataFrame = {
     val sums = valCols.map(c => s"${c}_sum")
-    val bb = (Seq("n") ++ sums).foldLeft(b)((d, c) =>
+    val bb = (keyCols ++ Seq("n") ++ sums).foldLeft(b)((d, c) =>
       d.withColumnRenamed(c, s"__b_$c"))
-    a.join(bb, keyCols, "full_outer")
-      .select(keyCols.map(col) ++
-        Seq((coalesce(col("n"), lit(0L)) +
-          coalesce(col("__b_n"), lit(0L))).as("n")) ++
-        sums.map(c =>
+    val cond = keyCols.map(c => col(c) <=> col(s"__b_$c")).reduce(_ && _)
+    def addSum(c: String): Column =
+      when(col(c).isNull && col(s"__b_$c").isNull,
+        lit(null).cast("decimal(38,2)"))
+        .otherwise(
           (coalesce(col(c), lit(BigDecimal(0)).cast("decimal(38,2)")) +
             coalesce(col(s"__b_$c"), lit(BigDecimal(0)).cast("decimal(38,2)")))
-            .cast("decimal(38,2)").as(c)): _*)
+            .cast("decimal(38,2)"))
+    a.join(bb, cond, "full_outer")
+      .select(keyCols.map(c => coalesce(col(c), col(s"__b_$c")).as(c)) ++
+        Seq((coalesce(col("n"), lit(0L)) +
+          coalesce(col("__b_n"), lit(0L))).as("n")) ++
+        sums.map(c => addSum(c).as(c)): _*)
   }
 }

@@ -56,22 +56,33 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
     val scored = corpus.crossJoin(broadcast(q))
       .select(col("qid"), col(idCol).as("id"),
         safeCosine(col(vecCol), col("qvec")).as("cosine"))
-      .withColumn("__pid", spark_partition_id())
+    boundedTopKPerQuery(scored, k).select("qid", "id", "cosine", "rank")
+  }
+
+  /** The shared bounded two-phase top-k-per-query: phase 1 ranks within
+    * (query, input-partition) so no window partition ever holds more
+    * than one scan partition's rows; phase 2 ranks the ≤ k·numPartitions
+    * survivors per query. A single window partitioned by query alone
+    * would funnel |corpus| rows per query through one task — the classic
+    * hot-group sort at scale. Expects (qid, id, cosine, …); adds
+    * `rank` ≤ k. */
+  private def boundedTopKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wLocal = Window.partitionBy("qid", "__pid")
       .orderBy(col("cosine").desc, col("id"))
     val wGlobal = Window.partitionBy("qid")
       .orderBy(col("cosine").desc, col("id"))
     scored
+      .withColumn("__pid", spark_partition_id())
       .withColumn("__rn", row_number().over(wLocal))
       .filter(col("__rn") <= k)
       .withColumn("rank", row_number().over(wGlobal))
       .filter(col("rank") <= k)
-      .select("qid", "id", "cosine", "rank")
+      .drop("__rn", "__pid")
   }
 
   /** Hard-negative mining for contrastive/embedding training: for each
@@ -89,7 +100,6 @@ object Similarity {
   def hardNegatives(
       corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
       queryIds: Seq[Long], k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = corpus
       .filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
@@ -98,16 +108,7 @@ object Similarity {
       .filter(col(labelCol) =!= col("qlabel"))
       .select(col("qid"), col(idCol).as("id"), col(labelCol).as("label"),
         safeCosine(col(vecCol), col("qvec")).as("cosine"))
-      .withColumn("__pid", spark_partition_id())
-    val wLocal = Window.partitionBy("qid", "__pid")
-      .orderBy(col("cosine").desc, col("id"))
-    val wGlobal = Window.partitionBy("qid")
-      .orderBy(col("cosine").desc, col("id"))
-    scored
-      .withColumn("__rn", row_number().over(wLocal))
-      .filter(col("__rn") <= k)
-      .withColumn("rank", row_number().over(wGlobal))
-      .filter(col("rank") <= k)
+    boundedTopKPerQuery(scored, k)
       .select("qid", "id", "label", "cosine", "rank")
   }
 

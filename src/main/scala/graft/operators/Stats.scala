@@ -8,16 +8,23 @@ import org.apache.spark.sql.functions._
   * clipping and standardization, built on exact arithmetic so results
   * are independent of partition order and bit-replayable by a SQL
   * oracle — the repo-wide float-determinism contract.
+  *
+  * NULL handling is uniform across the group-bounds operators: NULL
+  * values never participate in rank/count/bound computation (they would
+  * otherwise occupy the smallest ranks under Spark's NULLS FIRST and
+  * silently shift every percentile), and NULL-value rows pass through
+  * with a NULL result column.
   */
 object Stats {
 
   /** Rank-based winsorization: per group, clip values below the
     * ceil(n·pLow)-th smallest (floored at rank 1) and above the
-    * ceil(n·pHigh)-th smallest. Rank selection — never float
-    * interpolation — so the bound is always an actual data value and
-    * the rank thresholds are exact decimal arithmetic (0.05 as a
-    * DECIMAL literal: ceil(200 · 0.05) is exactly 10, where the double
-    * 200 · 0.05 = 10.000000000000002 would ceil to 11).
+    * ceil(n·pHigh)-th smallest, where n counts NON-NULL values. Rank
+    * selection — never float interpolation — so the bound is always an
+    * actual data value and the rank thresholds are exact decimal
+    * arithmetic (0.05 as a DECIMAL literal: ceil(200 · 0.05) is exactly
+    * 10, where the double 200 · 0.05 = 10.000000000000002 would ceil
+    * to 11).
     *
     * Scale shape: one shuffle on the group key; the two window passes
     * (rank + count) share it. Winsorize inherently needs per-group
@@ -34,26 +41,59 @@ object Stats {
       pHigh: BigDecimal): DataFrame = {
     require(pLow >= 0 && pLow < pHigh && pHigh <= 1,
       "need 0 <= pLow < pHigh <= 1")
-    val byVal = Window.partitionBy(groupCol).orderBy(valCol)
-    val all = Window.partitionBy(groupCol)
-    val ranked = df
-      .withColumn("__rn", row_number().over(byVal))
-      .withColumn("__n", count(lit(1)).over(all))
-    val bounds = ranked.groupBy(groupCol)
-      .agg(
-        max(when(col("__rn") ===
-          greatest(lit(1), ceil(col("__n") * lit(pLow.bigDecimal))),
-          col(valCol))).as("__lo"),
-        max(when(col("__rn") === ceil(col("__n") * lit(pHigh.bigDecimal)),
-          col(valCol))).as("__hi"))
-    ranked.drop("__rn", "__n")
-      .join(broadcast(bounds), Seq(groupCol))
+    withRankBounds(df, groupCol, valCol, Seq(
+      ("__lo", pLow.bigDecimal), ("__hi", pHigh.bigDecimal)))
       .withColumn("clipped",
-        when(col(valCol) < col("__lo"), col("__lo"))
+        when(col(valCol).isNull, col(valCol))
+          .when(col(valCol) < col("__lo"), col("__lo"))
           .when(col(valCol) > col("__hi"), col("__hi"))
           .otherwise(col(valCol)))
       .drop("__lo", "__hi")
   }
+
+  /** Robust (median/IQR) scaling — outlier-insensitive standardization:
+    * scaled = (x − median) / (q3 − q1), with all three order statistics
+    * selected by exact rank (`ceil(n·p)`-th smallest over non-NULL
+    * values, decimal arithmetic), never float interpolation. Zero-IQR
+    * groups (over half the rows tied) scale to 0; NULL values scale to
+    * NULL. Same scale shape as winsorize: one group-keyed sort shuffle,
+    * |groups|-row bounds broadcast back, one single-division per row. */
+  def robustScale(
+      df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    withRankBounds(df, groupCol, valCol, Seq(
+      ("__q1", new java.math.BigDecimal("0.25")),
+      ("__med", new java.math.BigDecimal("0.5")),
+      ("__q3", new java.math.BigDecimal("0.75"))))
+      .withColumn("scaled",
+        when(col(valCol).isNull, lit(null).cast("double"))
+          .when(col("__q3") === col("__q1"), lit(0.0))
+          .otherwise((col(valCol).cast("double") - col("__med").cast("double"))
+            / (col("__q3").cast("double") - col("__q1").cast("double"))))
+      .drop("__q1", "__med", "__q3")
+  }
+
+  /** Shared rank-bounds machinery: per group, for each (name, p) select
+    * the greatest(1, ceil(n·p))-th smallest NON-NULL value and join the
+    * bounds back (broadcast — |groups| rows). NULL-value rows skip the
+    * rank window entirely and rejoin with NULL bounds untouched. */
+  private def withRankBounds(
+      df: DataFrame, groupCol: String, valCol: String,
+      ps: Seq[(String, java.math.BigDecimal)]): DataFrame = {
+    val nn = df.filter(col(valCol).isNotNull)
+    val byVal = Window.partitionBy(groupCol).orderBy(valCol)
+    val all = Window.partitionBy(groupCol)
+    val ranked = nn
+      .withColumn("__rn", row_number().over(byVal))
+      .withColumn("__n", count(lit(1)).over(all))
+    val bounds = ranked.groupBy(groupCol).agg(
+      ps.head match { case (name, p) => boundAt(valCol, p).as(name) },
+      ps.tail.map { case (name, p) => boundAt(valCol, p).as(name) }: _*)
+    df.join(broadcast(bounds), Seq(groupCol), "left")
+  }
+
+  private def boundAt(valCol: String, p: java.math.BigDecimal): Column =
+    max(when(col("__rn") === greatest(lit(1), ceil(col("__n") * lit(p))),
+      col(valCol)))
 
   /** Pairwise Pearson correlation matrix over `cols` in ONE aggregate
     * pass: every sum, square-sum, and cross-sum accumulates as an exact
@@ -67,8 +107,10 @@ object Stats {
     * round-12 absorbs exactly that while staying far below statistical
     * meaning. Rows with a NULL in ANY of `cols` are excluded (listwise
     * deletion), which is what a single shared-sums pass implies. Values
-    * treated as DECIMAL(18,2). Constant columns yield NULL (0/0 → NaN
-    * is normalized to NULL for SQL parity).
+    * treated as DECIMAL(18,2). Constant columns yield NULL — detected
+    * EXACTLY via min = max on the decimal values, because the float
+    * residue of n·sumsq − sum² for a constant column is ±1e-15-ish, not
+    * 0.0, and would otherwise surface as NaN or a garbage O(1) value.
     *
     * Scale shape: one map-side-combinable aggregate producing a single
     * k²-sized row; the per-pair math runs driver-free on that row. */
@@ -78,8 +120,9 @@ object Stats {
     def dec(c: String) = col(c).cast("decimal(18,2)")
     val pairs = for (i <- cols.indices; j <- i until cols.size)
       yield (i, j)
-    val aggs = cols.zipWithIndex.map { case (c, i) =>
-      sum(dec(c)).as(s"__s_$i")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(sum(dec(c)).as(s"__s_$i"),
+        min(dec(c)).as(s"__min_$i"), max(dec(c)).as(s"__max_$i"))
     } ++ pairs.map { case (i, j) =>
       sum((dec(cols(i)) * dec(cols(j))).cast("decimal(38,4)"))
         .as(s"__p_${i}_$j")
@@ -88,47 +131,20 @@ object Stats {
     val n = col("__n").cast("double")
     def s(i: Int) = col(s"__s_$i").cast("double")
     def p(i: Int, j: Int) = col(s"__p_${i}_$j").cast("double")
+    def isConst(i: Int) = col(s"__min_$i") === col(s"__max_$i")
     val rows = for (i <- cols.indices; j <- (i + 1) until cols.size) yield {
-      // exact-decimal sums ⇒ a zero-variance column gives an EXACT 0.0
-      // denominator: guard it (NULL, matching SQL semantics) instead of
-      // letting ANSI mode throw DIVIDE_BY_ZERO
       val denom =
         sqrt(n * p(i, i) - s(i) * s(i)) * sqrt(n * p(j, j) - s(j) * s(j))
-      val corr = when(denom === 0.0, lit(null).cast("double"))
+      // constant column (exact decimal min=max test) OR empty input →
+      // undefined correlation → NULL; the denom>0 guard also swallows
+      // the NaN a negative float residue would feed into sqrt
+      val corr = when(isConst(i) || isConst(j) || !(denom > 0.0),
+          lit(null).cast("double"))
         .otherwise(round((n * p(i, j) - s(i) * s(j)) / denom, 12))
       one.select(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
         corr.as("corr"))
     }
     rows.reduce(_ unionByName _)
-  }
-
-  /** Robust (median/IQR) scaling — outlier-insensitive standardization:
-    * scaled = (x − median) / (q3 − q1), with all three order statistics
-    * selected by exact rank (`ceil(n·p)`-th smallest, decimal
-    * arithmetic — the `winsorizeByRank` discipline), never float
-    * interpolation. Zero-IQR groups (over half the rows tied) scale to
-    * 0. Same scale shape as winsorize: one group-keyed sort shuffle,
-    * |groups|-row bounds broadcast back, one single-division per row. */
-  def robustScale(
-      df: DataFrame, groupCol: String, valCol: String): DataFrame = {
-    val byVal = Window.partitionBy(groupCol).orderBy(valCol)
-    val all = Window.partitionBy(groupCol)
-    val ranked = df
-      .withColumn("__rn", row_number().over(byVal))
-      .withColumn("__n", count(lit(1)).over(all))
-    def atP(p: String): Column =
-      max(when(col("__rn") ===
-        greatest(lit(1), ceil(col("__n") * lit(new java.math.BigDecimal(p)))),
-        col(valCol)))
-    val bounds = ranked.groupBy(groupCol).agg(
-      atP("0.25").as("__q1"), atP("0.5").as("__med"), atP("0.75").as("__q3"))
-    ranked.drop("__rn", "__n")
-      .join(broadcast(bounds), Seq(groupCol))
-      .withColumn("scaled",
-        when(col("__q3") === col("__q1"), lit(0.0))
-          .otherwise((col(valCol).cast("double") - col("__med").cast("double"))
-            / (col("__q3").cast("double") - col("__q1").cast("double"))))
-      .drop("__q1", "__med", "__q3")
   }
 
   /** Per-group z-score standardization with population variance from
@@ -139,13 +155,16 @@ object Stats {
     *   mean = double(sum)/n
     *   var  = (double(sumsq) - double(sum)·double(sum)/n)/n
     *   z    = (x - mean)/sqrt(var)   (0 when var = 0)
-    * Values are treated as DECIMAL(18,2); adjust upstream if more
-    * fractional digits matter. One map-side-combinable aggregate plus a
-    * broadcast join back — no window, no per-group sort. */
+    * with n = count of NON-NULL values (a NULL would otherwise inflate
+    * n while the sums skip it, corrupting mean and variance); NULL
+    * values get a NULL z. Values are treated as DECIMAL(18,2); adjust
+    * upstream if more fractional digits matter. One map-side-combinable
+    * aggregate plus a broadcast join back — no window, no per-group
+    * sort. */
   def zscore(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
     val d = col(valCol).cast("decimal(18,2)")
     val stats = df.groupBy(groupCol).agg(
-      count(lit(1)).as("__n"),
+      count(col(valCol)).as("__n"),
       sum(d).as("__s"),
       sum((d * d).cast("decimal(38,4)")).as("__sq"))
     val n = col("__n").cast("double")
@@ -154,7 +173,8 @@ object Stats {
     val variance = (col("__sq").cast("double") - s * s / n) / n
     df.join(broadcast(stats), Seq(groupCol))
       .withColumn("zscore",
-        when(variance <= 0, lit(0.0))
+        when(col(valCol).isNull, lit(null).cast("double"))
+          .when(variance <= 0, lit(0.0))
           .otherwise((col(valCol).cast("double") - mean) / sqrt(variance)))
       .drop("__n", "__s", "__sq")
   }

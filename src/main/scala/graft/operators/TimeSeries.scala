@@ -38,26 +38,34 @@ object TimeSeries {
       stepSeconds: Long): DataFrame = {
     require(stepSeconds > 0, "stepSeconds must be positive")
     val step = lit(stepSeconds)
-    val ev = df
+    // the collapsed (key, bucket) aggregate feeds the bounds, the grid's
+    // key set, AND the observation join — collapse the raw events ONCE
+    // and persist the small result instead of rescanning the source
+    // three times (the sharedSpans working-set discipline)
+    val obs = df
       .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .select(col(keyCol).as("__k"),
         (floor(unix_timestamp(col(tsCol)) / step) * step).cast("long")
           .as("__b"),
         col(valueCol).as("__v"))
-    val obs = ev.groupBy("__k", "__b")
+      .groupBy("__k", "__b")
       .agg(cast_sum(col("__v")).as("observed"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // global bounds: a one-row frame, broadcast into the grid join
-    val bounds = ev.agg(min("__b").as("__lo"), max("__b").as("__hi"))
-    val grid = ev.select(col("__k")).distinct()
+    val bounds = obs.agg(min("__b").as("__lo"), max("__b").as("__hi"))
+    val grid = obs.select(col("__k")).distinct()
       .crossJoin(broadcast(bounds))
       .select(col("__k"),
         explode(sequence(col("__lo"), col("__hi"), step)).as("__b"))
     val w = Window.partitionBy("__k").orderBy("__b")
-    grid.join(obs, Seq("__k", "__b"), "left")
+    val out = grid.join(obs, Seq("__k", "__b"), "left")
       .select(col("__k").as(keyCol), col("__b").as("bucket"),
         col("observed"),
         last(col("observed"), ignoreNulls = true).over(w).as("filled"),
         col("observed").isNotNull.as("was_observed"))
+      .localCheckpoint(true)
+    obs.unpersist(false)
+    out
   }
 
   /** The repo-wide float-determinism contract: doubles sum through

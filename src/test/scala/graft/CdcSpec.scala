@@ -79,6 +79,26 @@ class CdcSpec extends SparkSpec {
     assert(merged == expected)
   }
 
+  test("snapshot merge: NULL group key stays ONE group; all-NULL sums stay NULL") {
+    val a = Cdc.aggregateSnapshot(
+      Seq((Option("x"), Option(1.0)), (Option.empty[String], Option(2.0)))
+        .toDF("grp", "v"), Seq("grp"), Seq("v"))
+    val b = Cdc.aggregateSnapshot(
+      Seq((Option.empty[String], Option(3.0)),
+        (Option("y"), Option.empty[Double]))
+        .toDF("grp", "v"), Seq("grp"), Seq("v"))
+    val m = Cdc.mergeSnapshots(a, b, Seq("grp"), Seq("v"))
+      .collect()
+      .map(r => Option(r.getString(0)) ->
+        (r.getLong(1), Option(r.getDecimal(2)).map(_.doubleValue)))
+      .toMap
+    assert(m.size == 3, s"NULL key must merge into one row: $m")
+    assert(m(None) == ((2L, Some(5.0))), "NULL-key sums combine")
+    assert(m(Some("y")) == ((1L, None)),
+      "a key whose values are all NULL keeps a NULL sum (SQL semantics)")
+    assert(m(Some("x")) == ((1L, Some(1.0))))
+  }
+
   test("snapshot merge: disjoint and empty sides keep identity") {
     val a = Cdc.aggregateSnapshot(
       Seq(("x", 1.0), ("x", 2.0)).toDF("grp", "v"), Seq("grp"), Seq("v"))

@@ -95,6 +95,35 @@ class StatsSpec extends SparkSpec {
       "the NULL row must not perturb unrelated pairs")
   }
 
+  test("NULL values: excluded from ranks/counts, pass through as NULL") {
+    // 3 NULLs in a 23-row group must not shift the percentile ranks:
+    // bounds come from the 20 non-NULL values exactly as without NULLs
+    val vals = (1 to 20).map(v => ("g", Option(v.toDouble))) ++
+      Seq.fill(3)(("g", Option.empty[Double]))
+    val df = vals.toDF("grp", "v")
+    val wz = Stats.winsorizeByRank(df, "grp", "v",
+        BigDecimal("0.1"), BigDecimal("0.9"))
+      .collect().map(r => Option(r.get(1)) -> Option(r.get(2))).toMap
+    assert(wz(Some(1.0)) == Some(2.0) && wz(Some(20.0)) == Some(18.0))
+    assert(wz(None) == None, "NULL value rows keep a NULL clipped")
+    val rs = Stats.robustScale(df, "grp", "v")
+      .collect().map(r => Option(r.get(1)) -> Option(r.get(2))).toMap
+    assert(rs(Some(10.0)) == Some(0.0) && rs(None) == None)
+    // zscore: the NULL must not inflate n — one real value ⇒ var 0 ⇒ 0
+    val z1 = Stats.zscore(Seq(("g", Option(10.0)), ("g", Option.empty[Double]))
+        .toDF("grp", "v"), "grp", "v")
+      .collect().map(r => Option(r.get(1)) -> Option(r.get(2))).toMap
+    assert(z1(Some(10.0)) == Some(0.0), "single real value has z = 0")
+    assert(z1(None) == None)
+    // corrMatrix: near-constant column with float residue → NULL, and a
+    // column that is constant only after NULL drop
+    val resid = Seq.fill(7)(0.70).zipWithIndex
+      .map { case (c, i) => (c, i.toDouble) }.toDF("c", "x")
+    val cm = Stats.corrMatrix(resid, Seq("c", "x"))
+      .collect().map(r => Option(r.get(2))).head
+    assert(cm == None, "constant-column residue must yield NULL, not NaN")
+  }
+
   test("zscore is partition-invariant (decimal-exact sums)") {
     val df = (1 to 997).map(v => ("g", v * 0.01)).toDF("grp", "v")
     val a = Stats.zscore(df, "grp", "v")
