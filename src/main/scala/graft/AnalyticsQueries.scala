@@ -426,6 +426,66 @@ object AnalyticsQueries {
       SELECT src AS node, c AS degree FROM d3 WHERE c >= 3""") { (s, d) =>
       val sampled = sampledCoPurchase(s, d)
       Graph.kCoreMembers(sampled, "a", "b", k = 3, rounds = 3)
+    },
+
+    // -- Two-sample A/B z-statistic: one conditional-aggregation pass,
+    //    exact decimal sums, identical IEEE sequence both engines.
+    dfQ("q199_ab_test", """
+      WITH s AS (
+        SELECT
+          count(CASE WHEN user_id % 2 = 0 THEN value END) AS na,
+          count(CASE WHEN user_id % 2 = 1 THEN value END) AS nb,
+          sum(cast(CASE WHEN user_id % 2 = 0 THEN value END
+              AS DECIMAL(18,2))) AS sa,
+          sum(cast(CASE WHEN user_id % 2 = 1 THEN value END
+              AS DECIMAL(18,2))) AS sb,
+          sum(cast(cast(CASE WHEN user_id % 2 = 0 THEN value END
+                AS DECIMAL(18,2)) *
+              cast(CASE WHEN user_id % 2 = 0 THEN value END
+                AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS qa,
+          sum(cast(cast(CASE WHEN user_id % 2 = 1 THEN value END
+                AS DECIMAL(18,2)) *
+              cast(CASE WHEN user_id % 2 = 1 THEN value END
+                AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS qb
+        FROM events WHERE event_type = 'purchase')
+      SELECT na AS n_a, nb AS n_b,
+        sa::DOUBLE / na::DOUBLE AS mean_a,
+        sb::DOUBLE / nb::DOUBLE AS mean_b,
+        round((sa::DOUBLE / na::DOUBLE - sb::DOUBLE / nb::DOUBLE) /
+          sqrt(((qa::DOUBLE - sa::DOUBLE * sa::DOUBLE / na::DOUBLE)
+                 / na::DOUBLE) / na::DOUBLE +
+               ((qb::DOUBLE - sb::DOUBLE * sb::DOUBLE / nb::DOUBLE)
+                 / nb::DOUBLE) / nb::DOUBLE), 12) AS z
+      FROM s""") { (s, d) =>
+      Stats.twoSampleZ(
+        Tables.load(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .withColumn("variant",
+            when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B")),
+        "variant", "value", a = "A", b = "B")
+    },
+
+    // -- Per-group heavy hitters: one bounded SpaceSaving sketch per
+    //    source (capacity 64 ≥ the 31-word vocabulary ⇒ exact regime,
+    //    err = 0, so the full output hash-checks against the exact
+    //    group count); rank window input is ≤ capacity rows per group.
+    dfQ("q200_group_heavy_hitters", s"""
+      WITH tok AS (
+        SELECT source, unnest($DUCK_TOKENS) AS item FROM documents),
+      cnt AS (
+        SELECT source, item, count(*) AS count_est, 0::BIGINT AS err
+        FROM tok GROUP BY 1, 2),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY source
+                   ORDER BY count_est DESC, item) AS rank
+        FROM cnt)
+      SELECT source, item, count_est, err, rank
+      FROM ranked WHERE rank <= 5""") { (s, d) =>
+      import graft.operators.HeavyHitters
+      val toks = Tables.load(s, d, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+      HeavyHitters.topKPerGroup(toks, "source", col("w"),
+        k = 5, capacity = 64)
     }
   )
 

@@ -29,4 +29,25 @@ object HeavyHitters {
         col("e.err").as("err"))
       .orderBy(col("count_est").desc, col("item"))
       .limit(k)
+
+  /** Per-group top-k heavy hitters ("what's trending per source"): ONE
+    * bounded sketch per group — per-group state is `capacity` counters
+    * no matter how many distinct items the group sees. The final rank
+    * window runs over the exploded sketches, whose size is
+    * ≤ capacity per group by construction — so the per-group sort that
+    * makes naive windowed top-k a hot-group hazard is bounded here by a
+    * query constant, not by data volume. */
+  def topKPerGroup(
+      df: DataFrame, groupCol: String, item: Column,
+      k: Int, capacity: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("count_est").desc, col("item"))
+    df.groupBy(groupCol).agg(sketch(item, capacity).as("sk"))
+      .select(col(groupCol), explode(col("sk")).as("e"))
+      .select(col(groupCol), col("e.item").as("item"),
+        col("e.count_est").as("count_est"), col("e.err").as("err"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -147,6 +147,43 @@ object Stats {
     rows.reduce(_ unionByName _)
   }
 
+  /** Two-sample z-statistic for A/B analysis:
+    *   z = (mean_a − mean_b) / sqrt(var_a/n_a + var_b/n_b)
+    * with means and population variances from exact decimal sums in ONE
+    * conditional-aggregation pass (no per-variant scans), the same
+    * fixed-IEEE-sequence + round-12 discipline as `corrMatrix`. NULL
+    * values are excluded per variant; z is NULL when either variant is
+    * empty or both variances are zero. Returns one row:
+    * (n_a, n_b, mean_a, mean_b, z). */
+  def twoSampleZ(
+      df: DataFrame, groupCol: String, valCol: String,
+      a: String, b: String): DataFrame = {
+    def side(g: String) = when(col(groupCol) === g, col(valCol))
+    def dec(c: Column) = c.cast("decimal(18,2)")
+    val agg = df.filter(col(groupCol).isin(a, b)).agg(
+      count(side(a)).as("__na"), count(side(b)).as("__nb"),
+      sum(dec(side(a))).as("__sa"), sum(dec(side(b))).as("__sb"),
+      sum((dec(side(a)) * dec(side(a))).cast("decimal(38,4)")).as("__qa"),
+      sum((dec(side(b)) * dec(side(b))).cast("decimal(38,4)")).as("__qb"))
+    def stats(n: Column, s: Column, q: Column): (Column, Column, Column) = {
+      val nd = n.cast("double")
+      val sd = s.cast("double")
+      (nd, sd / nd, (q.cast("double") - sd * sd / nd) / nd)
+    }
+    val (na, ma, va) = stats(col("__na"), col("__sa"), col("__qa"))
+    val (nb, mb, vb) = stats(col("__nb"), col("__sb"), col("__qb"))
+    val denom = sqrt(va / na + vb / nb)
+    // CaseWhen takes branches at runtime, so the empty-variant guard
+    // must come FIRST — the otherwise branches divide by n
+    val nullD = lit(null).cast("double")
+    agg.select(col("__na").as("n_a"), col("__nb").as("n_b"),
+      when(col("__na") === 0, nullD).otherwise(ma).as("mean_a"),
+      when(col("__nb") === 0, nullD).otherwise(mb).as("mean_b"),
+      when(col("__na") === 0 || col("__nb") === 0, nullD)
+        .otherwise(when(!(denom > 0.0), nullD)
+          .otherwise(round((ma - mb) / denom, 12))).as("z"))
+  }
+
   /** Per-group z-score standardization with population variance from
     * EXACT decimal sums: sum(x) and sum(x²) accumulate as decimals
     * (order-independent), and the float arithmetic that follows is a

@@ -50,4 +50,19 @@ class HeavyHittersSpec extends SparkSpec {
       .agg(sum("count_est")).collect().head.getLong(0)
     assert(total == 1000L, "sum of exact-regime estimates must equal row count")
   }
+
+  test("topKPerGroup ranks within each group independently (exact regime)") {
+    // g1: a×3, b×2, c×1; g2: z×4, a×1
+    val rows = Seq.fill(3)(("g1", "a")) ++ Seq.fill(2)(("g1", "b")) ++
+      Seq(("g1", "c")) ++ Seq.fill(4)(("g2", "z")) :+ (("g2", "a"))
+    val got = HeavyHitters.topKPerGroup(rows.toDF("g", "item"), "g",
+        col("item"), k = 2, capacity = 16)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(4)) ->
+        (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(got == Map(
+      ("g1", 1) -> (("a", 3L)), ("g1", 2) -> (("b", 2L)),
+      ("g2", 1) -> (("z", 4L)), ("g2", 2) -> (("a", 1L))))
+  }
 }

@@ -95,6 +95,26 @@ class StatsSpec extends SparkSpec {
       "the NULL row must not perturb unrelated pairs")
   }
 
+  test("twoSampleZ: hand-computed statistic; empty/degenerate variants → NULL") {
+    // A: 2, 4 (mean 3, var 1); B: 6, 6, 6 (mean 6, var 0)
+    // z = (3-6)/sqrt(1/2 + 0/3) = -3/sqrt(0.5)
+    val df = Seq(("A", 2.0), ("A", 4.0), ("B", 6.0), ("B", 6.0), ("B", 6.0))
+      .toDF("g", "v")
+    val r = Stats.twoSampleZ(df, "g", "v", "A", "B").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 6.0)
+    assert(math.abs(r.getDouble(4) - (-3.0 / math.sqrt(0.5))) < 1e-9)
+    // missing variant B → NULL z and NULL mean_b, no division error
+    val one = Stats.twoSampleZ(df.filter($"g" === "A"), "g", "v", "A", "B")
+      .collect().head
+    assert(one.getLong(1) == 0L && one.isNullAt(3) && one.isNullAt(4))
+    // both variances zero → NULL z (undefined), means still real
+    val flat = Stats.twoSampleZ(
+      Seq(("A", 1.0), ("B", 2.0)).toDF("g", "v"), "g", "v", "A", "B")
+      .collect().head
+    assert(flat.isNullAt(4) && flat.getDouble(2) == 1.0)
+  }
+
   test("NULL values: excluded from ranks/counts, pass through as NULL") {
     // 3 NULLs in a 23-row group must not shift the percentile ranks:
     // bounds come from the 20 non-NULL values exactly as without NULLs
