@@ -486,6 +486,56 @@ object AnalyticsQueries {
         .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
       HeavyHitters.topKPerGroup(toks, "source", col("w"),
         k = 5, capacity = 64)
+    },
+
+    // -- Funnel with a conversion window: click counts only within 6h
+    //    of the first view, purchase within 6h of that click. The
+    //    oracle replays each stage's min-ts chain with the same
+    //    strictly-after + within-gap bounds.
+    dfQ("q201_funnel_window", """
+      WITH s1 AS (
+        SELECT user_id AS u, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (
+        SELECT e.user_id AS u, min(e.ts) AS t2
+        FROM events e JOIN s1 ON s1.u = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+          AND e.ts <= s1.t1 + INTERVAL 21600 SECONDS
+        GROUP BY 1),
+      s3 AS (
+        SELECT e.user_id AS u, min(e.ts) AS t3
+        FROM events e JOIN s2 ON s2.u = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          AND e.ts <= s2.t2 + INTERVAL 21600 SECONDS
+        GROUP BY 1)
+      SELECT u.user_id,
+        CASE WHEN s3.t3 IS NOT NULL THEN 3
+             WHEN s2.t2 IS NOT NULL THEN 2
+             WHEN s1.t1 IS NOT NULL THEN 1
+             ELSE 0 END AS stage
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN s1 ON s1.u = u.user_id
+      LEFT JOIN s2 ON s2.u = u.user_id
+      LEFT JOIN s3 ON s3.u = u.user_id""") { (s, d) =>
+      Funnel.stageReachedWithin(Tables.load(s, d, "events"),
+        "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), maxGapSeconds = 21600L)
+    },
+
+    // -- First-order event-transition matrix: per-user lag in
+    //    (ts, event_id) order — deterministic under timestamp ties —
+    //    then exact pair counts.
+    dfQ("q202_transitions", """
+      WITH seq AS (
+        SELECT user_id, event_type AS to_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS from_type
+        FROM events)
+      SELECT from_type, to_type, count(*) AS n
+      FROM seq WHERE from_type IS NOT NULL
+      GROUP BY 1, 2""") { (s, d) =>
+      Funnel.transitionCounts(Tables.load(s, d, "events"),
+        "user_id", "ts", "event_id", "event_type")
     }
   )
 

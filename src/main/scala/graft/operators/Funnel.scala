@@ -21,7 +21,23 @@ object Funnel {
     * all k stages in order. */
   def stageReached(
       df: DataFrame, userCol: String, tsCol: String, typeCol: String,
-      stages: Seq[String]): DataFrame = {
+      stages: Seq[String]): DataFrame =
+    stageImpl(df, userCol, tsCol, typeCol, stages, None)
+
+  /** `stageReached` with a conversion window: stage i+1 only counts if
+    * it happens strictly after the earliest completion of stage i AND
+    * within `maxGapSeconds` of it — the "converted within an hour"
+    * funnel. Same one-join-plus-min-agg-per-stage scale shape. */
+  def stageReachedWithin(
+      df: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      stages: Seq[String], maxGapSeconds: Long): DataFrame = {
+    require(maxGapSeconds > 0, "maxGapSeconds must be positive")
+    stageImpl(df, userCol, tsCol, typeCol, stages, Some(maxGapSeconds))
+  }
+
+  private def stageImpl(
+      df: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      stages: Seq[String], maxGapSeconds: Option[Long]): DataFrame = {
     require(stages.nonEmpty, "need at least one stage")
     val users = df.select(col(userCol).as("user")).distinct()
     var cur: DataFrame = null
@@ -30,8 +46,13 @@ object Funnel {
         .select(col(userCol).as("user"), col(tsCol).as("ts"))
       val eligible =
         if (cur == null) evs
-        else evs.join(cur, "user").filter(col("ts") > col(s"t$i"))
-          .select(col("user"), col("ts"))
+        else {
+          val within = maxGapSeconds.map(g =>
+            col("ts") <= col(s"t$i") + expr(s"INTERVAL $g SECONDS"))
+            .getOrElse(lit(true))
+          evs.join(cur, "user").filter(col("ts") > col(s"t$i") && within)
+            .select(col("user"), col("ts"))
+        }
       cur = eligible.groupBy("user").agg(min("ts").as(s"t${i + 1}"))
       cur
     }
@@ -43,6 +64,28 @@ object Funnel {
       (els, i) => when(col(s"t${i + 1}").isNotNull, lit(i + 1)).otherwise(els)
     }
     joined.select(col("user").as(userCol), stage.as("stage"))
+  }
+
+  /** Event-transition (first-order Markov) counts: for each user's
+    * event stream in (ts, tie-break id) order, count every consecutive
+    * (from_type → to_type) pair — the behavioral transition matrix
+    * behind "what do users do after X" analyses. The tie-break column
+    * makes same-timestamp ordering deterministic (and SQL-replayable);
+    * each user's first event has no predecessor and emits nothing.
+    *
+    * Scale shape: one user-keyed window (each partition is one user's
+    * events) + a combinable count aggregate over |types|² groups. */
+  def transitionCounts(
+      df: DataFrame, userCol: String, tsCol: String, tieCol: String,
+      typeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    df.select(col(userCol), col(tsCol), col(tieCol),
+        col(typeCol).as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
   }
 
   /** Weekly cohort retention: users are cohorted by the Monday of their

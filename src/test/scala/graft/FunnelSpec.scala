@@ -26,6 +26,44 @@ class FunnelSpec extends SparkSpec {
     assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 0, 5L -> 1, 6L -> 2))
   }
 
+  test("stageReachedWithin cuts conversions outside the window") {
+    val events = Seq(
+      // u1 converts view→click in 50s, click→purchase in 50s: stage 3
+      (1L, 10L, "view"), (1L, 60L, "click"), (1L, 110L, "purchase"),
+      // u2: click 200s after view — outside the 100s window → stage 1
+      (2L, 10L, "view"), (2L, 210L, "click"),
+      // u3: click exactly AT the boundary (inclusive) → stage 2
+      (3L, 10L, "view"), (3L, 110L, "click"),
+      // u4: purchase within window of a click that itself was too late
+      (4L, 10L, "view"), (4L, 500L, "click"), (4L, 510L, "purchase")
+    ).map { case (u, t, e) =>
+      (u, new java.sql.Timestamp(t * 1000L), e)
+    }.toDF("user_id", "ts", "event_type")
+    val got = Funnel.stageReachedWithin(events, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"),
+        maxGapSeconds = 100L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 1))
+  }
+
+  test("transitionCounts: deterministic tie order, first events emit nothing") {
+    val events = Seq(
+      // u1: a→b→b ; same-ts tie between (2,b) and (3,b)? use distinct ids
+      (1L, 10L, 100L, "a"), (1L, 20L, 101L, "b"), (1L, 20L, 102L, "b"),
+      // u2: single event — no transitions
+      (2L, 10L, 200L, "a"),
+      // u3: b→a
+      (3L, 10L, 300L, "b"), (3L, 15L, 301L, "a")
+    ).map { case (u, t, id, e) =>
+      (u, new java.sql.Timestamp(t * 1000L), id, e)
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    val got = Funnel.transitionCounts(events, "user_id", "ts",
+        "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(("a", "b") -> 1L, ("b", "b") -> 1L, ("b", "a") -> 1L))
+  }
+
   test("cohortRetention cohorts by first-activity Monday, offsets in weeks") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
