@@ -17,6 +17,50 @@ class PropertySpec extends SparkSpec {
   private def sentence(n: Int): String =
     Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
 
+  test("triangleCount ≡ brute-force triple loop on random graphs") {
+    import graft.operators.Graph
+    (0 until 3).foreach { trial =>
+      val n = 12 + trial * 4
+      val edges = (for (a <- 0 until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.25) yield (s"v$a", s"v$b")).toSeq
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val nodes = adj.keys.toSeq.sorted
+      val expected = nodes.map { v =>
+        val nbrs = adj(v).toSeq
+        v -> (for (i <- nbrs.indices; j <- (i + 1) until nbrs.size
+          if adj(nbrs(i)).contains(nbrs(j))) yield 1).size.toLong
+      }.toMap
+      val got = Graph.triangleCount(edges.toDF("x", "y"), "x", "y")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: $got vs $expected")
+    }
+  }
+
+  test("containmentPairs ≡ brute-force gram-set reference on random docs") {
+    import graft.operators.Dedup
+    val docs = (0L until 40L).map(i => (i, sentence(6 + rnd.nextInt(20))))
+    val span = 3
+    def grams(t: String): Set[String] =
+      t.split(" ").filter(_.nonEmpty).sliding(span)
+        .filter(_.size == span).map(_.mkString(" ")).toSet
+    val gsets = docs.map { case (i, t) => i -> grams(t) }
+      .filter(_._2.nonEmpty).toMap
+    val expected = (for {
+      (a, ga) <- gsets.toSeq; (b, gb) <- gsets.toSeq if a != b
+      inter = (ga intersect gb).size
+      c = inter.toDouble / ga.size if c >= 0.5
+    } yield (a, b) -> (inter.toLong, c)).toMap
+    val got = Dedup.containmentPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", spanTokens = span, threshold = 0.5,
+        maxDf = 10000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == expected,
+      s"missing=${expected.keySet -- got.keySet} extra=${got.keySet -- expected.keySet}")
+  }
+
   test("bpeEncode fold ≡ reference greedy left-to-right merge on random " +
     "words and merge lists (incl. repeated-symbol runs)") {
     // reference: classic greedy single pass per merge, per word
