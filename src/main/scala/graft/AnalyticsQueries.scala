@@ -457,11 +457,15 @@ object AnalyticsQueries {
                ((qb::DOUBLE - sb::DOUBLE * sb::DOUBLE / nb::DOUBLE)
                  / nb::DOUBLE) / nb::DOUBLE), 12) AS z
       FROM s""") { (s, d) =>
+      // no otherwise: NULL or negative-odd user_ids get a NULL variant
+      // and are excluded — exactly the oracle CASE's semantics (Spark %
+      // keeps the dividend's sign like DuckDB %; pmod would not)
       Stats.twoSampleZ(
         Tables.load(s, d, "events")
           .filter(col("event_type") === "purchase")
           .withColumn("variant",
-            when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B")),
+            when(col("user_id") % 2 === 0, "A")
+              .when(col("user_id") % 2 === 1, "B")),
         "variant", "value", a = "A", b = "B")
     },
 

@@ -88,7 +88,13 @@ object Stats {
     val bounds = ranked.groupBy(groupCol).agg(
       ps.head match { case (name, p) => boundAt(valCol, p).as(name) },
       ps.tail.map { case (name, p) => boundAt(valCol, p).as(name) }: _*)
-    df.join(broadcast(bounds), Seq(groupCol), "left")
+      .withColumnRenamed(groupCol, "__g")
+    // null-safe on the group key: groupBy made the NULL group ONE group,
+    // so the join back must match it (the mergeSnapshots discipline) —
+    // plain equality would hand every NULL-group row NULL bounds and
+    // silently skip its clipping
+    df.join(broadcast(bounds), col(groupCol) <=> col("__g"), "left")
+      .drop("__g")
   }
 
   private def boundAt(valCol: String, p: java.math.BigDecimal): Column =

@@ -40,8 +40,11 @@ object TimeSeries {
     val step = lit(stepSeconds)
     // the collapsed (key, bucket) aggregate feeds the bounds, the grid's
     // key set, AND the observation join — collapse the raw events ONCE
-    // and persist the small result instead of rescanning the source
-    // three times (the sharedSpans working-set discipline)
+    // and checkpoint the SMALL collapsed frame (≤ one row per observed
+    // key-bucket), so the source is scanned exactly once and the dense
+    // grid output stays a lazy plan (checkpointing the grid itself would
+    // eagerly pin the largest frame in the pipeline; this is the one
+    // pinned copy, the pageRank/minhash contract)
     val obs = df
       .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .select(col(keyCol).as("__k"),
@@ -50,7 +53,7 @@ object TimeSeries {
         col(valueCol).as("__v"))
       .groupBy("__k", "__b")
       .agg(cast_sum(col("__v")).as("observed"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // global bounds: a one-row frame, broadcast into the grid join
     val bounds = obs.agg(min("__b").as("__lo"), max("__b").as("__hi"))
     val grid = obs.select(col("__k")).distinct()
@@ -58,14 +61,11 @@ object TimeSeries {
       .select(col("__k"),
         explode(sequence(col("__lo"), col("__hi"), step)).as("__b"))
     val w = Window.partitionBy("__k").orderBy("__b")
-    val out = grid.join(obs, Seq("__k", "__b"), "left")
+    grid.join(obs, Seq("__k", "__b"), "left")
       .select(col("__k").as(keyCol), col("__b").as("bucket"),
         col("observed"),
         last(col("observed"), ignoreNulls = true).over(w).as("filled"),
         col("observed").isNotNull.as("was_observed"))
-      .localCheckpoint(true)
-    obs.unpersist(false)
-    out
   }
 
   /** The repo-wide float-determinism contract: doubles sum through

@@ -135,6 +135,16 @@ class StatsSpec extends SparkSpec {
       .collect().map(r => Option(r.get(1)) -> Option(r.get(2))).toMap
     assert(z1(Some(10.0)) == Some(0.0), "single real value has z = 0")
     assert(z1(None) == None)
+    // NULL GROUP key is one group (groupBy semantics): its rows must be
+    // clipped against their own bounds, not silently passed through
+    val ng = ((1 to 20).map(v => (Option.empty[String], v.toDouble)) ++
+      (1 to 5).map(v => (Option("g"), v.toDouble))).toDF("grp", "v")
+    val ngw = Stats.winsorizeByRank(ng, "grp", "v",
+        BigDecimal("0.1"), BigDecimal("0.9"))
+      .collect().filter(r => r.isNullAt(0))
+      .map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(ngw(1.0) == 2.0 && ngw(20.0) == 18.0,
+      "NULL-group rows clip against the NULL group's own bounds")
     // corrMatrix: near-constant column with float residue → NULL, and a
     // column that is constant only after NULL drop
     val resid = Seq.fill(7)(0.70).zipWithIndex
