@@ -540,6 +540,27 @@ object AnalyticsQueries {
       GROUP BY 1, 2""") { (s, d) =>
       Funnel.transitionCounts(Tables.load(s, d, "events"),
         "user_id", "ts", "event_id", "event_type")
+    },
+
+    // -- Pareto frontier (skyline): most-expensive-and-most-recent
+    //    orders; the oracle is the quadratic NOT EXISTS dominance query
+    //    over the same subset — an independent algorithm.
+    dfQ("q203_pareto", """
+      WITH s AS (
+        SELECT o_orderkey, o_totalprice::DOUBLE AS price,
+               epoch(o_orderdate)::DOUBLE AS ots
+        FROM orders WHERE o_orderkey % 19 = 0)
+      SELECT o_orderkey, price, ots FROM s a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM s b
+        WHERE b.price >= a.price AND b.ots >= a.ots
+          AND (b.price > a.price OR b.ots > a.ots))""") { (s, d) =>
+      Stats.paretoFrontier(
+        Tables.load(s, d, "orders")
+          .filter(pmod(col("o_orderkey"), lit(19)) === 0)
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            unix_timestamp(col("o_orderdate")).cast("double").as("ots")),
+        Seq("price", "ots"))
     }
   )
 

@@ -153,6 +153,59 @@ object Stats {
     rows.reduce(_ unionByName _)
   }
 
+  /** Pareto frontier (skyline): the rows not dominated by any other row,
+    * where `dominates` means ≥ on every dim and > on at least one (all
+    * dims maximize; negate a column upstream to minimize). Identical
+    * points don't dominate each other, so exact ties all surface. Dim
+    * columns are cast to double in the output; rows with a NULL dim are
+    * excluded (no dominance order for them).
+    *
+    * Scale shape: the classic two-phase distributed skyline — each
+    * partition reduces to its LOCAL frontier first (a per-partition
+    * in-memory scan, the one genuinely imperative step, hence
+    * mapPartitions), then one pass over the union of local frontiers.
+    * Data volume entering phase 2 is Σ per-partition frontier sizes —
+    * for correlated dims a few points per partition; the anti-correlated
+    * worst case (everything on the frontier) degrades to a single-task
+    * scan of what is then the unavoidable output. The result is
+    * order-independent, so repartitioning doesn't change it. */
+  def paretoFrontier(df: DataFrame, dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "need at least one dimension")
+    val work = dims.foldLeft(df)((d, c) =>
+      d.withColumn(c, col(c).cast("double")))
+      .filter(dims.map(col(_).isNotNull).reduce(_ && _))
+    val schema = work.schema
+    val idx = dims.map(schema.fieldIndex)
+    def dominates(a: org.apache.spark.sql.Row,
+        b: org.apache.spark.sql.Row): Boolean = {
+      var ge = true
+      var gt = false
+      idx.foreach { i =>
+        val x = a.getDouble(i); val y = b.getDouble(i)
+        if (x < y) ge = false else if (x > y) gt = true
+      }
+      ge && gt
+    }
+    def frontier(it: Iterator[org.apache.spark.sql.Row])
+        : Iterator[org.apache.spark.sql.Row] = {
+      val buf =
+        scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      it.foreach { r =>
+        if (!buf.exists(dominates(_, r))) {
+          val survivors = buf.filterNot(dominates(r, _))
+          buf.clear()
+          buf ++= survivors += r
+        }
+      }
+      buf.iterator
+    }
+    val spark = df.sparkSession
+    val local = spark.createDataFrame(
+      work.rdd.mapPartitions(frontier), schema)
+    spark.createDataFrame(
+      local.coalesce(1).rdd.mapPartitions(frontier), schema)
+  }
+
   /** Two-sample z-statistic for A/B analysis:
     *   z = (mean_a − mean_b) / sqrt(var_a/n_a + var_b/n_b)
     * with means and population variances from exact decimal sums in ONE

@@ -95,6 +95,30 @@ class StatsSpec extends SparkSpec {
       "the NULL row must not perturb unrelated pairs")
   }
 
+  test("paretoFrontier: dominance, ties, NULLs, partition invariance") {
+    val pts = Seq(
+      (1L, 5.0, 1.0), (2L, 4.0, 4.0), (3L, 1.0, 5.0), // frontier
+      (4L, 3.0, 3.0),                                  // dominated by 2
+      (5L, 5.0, 1.0),                                  // exact tie of 1
+      (6L, 0.0, 0.0)                                   // dominated by all
+    ).toDF("id", "x", "y")
+    val got = Stats.paretoFrontier(pts, Seq("x", "y"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 5L), s"got $got")
+    val again = Stats.paretoFrontier(pts.repartition(7), Seq("x", "y"))
+      .collect().map(_.getLong(0)).toSet
+    assert(again == got, "skyline is order/partitioning independent")
+    // NULL dim rows are excluded
+    val withNull = pts.union(Seq((7L, Option(9.0), Option.empty[Double]))
+      .toDF("id", "x", "y"))
+    assert(Stats.paretoFrontier(withNull, Seq("x", "y"))
+      .collect().map(_.getLong(0)).toSet == got)
+    // anti-correlated worst case: every point on the frontier
+    val anti = (1 to 50).map(i => (i.toLong, i.toDouble, (51 - i).toDouble))
+      .toDF("id", "x", "y")
+    assert(Stats.paretoFrontier(anti, Seq("x", "y")).count() == 50)
+  }
+
   test("twoSampleZ: hand-computed statistic; empty/degenerate variants → NULL") {
     // A: 2, 4 (mean 3, var 1); B: 6, 6, 6 (mean 6, var 0)
     // z = (3-6)/sqrt(1/2 + 0/3) = -3/sqrt(0.5)

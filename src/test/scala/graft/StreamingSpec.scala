@@ -241,6 +241,33 @@ class StreamingSpec extends SparkSpec {
       3L -> None, 4L -> Some("AMERICA")))
   }
 
+  test("stream-stream FULL outer join null-extends expired rows on BOTH sides") {
+    val l = MemoryStream[(Long, Timestamp, String)](spark, 23)
+    val r = MemoryStream[(Long, Timestamp, Double)](spark, 24)
+    val joined = Ingest.streamJoin(
+      l.toDF().toDF("user", "ts", "page"),
+      r.toDF().toDF("user", "ts", "amount"),
+      "user", "ts", watermarkDelay = "10 minutes",
+      joinWindow = "10 minutes", joinType = "full_outer")
+    val q = joined.writeStream.format("memory").queryName("ssfo_out")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("ssfo-ckpt")).start()
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    l.addData((1L, t(0), "home"), (2L, t(0), "search")) // 2: left-only
+    r.addData((1L, t(5), 9.99), (3L, t(5), 5.55))       // 3: right-only
+    q.processAllAvailable()
+    l.addData((9L, Timestamp.valueOf("2024-01-01 13:00:00"), "x"))
+    r.addData((9L, Timestamp.valueOf("2024-01-01 13:00:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssfo_out").collect()
+      .map(r => (Option(r.get(r.fieldIndex("l_page"))),
+        Option(r.get(r.fieldIndex("r_amount"))))).toSet
+    assert(rows.contains((Some("home"), Some(9.99))), "matched pair")
+    assert(rows.contains((Some("search"), None)), "left-only null-extends")
+    assert(rows.contains((None, Some(5.55))), "right-only null-extends")
+  }
+
   test("streaming near-dup filter appends only novel docs, index grows across batches") {
     import graft.operators.Dedup
     val corpusText = "the quick brown fox jumps over the lazy dog again and again"
