@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Cdc, Dedup, Funnel, Graph, Sampling, Similarity, Stats, TextAnalysis, TextOps, TimeSeries}
@@ -561,6 +562,55 @@ object AnalyticsQueries {
           .select(col("o_orderkey"), col("o_totalprice").as("price"),
             unix_timestamp(col("o_orderdate")).cast("double").as("ots")),
         Seq("price", "ots"))
+    },
+
+    // -- Mergeable KLL quantile-sketch rollup (the quantile sibling of
+    //    q172's HLL rollup): per-nation Datasketches KLL sketches of
+    //    customer balances union to region medians WITHOUT rescanning
+    //    rows. The oracle checks the exact rank-selected median; the
+    //    engine additionally asserts the sketch estimate's exact rank
+    //    lands within ±0.1 of 0.5 (KLL k=200 ⇒ ~1.3% rank error).
+    dfQ("q204_kll_rollup", """
+      WITH cr AS (
+        SELECT n_regionkey AS region, c_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      ranked AS (
+        SELECT region, c_acctbal,
+               row_number() OVER (PARTITION BY region
+                                  ORDER BY c_acctbal) AS rn,
+               count(*) OVER (PARTITION BY region) AS n
+        FROM cr)
+      SELECT region,
+        max(CASE WHEN rn = greatest(1, ceil(n * 0.5)) THEN c_acctbal
+            END) AS median_exact,
+        TRUE AS within_tol
+      FROM ranked GROUP BY 1""") { (s, d) =>
+      val cr = Tables.load(s, d, "customer")
+        .join(broadcast(Tables.load(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_regionkey").as("region"), col("c_nationkey"),
+          col("c_acctbal"))
+      val est = cr.groupBy("region", "c_nationkey")
+        .agg(expr("kll_sketch_agg_double(c_acctbal, 200)").as("sk"))
+        .groupBy("region")
+        .agg(expr(
+          "kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.5)")
+          .as("est"))
+      val ranked = cr
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("region").orderBy("c_acctbal")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("region")))
+      val exact = ranked.groupBy("region").agg(
+        max(when(col("rn") === greatest(lit(1),
+          ceil(col("n") * lit(new java.math.BigDecimal("0.5")))),
+          col("c_acctbal"))).as("median_exact"))
+      val tol = cr.join(broadcast(est), "region")
+        .groupBy("region")
+        .agg((sum(when(col("c_acctbal") <= col("est"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("frac"))
+        .select(col("region"), col("frac").between(0.4, 0.6).as("within_tol"))
+      exact.join(tol, "region")
+        .select("region", "median_exact", "within_tol")
     }
   )
 
