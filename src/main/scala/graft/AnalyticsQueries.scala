@@ -585,25 +585,25 @@ object AnalyticsQueries {
             END) AS median_exact,
         TRUE AS within_tol
       FROM ranked GROUP BY 1""") { (s, d) =>
+      // checkpointed once: cr feeds the sketch path, the exact-median
+      // rank selection, AND the tolerance count — three consumers, one
+      // customer scan
       val cr = Tables.load(s, d, "customer")
         .join(broadcast(Tables.load(s, d, "nation")),
           col("c_nationkey") === col("n_nationkey"))
         .select(col("n_regionkey").as("region"), col("c_nationkey"),
           col("c_acctbal"))
+        .localCheckpoint(true)
       val est = cr.groupBy("region", "c_nationkey")
         .agg(expr("kll_sketch_agg_double(c_acctbal, 200)").as("sk"))
         .groupBy("region")
         .agg(expr(
           "kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.5)")
           .as("est"))
-      val ranked = cr
-        .withColumn("rn",
-          row_number().over(Window.partitionBy("region").orderBy("c_acctbal")))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("region")))
-      val exact = ranked.groupBy("region").agg(
-        max(when(col("rn") === greatest(lit(1),
-          ceil(col("n") * lit(new java.math.BigDecimal("0.5")))),
-          col("c_acctbal"))).as("median_exact"))
+      // the NULL-disciplined rank-quantile machinery, not an inline
+      // window (Spark's NULLS FIRST would shift ranks vs the oracle)
+      val exact = Stats.rankQuantiles(cr, "region", "c_acctbal",
+        Seq("median_exact" -> BigDecimal("0.5")))
       val tol = cr.join(broadcast(est), "region")
         .groupBy("region")
         .agg((sum(when(col("c_acctbal") <= col("est"), 1L).otherwise(0L))

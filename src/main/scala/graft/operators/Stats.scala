@@ -72,22 +72,38 @@ object Stats {
       .drop("__q1", "__med", "__q3")
   }
 
-  /** Shared rank-bounds machinery: per group, for each (name, p) select
-    * the greatest(1, ceil(n·p))-th smallest NON-NULL value and join the
-    * bounds back (broadcast — |groups| rows). NULL-value rows skip the
-    * rank window entirely and rejoin with NULL bounds untouched. */
-  private def withRankBounds(
+  /** Exact rank-selected quantiles per group: one row per group with,
+    * for each (name, p), the greatest(1, ceil(n·p))-th smallest
+    * NON-NULL value (decimal rank arithmetic, NULLs excluded — under
+    * Spark's NULLS FIRST they would otherwise occupy the smallest
+    * ranks and shift every percentile). This is the public face of the
+    * winsorize/robustScale bounds machinery — use it wherever a
+    * SQL-replayable exact median/quantile table is needed. */
+  def rankQuantiles(
       df: DataFrame, groupCol: String, valCol: String,
-      ps: Seq[(String, java.math.BigDecimal)]): DataFrame = {
+      ps: Seq[(String, BigDecimal)]): DataFrame = {
+    require(ps.nonEmpty, "need at least one quantile")
     val nn = df.filter(col(valCol).isNotNull)
     val byVal = Window.partitionBy(groupCol).orderBy(valCol)
     val all = Window.partitionBy(groupCol)
     val ranked = nn
       .withColumn("__rn", row_number().over(byVal))
       .withColumn("__n", count(lit(1)).over(all))
-    val bounds = ranked.groupBy(groupCol).agg(
-      ps.head match { case (name, p) => boundAt(valCol, p).as(name) },
-      ps.tail.map { case (name, p) => boundAt(valCol, p).as(name) }: _*)
+    ranked.groupBy(groupCol).agg(
+      ps.head match { case (name, p) =>
+        boundAt(valCol, p.bigDecimal).as(name) },
+      ps.tail.map { case (name, p) =>
+        boundAt(valCol, p.bigDecimal).as(name) }: _*)
+  }
+
+  /** Shared rank-bounds machinery: `rankQuantiles` joined back to the
+    * input (broadcast — |groups| rows). NULL-value rows skip the rank
+    * window entirely and rejoin with NULL bounds untouched. */
+  private def withRankBounds(
+      df: DataFrame, groupCol: String, valCol: String,
+      ps: Seq[(String, java.math.BigDecimal)]): DataFrame = {
+    val bounds = rankQuantiles(df, groupCol, valCol,
+      ps.map { case (n, p) => n -> BigDecimal(p) })
       .withColumnRenamed(groupCol, "__g")
     // null-safe on the group key: groupBy made the NULL group ONE group,
     // so the join back must match it (the mergeSnapshots discipline) —
@@ -157,8 +173,11 @@ object Stats {
     * where `dominates` means ≥ on every dim and > on at least one (all
     * dims maximize; negate a column upstream to minimize). Identical
     * points don't dominate each other, so exact ties all surface. Dim
-    * columns are cast to double in the output; rows with a NULL dim are
-    * excluded (no dominance order for them).
+    * columns are cast to double in the output; rows with a NULL or NaN
+    * dim are excluded — NULL has no dominance order, and NaN compares
+    * differently in Java (false to everything) than in SQL engines
+    * (greater than everything), so admitting it would diverge from a
+    * SQL oracle's NOT EXISTS replay.
     *
     * Scale shape: the classic two-phase distributed skyline — each
     * partition reduces to its LOCAL frontier first (a per-partition
@@ -173,7 +192,8 @@ object Stats {
     require(dims.nonEmpty, "need at least one dimension")
     val work = dims.foldLeft(df)((d, c) =>
       d.withColumn(c, col(c).cast("double")))
-      .filter(dims.map(col(_).isNotNull).reduce(_ && _))
+      .filter(dims.map(c => col(c).isNotNull && !isnan(col(c)))
+        .reduce(_ && _))
     val schema = work.schema
     val idx = dims.map(schema.fieldIndex)
     def dominates(a: org.apache.spark.sql.Row,

@@ -90,6 +90,10 @@ object Ingest {
           expr(s"l_$tsCol - INTERVAL $joinWindow"),
           expr(s"l_$tsCol + INTERVAL $joinWindow")),
       joinType)
+      // right-only rows of the outer variants carry their key ONLY in
+      // r_<key> — coalesce before dropping it, or the emitted row's key
+      // is silently NULL and the amount is unattributable
+      .withColumn(keyCol, coalesce(col(keyCol), col(s"r_$keyCol")))
       .drop(s"r_$keyCol")
   }
 

@@ -261,11 +261,14 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     val rows = spark.table("ssfo_out").collect()
-      .map(r => (Option(r.get(r.fieldIndex("l_page"))),
+      .map(r => (r.getAs[Long]("user"),
+        Option(r.get(r.fieldIndex("l_page"))),
         Option(r.get(r.fieldIndex("r_amount"))))).toSet
-    assert(rows.contains((Some("home"), Some(9.99))), "matched pair")
-    assert(rows.contains((Some("search"), None)), "left-only null-extends")
-    assert(rows.contains((None, Some(5.55))), "right-only null-extends")
+    assert(rows.contains((1L, Some("home"), Some(9.99))), "matched pair")
+    assert(rows.contains((2L, Some("search"), None)),
+      "left-only null-extends, key kept")
+    assert(rows.contains((3L, None, Some(5.55))),
+      "right-only null-extends and keeps its key via coalesce")
   }
 
   test("streaming near-dup filter appends only novel docs, index grows across batches") {
