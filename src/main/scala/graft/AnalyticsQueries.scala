@@ -611,6 +611,33 @@ object AnalyticsQueries {
         .select(col("region"), col("frac").between(0.4, 0.6).as("within_tol"))
       exact.join(tol, "region")
         .select("region", "median_exact", "within_tol")
+    },
+
+    // -- Mergeable top-k rollup: per-source approx_top_k_accumulate
+    //    states combine corpus-wide WITHOUT rescanning tokens (the
+    //    top-k sibling of q172/q204). maxItemsTracked (100) ≥ the
+    //    31-word vocabulary ⇒ counts are exact and hash-check against
+    //    the plain group-count oracle; ties re-ranked deterministically.
+    dfQ("q205_topk_rollup", s"""
+      WITH tok AS (
+        SELECT source, unnest($DUCK_TOKENS) AS item FROM documents),
+      cnt AS (SELECT item, count(*) AS est FROM tok GROUP BY 1)
+      SELECT item, est,
+             row_number() OVER (ORDER BY est DESC, item) AS rank
+      FROM cnt ORDER BY est DESC, item LIMIT 10""") { (s, d) =>
+      val perSource = Tables.load(s, d, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy("source")
+        .agg(expr("approx_top_k_accumulate(w, 100)").as("st"))
+      perSource
+        .agg(expr("approx_top_k_estimate(approx_top_k_combine(st, 100), 100)")
+          .as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e.item").as("item"), col("e.count").as("est"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("est").desc, col("item"))))
+        .filter(col("rank") <= 10)
+        .orderBy(col("est").desc, col("item"))
     }
   )
 
