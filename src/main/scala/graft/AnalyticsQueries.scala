@@ -66,7 +66,7 @@ object AnalyticsQueries {
         SELECT DISTINCT user_id AS u, date_trunc('week', ts)::DATE AS wk
         FROM events
         WHERE event_type = 'purchase' AND value > 150
-          AND user_id IS NOT NULL),
+          AND user_id IS NOT NULL AND ts IS NOT NULL),
       c AS (SELECT u, min(wk) AS cohort_week FROM uw GROUP BY 1)
       SELECT cohort_week,
         (datediff('day', cohort_week, wk) // 7)::INT AS week_offset,

@@ -38,7 +38,8 @@ object Queries {
   def all: Seq[Q] =
     RelationalQueries.all ++ WindowQueries.all ++ FunctionQueries.all ++
       PipelineQueries.all ++ SurfaceQueries.all ++ DepthQueries.all ++
-      GapQueries.all ++ ScaleQueries.all ++ AnalyticsQueries.all
+      GapQueries.all ++ ScaleQueries.all ++ AnalyticsQueries.all ++
+      Round5Queries.all
 
   lazy val byName: Map[String, Q] = {
     val qs = all

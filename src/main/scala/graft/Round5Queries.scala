@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import Queries._
+
+/** Round-5 queries: real image-pixel decode evidence.
+  *
+  * q206 plants solid-red/gradient-green/gradient-blue PNGs (real zlib
+  * IDAT + CRCs via the JDK encoder) whose every pixel statistic has a
+  * closed form, then requires the engine to reproduce those statistics
+  * from an actual `javax.imageio` decode of the bytes — the DuckDB
+  * oracle recomputes them arithmetically from the planting parameters.
+  */
+object Round5Queries {
+
+  def all: Seq[Q] = Seq(
+
+    // -- Real pixel decode: R = solid (doc_id*11 % 256), G = horizontal
+    //    0..w-1 gradient, B = vertical 0..h-1 gradient. Channel sums are
+    //    exact Int64 (engine: decoded pixels; oracle: closed forms), the
+    //    means are single exact divisions of those sums, and the luma
+    //    column stays in integer space (299/587/114 millis) so the
+    //    comparison is float-free end to end.
+    dfQ("q206_pixel_stats", """
+      WITH p AS (
+        SELECT doc_id,
+          (doc_id % 57 + 8)::BIGINT AS w, (doc_id % 41 + 8)::BIGINT AS h,
+          (doc_id * 11 % 256)::BIGINT AS r
+        FROM documents WHERE doc_id < 60)
+      SELECT doc_id AS id,
+        w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels,
+        (r * w * h)::BIGINT AS sum_r,
+        (h * w * (w - 1) // 2)::BIGINT AS sum_g,
+        (w * h * (h - 1) // 2)::BIGINT AS sum_b,
+        (299 * (r * w * h) + 587 * (h * w * (w - 1) // 2)
+           + 114 * (w * h * (h - 1) // 2))::BIGINT AS luma_millis,
+        CAST(r AS DOUBLE) AS mean_r,
+        (w - 1) / 2.0 AS mean_g,
+        (h - 1) / 2.0 AS mean_b
+      FROM p ORDER BY id""") { (s, d) =>
+      import s.implicits._
+      val planted = Tables.load(s, d, "documents")
+        .filter(col("doc_id") < 60)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { k =>
+          (k, Multimodal.syntheticPng(
+            (k % 57 + 8).toInt, (k % 41 + 8).toInt, (k * 11 % 256).toInt))
+        }
+        .toDF("doc_id", "payload")
+      Multimodal.decodePixelStats(planted, "doc_id", "payload")
+        .toDF()
+        .select(col("id"), col("width"), col("height"), col("n_pixels"),
+          col("sum_r"), col("sum_g"), col("sum_b"),
+          (lit(299L) * col("sum_r") + lit(587L) * col("sum_g") +
+            lit(114L) * col("sum_b")).as("luma_millis"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy("id")
+    })
+}

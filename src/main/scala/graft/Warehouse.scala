@@ -350,7 +350,15 @@ object Warehouse {
     * count can shrink are rewritten); unpartitioned tables go through
     * the staged self-overwrite. Streaming ingest + micro-batches make
     * small files the default failure mode at scale; a target-size
-    * compactor is the maintenance loop's primitive. */
+    * compactor is the maintenance loop's primitive.
+    *
+    * Like `startUpsert`, the partitioned rewrite is NOT ACID: the
+    * compacted replacements are moved into the partition directory
+    * BEFORE the originals are deleted, so a crash mid-compaction
+    * leaves a recoverable superset (original + compacted copies —
+    * fix by deleting either generation), never a data loss. Readers
+    * scanning the partition inside that window can observe rows
+    * twice; run compaction when the partition is quiescent. */
   def compact(spark: SparkSession, table: String,
       targetBytes: Long = 128L * 1024 * 1024): Unit = {
     require(targetBytes > 0, "targetBytes must be positive")
@@ -381,11 +389,16 @@ object Warehouse {
           try {
             spark.read.parquet(dir.toString).coalesce(n)
               .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-            files.foreach(_.delete())
+            // move the replacements in FIRST (their UUID names cannot
+            // collide with the live files), delete originals only once
+            // every new file landed — a crash or failed cross-device
+            // move then leaves original+compacted (recoverable
+            // superset) instead of a window with neither
             dataFiles(tmp.toFile).foreach { f =>
               java.nio.file.Files.move(f.toPath,
                 new java.io.File(dir, f.getName).toPath)
             }
+            files.foreach(_.delete())
           } finally {
             import scala.reflect.io.Directory
             new Directory(tmp.toFile).deleteRecursively()

@@ -101,7 +101,10 @@ object Funnel {
     * user) and a small final aggregate. No per-user window over raw
     * events. Offsets are exact integer arithmetic on Monday-truncated
     * dates (both engines truncate weeks to Monday), never float date
-    * math. */
+    * math.
+    *
+    * Contract: rows with a NULL user OR a NULL timestamp are dropped —
+    * neither can be cohorted. An oracle replay must filter both. */
   def cohortRetention(
       df: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val uw = df.select(col(userCol).as("user"),

@@ -96,7 +96,12 @@ object Similarity {
     * sort per query); the label exclusion rides the broadcast join
     * filter, so the corpus is still scanned once for the whole query
     * batch. NULL-label corpus rows never qualify as negatives (NULL <>
-    * x is not true). */
+    * x is not true).
+    *
+    * Caller errors fail loudly: a `queryIds` entry absent from the
+    * corpus, or a query row with a NULL label (which would silently
+    * match nothing — `label <> NULL` is never true), both throw instead
+    * of masquerading as "no confusable examples". */
   def hardNegatives(
       corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
       queryIds: Seq[Long], k: Int): DataFrame = {
@@ -104,6 +109,17 @@ object Similarity {
       .filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
         col(labelCol).as("qlabel"))
+    // the query set is bounded (≤ queryIds.size rows) — validating it is
+    // one small collect, and it is about to be broadcast anyway
+    val resolved = q.select("qid", "qlabel").collect()
+    val found = resolved.map(_.getLong(0)).toSet
+    val missing = queryIds.filterNot(found)
+    require(missing.isEmpty,
+      s"queryIds absent from corpus: ${missing.mkString(", ")}")
+    val nullLabeled = resolved.filter(_.isNullAt(1)).map(_.getLong(0))
+    require(nullLabeled.isEmpty,
+      s"query rows with NULL $labelCol (no negative can ever match): " +
+        nullLabeled.mkString(", "))
     val scored = corpus.crossJoin(broadcast(q))
       .filter(col(labelCol) =!= col("qlabel"))
       .select(col("qid"), col(idCol).as("id"), col(labelCol).as("label"),

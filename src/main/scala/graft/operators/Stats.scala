@@ -135,7 +135,12 @@ object Stats {
     * 0.0, and would otherwise surface as NaN or a garbage O(1) value.
     *
     * Scale shape: one map-side-combinable aggregate producing a single
-    * k²-sized row; the per-pair math runs driver-free on that row. */
+    * k²-sized row; that row is materialized ONCE (a bounded one-row
+    * collect) and the per-pair selects fan out over the literal-backed
+    * copy, so the single-pass property is structural — it cannot regress
+    * into k(k−1)/2 rescans if exchange reuse fails to fire under a
+    * future plan change. The pair math stays in the same Catalyst
+    * expressions, so results are bit-identical to the lazy form. */
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     val clean = df.na.drop(cols)
@@ -149,7 +154,9 @@ object Stats {
       sum((dec(cols(i)) * dec(cols(j))).cast("decimal(38,4)"))
         .as(s"__p_${i}_$j")
     }
-    val one = clean.agg(count(lit(1)).as("__n"), aggs: _*)
+    val aggOnce = clean.agg(count(lit(1)).as("__n"), aggs: _*)
+    val one = df.sparkSession.createDataFrame(
+      java.util.Collections.singletonList(aggOnce.head()), aggOnce.schema)
     val n = col("__n").cast("double")
     def s(i: Int) = col(s"__s_$i").cast("double")
     def p(i: Int, j: Int) = col(s"__p_${i}_$j").cast("double")

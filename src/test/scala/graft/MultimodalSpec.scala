@@ -215,6 +215,70 @@ class MultimodalSpec extends SparkSpec {
     assert(out.toSeq == Seq("application/x-image"))
   }
 
+  test("real pixel decode: channel sums/means match the planted closed form") {
+    // w×h with solid red r, green = x gradient, blue = y gradient
+    val (w, h, r) = (57, 41, 203)
+    val df = Seq(
+      (1L, Multimodal.syntheticPng(w, h, r)),
+      (2L, "definitely not a png".getBytes("US-ASCII")))
+      .toDF("id", "payload")
+    val out = Multimodal.decodePixelStats(df, "id", "payload")
+      .orderBy("id").collect()
+    val n = w.toLong * h
+    val p = out(0)
+    assert(p.width.contains(w) && p.height.contains(h) &&
+      p.n_pixels.contains(n))
+    assert(p.sum_r.contains(r * n))
+    assert(p.sum_g.contains(h.toLong * w * (w - 1) / 2))
+    assert(p.sum_b.contains(w.toLong * h * (h - 1) / 2))
+    assert(p.mean_r.contains(r.toDouble))
+    assert(p.mean_g.contains((w - 1) / 2.0))
+    assert(p.mean_b.contains((h - 1) / 2.0))
+    val lumaMillis = 299L * (r * n) + 587L * (h.toLong * w * (w - 1) / 2) +
+      114L * (w.toLong * h * (h - 1) / 2)
+    assert(p.mean_luma.contains(lumaMillis.toDouble / (1000.0 * n)))
+    // undecodable payload: NULL stats, row survives, batch survives
+    assert(out(1).width.isEmpty && out(1).mean_luma.isEmpty)
+  }
+
+  test("pixel decode round-trips the JDK codecs for GIF and BMP too") {
+    // write the same synthetic image through other ImageIO encoders —
+    // decodePixelStats must not be PNG-specific
+    def encodeAs(fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        5, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 5) img.setRGB(x, y, 0x112233)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val df = Seq((1L, encodeAs("bmp")), (2L, encodeAs("png")))
+      .toDF("id", "payload")
+    val out = Multimodal.decodePixelStats(df, "id", "payload")
+      .orderBy("id").collect()
+    out.foreach { p =>
+      assert(p.n_pixels.contains(20L))
+      assert(p.mean_r.contains(0x11.toDouble))
+      assert(p.mean_g.contains(0x22.toDouble))
+      assert(p.mean_b.contains(0x33.toDouble))
+    }
+  }
+
+  test("extractFeatures decodes real image pixels into a luma histogram") {
+    // solid mid-gray → every pixel's luma lands in one known bucket
+    val img = new java.awt.image.BufferedImage(
+      6, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 6) img.setRGB(x, y, 0x808080)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val ds = Seq(MediaRow(1L, buf.toByteArray,
+      MediaMeta("image", "image/png", 6, 6, 0, 0, 0))).toDS()
+    val f = Multimodal.extractFeatures(ds, dim = 4)
+      .collect().head.getSeq[Float](1)
+    assert(f(2) == 1.0f, "luma 128 → bucket 128*4/256 = 2 holds all mass")
+    assert(f.sum == 1.0f)
+  }
+
   test("resize rewrites dimensions, keeps kind and duration") {
     val media = Multimodal.withDecodedMeta(bin, "id", "payload", "image")
     val r = Multimodal.resize(media, 224, 224).select($"meta").collect().head
