@@ -101,6 +101,50 @@ class HiveCompatSpec extends SparkSpec {
     assert(r.getLong(3) == 100L, "union [0,50) + [150,200)")
   }
 
+  test("ewah_bitmap buffers compress: sparse giant-key group stays tiny") {
+    import spark.implicits._
+    // keys {0, 10^9, Int.MaxValue} — the uncompressed word-aligned form
+    // (java.util.BitSet, pre-round-5) would allocate max_key/8 ≈ 256 MB;
+    // the chunked container must keep both the serialized bitmap and
+    // the aggregation buffer within a few dozen bytes
+    val r = spark.sql("""
+      SELECT ewah_bitmap(k) AS bm, bitmap_count(ewah_bitmap(k)) AS ndv
+      FROM VALUES (0L), (1000000000L), (2147483647L), (1000000000L) t(k)
+      """).collect().head
+    val bytes = r.getAs[Array[Byte]]("bm")
+    assert(bytes.length < 64,
+      s"sparse 3-key bitmap serialized to ${bytes.length} B — not compressed")
+    assert(r.getLong(1) == 3L)
+    // dense region still round-trips exactly, and the two forms compose
+    val dense = spark.sql("""
+      SELECT bitmap_count(ewah_bitmap_or(
+        ewah_bitmap(k), ewah_bitmap(CASE WHEN k = 0 THEN 2147483647L END)))
+      FROM (SELECT id AS k FROM range(0, 10000))""").collect().head
+    assert(dense.getLong(0) == 10001L)
+  }
+
+  test("graft bitmap containers: array<->bitmap promotion and ops agree") {
+    import graft.functions.GraftBitmap
+    val a = new GraftBitmap()
+    val b = new GraftBitmap()
+    // a: evens in [0, 10000) (promotes to bitmap container) + one far key
+    (0 until 10000 by 2).foreach(a.set)
+    a.set(1 << 30)
+    // b: multiples of 3 in [0, 10000) (array then bitmap) + same far key
+    (0 until 10000 by 3).foreach(b.set)
+    b.set(1 << 30)
+    val aSer = GraftBitmap.valueOf(a.serialize())
+    assert(aSer.cardinality == a.cardinality, "serialize round-trip")
+    val expectInter = (0 until 10000).count(k => k % 2 == 0 && k % 3 == 0) + 1
+    val inter = GraftBitmap.valueOf(a.serialize())
+    inter.and(b)
+    assert(inter.cardinality == expectInter)
+    val expectUnion = (0 until 10000).count(k => k % 2 == 0 || k % 3 == 0) + 1
+    val union = GraftBitmap.valueOf(a.serialize())
+    union.or(b)
+    assert(union.cardinality == expectUnion)
+  }
+
   test("mask functions stay codegen-compatible (no UDF in plan)") {
     val plan = spark.sql("SELECT mask_first_n(c, 2) FROM VALUES ('AbC1') t(c)")
       .queryExecution.executedPlan.toString
