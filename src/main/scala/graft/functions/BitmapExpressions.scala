@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
 /** Compressed distinct-membership bitmap: the container design the
@@ -340,40 +340,61 @@ case class BitmapAgg(
     copy(child = newChildren.head)
 }
 
-case class BitmapCount(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class BitmapCount(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(input: Any): Any =
-    GraftBitmap.valueOf(input.asInstanceOf[Array[Byte]]).cardinality
+    BitmapCount.evalBytes(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BitmapCount.evalBytes($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
-case class BitmapEmpty(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+object BitmapCount {
+  def evalBytes(b: Array[Byte]): Long = GraftBitmap.valueOf(b).cardinality
+}
+
+case class BitmapEmpty(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(input: Any): Any =
-    GraftBitmap.valueOf(input.asInstanceOf[Array[Byte]]).isEmpty
+    BitmapEmpty.evalBytes(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BitmapEmpty.evalBytes($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
+object BitmapEmpty {
+  def evalBytes(b: Array[Byte]): Boolean = GraftBitmap.valueOf(b).isEmpty
+}
+
 case class BitmapBinaryOp(left: Expression, right: Expression, and: Boolean)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = if (and) "ewah_bitmap_and" else "ewah_bitmap_or"
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = GraftBitmap.valueOf(l.asInstanceOf[Array[Byte]])
-    val b = GraftBitmap.valueOf(r.asInstanceOf[Array[Byte]])
-    if (and) a.and(b) else a.or(b)
-    a.serialize()
-  }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    BitmapBinaryOp.evalOp(l.asInstanceOf[Array[Byte]],
+      r.asInstanceOf[Array[Byte]], and)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.BitmapBinaryOp.evalOp($a, $b, $and)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+object BitmapBinaryOp {
+  def evalOp(l: Array[Byte], r: Array[Byte], and: Boolean): Array[Byte] = {
+    val a = GraftBitmap.valueOf(l)
+    val b = GraftBitmap.valueOf(r)
+    if (and) a.and(b) else a.or(b)
+    a.serialize()
+  }
 }
 
 object BitmapExpressions {

@@ -1,7 +1,8 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
 /** jpeg_dims(binary) → struct<width:int, height:int> | null.
@@ -12,9 +13,14 @@ import org.apache.spark.sql.types._
   * segments with big-endian lengths) until a baseline/extended/
   * progressive SOF (C0/C1/C2) and reads height@+5, width@+7. Returns
   * null for non-JPEG or truncated payloads. One bounded pass over the
-  * header bytes; entropy-coded data is never touched. */
-case class JpegDims(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+  * header bytes; entropy-coded data is never touched.
+  *
+  * Codegen: participates in whole-stage codegen by emitting a call to
+  * the compiled static walker (the `StaticInvoke` pattern) — no
+  * CodegenFallback node, so surrounding expressions stay fused in one
+  * generated function and the per-row boxing of the interpreted path is
+  * gone. */
+case class JpegDims(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
@@ -22,8 +28,25 @@ case class JpegDims(child: Expression)
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val b = input.asInstanceOf[Array[Byte]]
+  override protected def nullSafeEval(input: Any): Any =
+    JpegDims.evalBytes(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val row = ctx.freshName("jpegDims")
+      s"""
+      org.apache.spark.sql.catalyst.InternalRow $row = graft.functions.JpegDims.evalBytes($c);
+      if ($row == null) { ${ev.isNull} = true; } else { ${ev.value} = $row; }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object JpegDims {
+  /** Static marker-walk shared by the interpreted and generated paths. */
+  def evalBytes(b: Array[Byte]): InternalRow = {
     @inline def u(i: Int): Int = b(i) & 0xff
     if (b.length < 4 || u(0) != 0xff || u(1) != 0xd8) return null
     var i = 2
@@ -47,9 +70,6 @@ case class JpegDims(child: Expression)
     }
     null
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }
 
 /** wav_pcm16_stats(binary) → struct<n_samples:int, peak:int, sum_sq:bigint>
@@ -61,9 +81,12 @@ case class JpegDims(child: Expression)
   * the result is bit-deterministic under any partitioning; derive
   * RMS/dBFS from sum_sq in query space). Null for non-WAV payloads and
   * non-PCM16 encodings (audioFormat != 1 or bitsPerSample != 16). One
-  * bounded pass over the payload bytes, no library, no copy. */
-case class WavPcm16Stats(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+  * bounded pass over the payload bytes, no library, no copy.
+  *
+  * Codegen: static-call emission like `JpegDims` — the sample fold runs
+  * as compiled JVM code inside the whole-stage-generated function, which
+  * matters on a media scan where this loop touches every payload byte. */
+case class WavPcm16Stats(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_samples", IntegerType, nullable = false),
@@ -72,8 +95,25 @@ case class WavPcm16Stats(child: Expression)
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val b = input.asInstanceOf[Array[Byte]]
+  override protected def nullSafeEval(input: Any): Any =
+    WavPcm16Stats.evalBytes(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val row = ctx.freshName("pcmStats")
+      s"""
+      org.apache.spark.sql.catalyst.InternalRow $row = graft.functions.WavPcm16Stats.evalBytes($c);
+      if ($row == null) { ${ev.isNull} = true; } else { ${ev.value} = $row; }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WavPcm16Stats {
+  /** Static RIFF walk + PCM16 fold shared by both execution paths. */
+  def evalBytes(b: Array[Byte]): InternalRow = {
     @inline def u(i: Int): Int = b(i) & 0xff
     @inline def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
     @inline def le32(i: Int): Long =
@@ -117,7 +157,4 @@ case class WavPcm16Stats(child: Expression)
     }
     new GenericInternalRow(Array[Any](n, peak, sumSq))
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }

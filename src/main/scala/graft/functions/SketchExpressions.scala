@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -16,6 +16,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Hashing: FNV-1a 64 over UTF-8 bytes + splitmix64 finalizer per seed —
   * an independent-enough family for MinHash/SimHash banding (no
   * cross-engine oracle depends on the exact hash values).
+  *
+  * All five expressions participate in whole-stage codegen: the
+  * generated code calls the compiled per-row method through a codegen
+  * reference object (config like n/bands/k rides on the instance), so
+  * no CodegenFallback node interrupts the fused pipeline.
   */
 object Sketch {
   @inline final def mix64(zIn: Long): Long = {
@@ -47,15 +52,23 @@ object Sketch {
   * Token semantics match `split(lower(text), '[^a-z0-9]+')` exactly so
   * the DuckDB oracles stay valid. */
 case class ShingleSet(child: Expression, n: Int, distinct: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(input: Any): Any = {
+  override protected def nullSafeEval(input: Any): Any =
+    evalShingles(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleSet", this,
+      classOf[ShingleSet].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.evalShingles($c)")
+  }
+
+  def evalShingles(input: UTF8String): ArrayData = {
     // Locale.ROOT: a tr_TR default locale would map 'I' to dotless ı,
     // silently dropping tokens vs the locale-independent SQL lower()
-    val s = input.asInstanceOf[UTF8String].toString
-      .toLowerCase(java.util.Locale.ROOT)
+    val s = input.toString.toLowerCase(java.util.Locale.ROOT)
     val toks = new java.util.ArrayList[String]()
     var i = 0
     val len = s.length
@@ -96,12 +109,20 @@ case class ShingleSet(child: Expression, n: Int, distinct: Boolean)
 /** minhash_signature(shingles, k) → array<long>: slot j is
   * min over shingles of mix64(fnv1a(s) ^ seed_j). */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    evalSignature(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHash", this,
+      classOf[MinHashSignature].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.evalSignature($c)")
+  }
+
+  def evalSignature(arr: ArrayData): ArrayData = {
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     val n = arr.numElements()
@@ -126,12 +147,20 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   * `bands` equal slices, each slice order-sensitively hashed to one long.
   * Array position = band index (posexplode pairs them back). */
 case class BandHashes(child: Expression, bands: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val sig = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    evalBands(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bandHashes", this,
+      classOf[BandHashes].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.evalBands($c)")
+  }
+
+  def evalBands(sig: ArrayData): ArrayData = {
     val n = sig.numElements()
     val rows = n / bands
     val out = new Array[Long](bands)
@@ -154,13 +183,24 @@ case class BandHashes(child: Expression, bands: Int)
 }
 
 /** simhash64(tokens) → long: 64-bit SimHash over token hashes. */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64.evalTokens(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SimHash64.evalTokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Static per-row fold shared by both execution paths. */
+  def evalTokens(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
     val n = arr.numElements()
@@ -181,26 +221,31 @@ case class SimHash64(child: Expression)
     }
     out
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }
 
 /** hyperplane_signature(vec, k) → long: Charikar sign-LSH with
   * deterministic ±1 hyperplanes derived from mix64(j·P + i). k ≤ 64. */
 case class HyperplaneSignature(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k <= 64, "at most 64 hyperplane bits fit one long")
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplane", this,
+      classOf[HyperplaneSignature].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.evalVec($c)")
+  }
 
   private def component(e: ArrayData, i: Int): Double = child.dataType match {
     case ArrayType(FloatType, _) => e.getFloat(i).toDouble
     case _ => e.getDouble(i)
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val vec = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    evalVec(input.asInstanceOf[ArrayData])
+
+  def evalVec(vec: ArrayData): Long = {
     val dim = vec.numElements()
     var sig = 0L
     var j = 0

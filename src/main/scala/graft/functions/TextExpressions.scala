@@ -1,7 +1,8 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -13,9 +14,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * presence. TextAnalysis.qualityMetrics/langId derive their ratios and
   * argmax from this single struct — previously each metric embedded its
   * own interpreted higher-order-function tree (lambda ExprIds differ per
-  * instance, so common-subexpression elimination never merged them). */
+  * instance, so common-subexpression elimination never merged them).
+  *
+  * Codegen: the expression instance (which owns the stopword hash sets)
+  * is installed as a codegen reference object and the generated code
+  * calls its compiled `profile` method — no CodegenFallback node, so
+  * the surrounding projection stays in one whole-stage function. */
 case class TextProfile(child: Expression, profiles: Seq[Seq[String]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_chars", IntegerType, nullable = false),
@@ -42,8 +48,10 @@ case class TextProfile(child: Expression, profiles: Seq[Seq[String]])
   @inline private def isLowerAlnum(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val raw = input.asInstanceOf[UTF8String].toString
+  /** One-pass profile; called from both execution paths (public so the
+    * generated code can reach it through the reference object). */
+  def profile(input: UTF8String): InternalRow = {
+    val raw = input.toString
     var nPunct = 0; var nDigit = 0; var nUpper = 0; var hasCjk = false
     var i = 0
     while (i < raw.length) {
@@ -80,6 +88,15 @@ case class TextProfile(child: Expression, profiles: Seq[Seq[String]])
         UnsafeArrayData.fromPrimitiveArray(counts), hasCjk))
   }
 
+  override protected def nullSafeEval(input: Any): Any =
+    profile(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("textProfile", this,
+      classOf[TextProfile].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.profile($c)")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -88,23 +105,36 @@ case class TextProfile(child: Expression, profiles: Seq[Seq[String]])
   * whitespace-delimited token count (runs of non-`\s`) and the BPE-ish
   * count (letter runs + digit runs + each single other non-space char —
   * the `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` alternation without
-  * materializing the match array per row). */
-case class TokenCounts(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+  * materializing the match array per row). Codegen emits a static call
+  * to the compiled scanner. */
+case class TokenCounts(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_ws", IntegerType, nullable = false),
     StructField("n_bpe", IntegerType, nullable = false)))
   override def nullIntolerant: Boolean = true
 
+  override protected def nullSafeEval(input: Any): Any =
+    TokenCounts.evalString(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TokenCounts.evalString($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenCounts {
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
   @inline private def isLetter(c: Char): Boolean =
     (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
   @inline private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  /** Static one-pass scanner shared by both execution paths. */
+  def evalString(input: UTF8String): InternalRow = {
+    val s = input.toString
     var nWs = 0; var nBpe = 0
     var i = 0
     val len = s.length
@@ -126,9 +156,6 @@ case class TokenCounts(child: Expression)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](nWs, nBpe))
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }
 
 /** nfc_normalize(text): Unicode canonical composition (NFC) — the
@@ -140,41 +167,60 @@ case class TokenCounts(child: Expression)
   * one `isNormalized` scan, avoiding the normalize + re-encode
   * allocations. (The UTF8String→String decode itself is unavoidable —
   * Normalizer has no UTF8String/CharSequence-over-bytes view.)
+  * Codegen emits a static call to the compiled normalizer.
   *
   * Reference seed: Hive's string canon functions (lower/upper et al.,
   * ql/udf/UDFLower.java) stop at case; NFC is the LLM-pipeline
   * extension of the same per-row shape.
   */
-case class NfcNormalize(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class NfcNormalize(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val u = input.asInstanceOf[UTF8String]
-    val s = u.toString
-    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
-    else UTF8String.fromString(
-      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    NfcNormalize.evalString(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NfcNormalize.evalString($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
+object NfcNormalize {
+  def evalString(u: UTF8String): UTF8String = {
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+}
+
 /** Accent folding: NFD-decompose, drop combining marks (\p{Mn}), NFC
   * re-compose. café→cafe, Zürich→Zurich; non-decomposable letters (ß, ø)
   * pass through — the same contract as DuckDB/ICU `strip_accents`, which
-  * the q178 oracle leans on. ASCII fast path: no decomposition, no copy. */
-case class FoldAccents(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+  * the q178 oracle leans on. ASCII fast path: no decomposition, no copy.
+  * Codegen emits a static call to the compiled folder. */
+case class FoldAccents(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
 
+  override protected def nullSafeEval(input: Any): Any =
+    FoldAccents.evalString(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.FoldAccents.evalString($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object FoldAccents {
   private val marks = java.util.regex.Pattern.compile("\\p{Mn}+")
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val u = input.asInstanceOf[UTF8String]
+  def evalString(u: UTF8String): UTF8String = {
     val s = u.toString
     var ascii = true
     var i = 0
@@ -191,7 +237,4 @@ case class FoldAccents(child: Expression)
         stripped, java.text.Normalizer.Form.NFC))
     }
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -10,7 +10,9 @@ import org.apache.spark.sql.types._
   * quadratic intra-cluster stage). The equivalent
   * `aggregate(zip_with(a, b, *), 0.0, +)` composition allocates a zipped
   * array and makes two interpreted lambda calls per element; this is one
-  * tight primitive loop per row.
+  * tight primitive loop per row, and codegen emits a call to the
+  * compiled loop through a reference object so the surrounding
+  * projection stays inside whole-stage codegen.
   *
   * Result parity with the composition it replaces: identical
   * left-to-right double accumulation (floats widened before multiply),
@@ -18,8 +20,9 @@ import org.apache.spark.sql.types._
   * element is NULL — exactly what zip_with's null padding + null
   * arithmetic produced. */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
   // reject element types comp doesn't read (decimal, string, ...) at
@@ -49,9 +52,9 @@ case class DotProduct(left: Expression, right: Expression)
       case _                         => e.getDouble(i)
     }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  /** Boxed so the generated code can see the NULL contract; called from
+    * both execution paths. */
+  def compute(x: ArrayData, y: ArrayData): java.lang.Double = {
     val n = x.numElements()
     if (y.numElements() != n) return null
     var acc = 0.0
@@ -61,7 +64,25 @@ case class DotProduct(left: Expression, right: Expression)
       acc += comp(left.dataType, x, i) * comp(right.dataType, y, i)
       i += 1
     }
-    acc
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val r = compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (r == null) null else r.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dotProduct", this,
+      classOf[DotProduct].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dot")
+      s"""
+      java.lang.Double $tmp = $ref.compute($a, $b);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp.doubleValue(); }
+      """
+    })
   }
 
   override protected def withNewChildrenInternal(

@@ -186,15 +186,21 @@ object Stats {
     * (greater than everything), so admitting it would diverge from a
     * SQL oracle's NOT EXISTS replay.
     *
-    * Scale shape: the classic two-phase distributed skyline — each
+    * Scale shape: distributed skyline with a TREE merge — each
     * partition reduces to its LOCAL frontier first (a per-partition
     * in-memory scan, the one genuinely imperative step, hence
-    * mapPartitions), then one pass over the union of local frontiers.
-    * Data volume entering phase 2 is Σ per-partition frontier sizes —
-    * for correlated dims a few points per partition; the anti-correlated
-    * worst case (everything on the frontier) degrades to a single-task
-    * scan of what is then the unavoidable output. The result is
-    * order-independent, so repartitioning doesn't change it. */
+    * mapPartitions), then survivors merge through levels of fan-in-8
+    * shuffles, re-running the local-frontier pass at every level, until
+    * one partition remains. No single task ever scans the full input:
+    * each task's input is bounded by fan-in × the frontier sizes of its
+    * children, so dominated points die at the level where they first
+    * meet a dominator. The final one-partition pass sees only what
+    * survived every earlier level — for correlated dims a handful of
+    * points; the anti-correlated worst case (everything on the
+    * frontier) still funnels the eventual OUTPUT through the last task,
+    * which is the unavoidable lower bound for an exact skyline. The
+    * result is order-independent, so repartitioning doesn't change
+    * it. */
   def paretoFrontier(df: DataFrame, dims: Seq[String]): DataFrame = {
     require(dims.nonEmpty, "need at least one dimension")
     val work = dims.foldLeft(df)((d, c) =>
@@ -227,10 +233,17 @@ object Stats {
       buf.iterator
     }
     val spark = df.sparkSession
-    val local = spark.createDataFrame(
-      work.rdd.mapPartitions(frontier), schema)
-    spark.createDataFrame(
-      local.coalesce(1).rdd.mapPartitions(frontier), schema)
+    // phase 1: local frontier per input partition
+    var survivors = work.rdd.mapPartitions(frontier)
+    // phase 2: fan-in-8 tree of shuffled local-frontier passes; shuffle
+    // (not narrow coalesce) so every level is a real parallel stage —
+    // a narrow coalesce would fuse the whole tree into one task
+    var parts = survivors.getNumPartitions
+    while (parts > 1) {
+      parts = math.max(1, math.ceil(parts / 8.0).toInt)
+      survivors = survivors.repartition(parts).mapPartitions(frontier)
+    }
+    spark.createDataFrame(survivors, schema)
   }
 
   /** Two-sample z-statistic for A/B analysis:

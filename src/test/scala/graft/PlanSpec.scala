@@ -54,6 +54,42 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("no graft expression is a CodegenFallback across the inventory") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.catalyst.expressions.aggregate.ImperativeAggregate
+    // every custom SCALAR expression must implement doGenCode — a
+    // fallback node forces the WHOLE surrounding projection out of
+    // generated code. TypedImperativeAggregates are excluded: Spark's
+    // own contract makes them CodegenFallback (they execute inside
+    // ObjectHashAggregate, outside row-level codegen, by design).
+    for (q <- Queries.all) {
+      val fallbacks = Queries.byName(q.name).run(spark, dir)
+        .queryExecution.optimizedPlan
+        .collect { case p => p.expressions.flatMap(_.collect {
+          case e: CodegenFallback
+              if e.getClass.getName.startsWith("graft.") &&
+                !e.isInstanceOf[ImperativeAggregate] => e
+        })}.flatten
+      assert(fallbacks.isEmpty,
+        s"${q.name} carries interpreted graft expressions: " +
+          fallbacks.map(_.getClass.getSimpleName).distinct.mkString(", "))
+    }
+  }
+
+  test("generated code for the custom expressions actually compiles") {
+    // with fallback disabled a Janino error surfaces instead of silently
+    // reverting to interpreted eval — drive every converted expression
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      for (q <- Seq("q105_png_headers", "q163_wav_pcm", "q123_normalize_text",
+          "q178_fold_accents", "q57_token_count", "q59_text_quality",
+          "q111_bitmap_family", "q55_ann_bruteforce", "q53_dedup_simhash",
+          "q51_dedup_minhash", "q54_embed_neardup")) {
+        assert(Queries.byName(q).run(spark, dir).count() >= 0)
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("top-N order+limit plans as TakeOrderedAndProject (no full sort)") {
     val p = plan("q15_orderby_limit")
     assert(p.contains("TakeOrderedAndProject"), s"top-N must not global-sort:\n$p")

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Stats
+import org.apache.spark.sql.functions.lit
 
 class StatsSpec extends SparkSpec {
   import spark.implicits._
@@ -117,6 +118,32 @@ class StatsSpec extends SparkSpec {
     val anti = (1 to 50).map(i => (i.toLong, i.toDouble, (51 - i).toDouble))
       .toDF("id", "x", "y")
     assert(Stats.paretoFrontier(anti, Seq("x", "y")).count() == 50)
+  }
+
+  test("paretoFrontier merges through a tree, not a single full-data task") {
+    // anti-correlated over many partitions: nothing is ever eliminated,
+    // the hardest shape for the merge phase
+    val n = 20000
+    val anti = spark.range(1, n + 1)
+      .select($"id", $"id".cast("double").as("x"),
+        (lit(n + 1).cast("double") - $"id").as("y"))
+      .repartition(32)
+    val out = Stats.paretoFrontier(anti, Seq("x", "y"))
+    // structural: 32 local partitions fan in 8-ways → ≥ 2 shuffle levels
+    // (32→4→1), so no stage coalesced the raw input straight into one
+    // task; each level re-ran the local-frontier pass
+    val shuffles = out.rdd.toDebugString.linesIterator
+      .count(_.contains("ShuffledRDD"))
+    assert(shuffles >= 2, s"expected a leveled tree merge, got:\n" +
+      out.rdd.toDebugString)
+    assert(out.count() == n)
+    // and the correlated case still collapses to the single best point
+    val corr = spark.range(1, 1001)
+      .select($"id", $"id".cast("double").as("x"),
+        $"id".cast("double").as("y"))
+      .repartition(32)
+    val best = Stats.paretoFrontier(corr, Seq("x", "y")).collect()
+    assert(best.length == 1 && best.head.getLong(0) == 1000L)
   }
 
   test("twoSampleZ: hand-computed statistic; empty/degenerate variants → NULL") {
