@@ -18,14 +18,31 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Simplified PageRank (no dangling-mass redistribution — every node
-    * in `edges` has out-degree ≥ 1 by construction; nodes never appearing
-    * as a source keep receiving only the teleport term). Returns
-    * (node, pr) after `iters` rounds, pr rounded to 9 decimals. */
+  /** PageRank over an edge list. Two operating modes:
+    *
+    * Default (`redistributeDangling = false, tol = 0`): the simplified
+    * fixed-rounds contract — dangling nodes (no out-edges) leak their
+    * mass and every node keeps receiving at least the teleport term.
+    * Exactly `iters` rounds, zero driver-side actions per round, fully
+    * SQL-replayable (the q173 oracle unrolls it as chained CTEs).
+    *
+    * Production mode: `redistributeDangling = true` conserves total
+    * mass — each round the previous ranks of dangling nodes are summed
+    * (one tiny exact-decimal aggregate) and handed back to every node
+    * as damping·(danglingSum/|V|), so Σpr stays |V| and rank order no
+    * longer depends on how many sinks the crawl frontier has. A
+    * `tol > 0` adds convergence termination: the round's mean absolute
+    * rank change (one count-sized aggregate per round — the bounded
+    * driver-steered pattern, like bpeTrain's argmax) stops iteration
+    * early, with `iters` as the hard cap.
+    *
+    * Returns (node, pr) with pr rounded to 9 decimals. */
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, damping: Double = 0.85): DataFrame = {
+      iters: Int, damping: Double = 0.85,
+      redistributeDangling: Boolean = false, tol: Double = 0.0): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    require(tol >= 0.0, "tol must be >= 0")
     // decimal-exact teleport constant: 1 - 0.85 in binary doubles is
     // 0.15000000000000002, one ulp ABOVE the double a SQL oracle's
     // literal 0.15 parses to — compute it the way the replaying engine
@@ -49,11 +66,26 @@ object Graph {
         .union(e.select(col("dst").as("node"))).distinct()
         .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
         .localCheckpoint(true)
+      val nV: Long =
+        if (redistributeDangling || tol > 0) nodes.count() else 0L
       var pr = nodes.withColumn("pr", lit(1.0))
       var prevCut: DataFrame = null
-      for (i <- 1 to iters) {
+      var i = 1
+      var converged = false
+      while (i <= iters && !converged) {
+        val prevPr = pr
+        // dangling mass of the PREVIOUS round: exact decimal sum over
+        // the (usually small) outdeg-less slice, one scalar to the
+        // driver, folded back in as a per-node constant
+        val danglingPerNode: Double =
+          if (redistributeDangling && nV > 0) {
+            val s = prevPr.filter(col("outdeg").isNull)
+              .agg(sum(col("pr").cast("decimal(28,9)")).as("s"))
+              .head().getDecimal(0)
+            if (s == null) 0.0 else s.doubleValue() / nV
+          } else 0.0
         val contrib = e
-          .join(pr.select(col("node").as("src"), col("outdeg"), col("pr")),
+          .join(prevPr.select(col("node").as("src"), col("outdeg"), col("pr")),
             "src")
           .select(col("dst"),
             round(col("pr") / col("outdeg"), 12)
@@ -63,16 +95,27 @@ object Graph {
           .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
           .select(col("node"), col("outdeg"),
             round(lit(teleport) +
-              lit(damping) * coalesce(col("mass").cast("double"), lit(0.0)),
+              lit(damping) * (coalesce(col("mass").cast("double"), lit(0.0)) +
+                lit(danglingPerNode)),
               9).as("pr"))
           // eager cut per round (the connectedComponents discipline):
           // keeps the plan bounded and each round's shuffle work done
           // exactly once; the previous round's pinned blocks go as soon
           // as the new round is materialized
           .localCheckpoint(true)
+        if (tol > 0 && nV > 0) {
+          // mean absolute rank change; prevPr is still pinned here —
+          // its release happens only after the delta is measured
+          val l1 = pr
+            .join(prevPr.select(col("node"), col("pr").as("__prev")), "node")
+            .agg(sum(abs(col("pr") - col("__prev"))).as("d"))
+            .head().getDouble(0)
+          converged = l1 / nV <= tol
+        }
         if (prevCut != null)
           org.apache.spark.sql.graftbridge.CheckpointBridge.release(prevCut)
         prevCut = pr
+        i += 1
       }
       // the final round's checkpoint backs the returned frame (the one
       // pinned |V|-row copy — the connectedComponents contract); the

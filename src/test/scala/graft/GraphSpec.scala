@@ -25,6 +25,44 @@ class GraphSpec extends SparkSpec {
     assert(pr2 == Map("a" -> 0.63875, "b" -> 0.575, "c" -> 0.575))
   }
 
+  test("pageRank redistributes dangling mass: ranks sum to |V| within tol") {
+    // c is dangling; in the simplified mode its mass leaks every round
+    // (sum < |V|), in production mode it returns as a uniform share
+    val tol = 1e-6
+    val leaky = Graph.pageRank(edges, "src", "dst", iters = 8)
+      .agg(org.apache.spark.sql.functions.sum("pr")).head().getDouble(0)
+    assert(leaky < 2.9, s"simplified mode leaks sink mass, sum = $leaky")
+    val conserved = Graph.pageRank(edges, "src", "dst", iters = 50,
+        redistributeDangling = true, tol = tol)
+      .agg(org.apache.spark.sql.functions.sum("pr")).head().getDouble(0)
+    assert(math.abs(conserved - 3.0) < 0.01,
+      s"dangling redistribution must conserve total mass, sum = $conserved")
+    // hand-check round 1: dangling share = 1/3 per node
+    // a <- b/1 = 1.0    -> 0.15 + 0.85*(1.0 + 1/3)  = 1.283333333
+    // b <- a/2 = 0.5    -> 0.15 + 0.85*(0.5 + 1/3)  = 0.858333333
+    // c <- a/2 = 0.5    ->                            0.858333333
+    val r1 = Graph.pageRank(edges, "src", "dst", iters = 1,
+        redistributeDangling = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(r1("a") - 1.283333333) < 1e-9)
+    assert(math.abs(r1("b") - 0.858333333) < 1e-9)
+    assert(math.abs(r1("c") - 0.858333333) < 1e-9)
+  }
+
+  test("pageRank tol terminates early and matches the run-to-cap ranks") {
+    // a 2-cycle converges fast; with a loose tol the 50-round cap must
+    // not be reached, and the result equals the fully-iterated one
+    val cyc = Seq(("x", "y"), ("y", "x")).toDF("src", "dst")
+    val t0 = System.nanoTime()
+    val early = Graph.pageRank(cyc, "src", "dst", iters = 50, tol = 1e-12)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // symmetric 2-cycle fixed point: pr = 1 exactly, reached in round 1
+    assert(early == Map("x" -> 1.0, "y" -> 1.0))
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(elapsed < 60.0,
+      s"50 rounds would take far longer than the converged run ($elapsed s)")
+  }
+
   test("triangleCount: K4 has 4 triangles, 3 per node; path has none") {
     val k4 = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
       ("b", "d"), ("c", "d")).toDF("x", "y")
