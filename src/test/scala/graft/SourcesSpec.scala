@@ -249,4 +249,155 @@ class SourcesSpec extends SparkSpec {
     nation.write.option("compression", "zlib").orc(o2)
     assert(spark.read.orc(o2).count() == 25)
   }
+
+  // ---- RCFile fixture builder: writes the byte layout from the
+  //      normative BNF in ql/io/RCFile.java's javadoc, independently of
+  //      the reader under test ----
+
+  private def writeHadoopVLong(o: java.io.DataOutput, v: Long): Unit =
+    if (v >= -112 && v <= 127) o.writeByte(v.toInt)
+    else {
+      var len = -112
+      var value = v
+      if (value < 0) { value = ~value; len = -120 }
+      var tmp2 = value
+      while (tmp2 != 0) { tmp2 >>>= 8; len -= 1 }
+      o.writeByte(len)
+      val n = if (len < -120) -(len + 120) else -(len + 112)
+      var idx = n - 1
+      while (idx >= 0) {
+        o.writeByte(((value >> (8 * idx)) & 0xff).toInt)
+        idx -= 1
+      }
+    }
+
+  private def writeText(o: java.io.DataOutput, s: String): Unit = {
+    val b = s.getBytes("UTF-8")
+    writeHadoopVLong(o, b.length)
+    o.write(b)
+  }
+
+  private def deflate(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(b); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Build one RCFile: `groups` of rows, each row a seq of nullable
+    * strings; a sync marker is interleaved before every group after the
+    * first (the layout a multi-group writer produces). */
+  private def rcFixture(
+      groups: Seq[Seq[Seq[Option[String]]]], compressed: Boolean): Array[Byte] = {
+    val nCols = groups.head.head.size
+    val sync = Array.tabulate[Byte](16)(i => (0x40 + i).toByte)
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bos)
+    o.write(Array[Byte]('R', 'C', 'F', 1))
+    o.writeBoolean(compressed)
+    if (compressed)
+      writeText(o, "org.apache.hadoop.io.compress.DefaultCodec")
+    o.writeInt(1) // metadata pairs
+    writeText(o, "hive.io.rcfile.column.number")
+    writeText(o, nCols.toString)
+    o.write(sync)
+    groups.zipWithIndex.foreach { case (rows, gi) =>
+      if (gi > 0) { o.writeInt(-1); o.write(sync) } // interleaved sync
+      val numRows = rows.size
+      // per-column plain buffers + field lengths
+      val colBytes = (0 until nCols).map { c =>
+        val cells = rows.map(r =>
+          r(c).getOrElse(graft.sources.RcFiles.NullSequence).getBytes("UTF-8"))
+        (cells.reduce(_ ++ _), cells.map(_.length))
+      }
+      val valueParts = colBytes.map { case (plain, _) =>
+        if (compressed) deflate(plain) else plain
+      }
+      // key section: numRows, then per column (diskLen, plainLen,
+      // keyBufLen, RLE'd field lengths)
+      val keyBos = new java.io.ByteArrayOutputStream()
+      val k = new java.io.DataOutputStream(keyBos)
+      writeHadoopVLong(k, numRows)
+      colBytes.zip(valueParts).foreach { case ((plain, lens), disk) =>
+        writeHadoopVLong(k, disk.length)
+        writeHadoopVLong(k, plain.length)
+        val rleBos = new java.io.ByteArrayOutputStream()
+        val rle = new java.io.DataOutputStream(rleBos)
+        var i = 0
+        while (i < lens.size) {
+          var run = 0
+          while (i + run + 1 < lens.size && lens(i + run + 1) == lens(i))
+            run += 1
+          writeHadoopVLong(rle, lens(i))
+          if (run > 0) writeHadoopVLong(rle, ~run) // 1,1,1 ⇒ 1,~2
+          i += run + 1
+        }
+        writeHadoopVLong(k, rleBos.size())
+        rleBos.writeTo(k)
+      }
+      val keyPlain = keyBos.toByteArray
+      val keyDisk = if (compressed) deflate(keyPlain) else keyPlain
+      o.writeInt(keyDisk.length + valueParts.map(_.length).sum) // record len
+      o.writeInt(keyPlain.length)   // key length (uncompressed)
+      o.writeInt(keyDisk.length)    // compressed key length
+      o.write(keyDisk)
+      valueParts.foreach(o.write)
+    }
+    bos.toByteArray
+  }
+
+  private val rcSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("name",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("score",
+      org.apache.spark.sql.types.DoubleType)))
+
+  private val rcGroups: Seq[Seq[Seq[Option[String]]]] = Seq(
+    Seq(Seq(Some("1"), Some("alpha"), Some("1.5")),
+      Seq(Some("2"), None, Some("2.5")),
+      Seq(Some("3"), Some("gamma"), Some("3.5"))),
+    Seq(Seq(Some("4"), Some("delta"), Some("4.5"))))
+
+  test("RCFile reader: plain fixture with sync marker, RLE lengths, nulls") {
+    val dir = new java.io.File(tmp("rcf"))
+    java.nio.file.Files.write(
+      new java.io.File(dir, "part-00000.rc").toPath,
+      rcFixture(rcGroups, compressed = false))
+    val got = graft.sources.RcFiles.read(spark, dir.toString, rcSchema)
+      .orderBy("id").collect()
+    assert(got.length == 4)
+    assert(got(0).getInt(0) == 1 && got(0).getString(1) == "alpha" &&
+      got(0).getDouble(2) == 1.5)
+    assert(got(1).isNullAt(1), "\\N must decode to NULL")
+    assert(got(3).getInt(0) == 4 && got(3).getString(1) == "delta" &&
+      got(3).getDouble(2) == 4.5)
+  }
+
+  test("RCFile reader: DefaultCodec (zlib) compressed key and columns") {
+    val dir = new java.io.File(tmp("rcfz"))
+    java.nio.file.Files.write(
+      new java.io.File(dir, "part-00000.rc").toPath,
+      rcFixture(rcGroups, compressed = true))
+    val got = graft.sources.RcFiles.read(spark, dir.toString, rcSchema)
+      .orderBy("id").collect()
+    assert(got.length == 4)
+    assert(got.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    assert(got(2).getString(1) == "gamma" && got(2).getDouble(2) == 3.5)
+  }
+
+  test("RCFile reader: legacy SEQ6 header and bad magic fail loudly") {
+    val dir = new java.io.File(tmp("rcfbad"))
+    java.nio.file.Files.write(new java.io.File(dir, "seq.rc").toPath,
+      Array[Byte]('S', 'E', 'Q', 6) ++ Array.fill[Byte](40)(0))
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.sources.RcFiles.read(spark, dir.toString, rcSchema).collect()
+    }
+    assert(e.getMessage.contains("SEQ6") ||
+      Option(e.getCause).exists(_.getMessage.contains("SEQ6")))
+  }
 }
