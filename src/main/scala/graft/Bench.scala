@@ -47,29 +47,38 @@ object Bench {
     runOnce("q01_agg_filter") // JVM/IO warmup, untimed
 
     val selected = if (args.nonEmpty) headline.filter(args.contains) else headline
-    // Two runs per query, second one reported: the first pays plan
-    // compilation + codegen, so round-over-round deltas track engine
-    // changes instead of JIT noise (VERDICT r01 bench-hygiene note).
-    // a failed query reports -1, not its time-to-failure — otherwise a
-    // fast crash reads as a speedup in round-over-round comparison
+    // One untimed warmup run per query (plan compilation + codegen),
+    // then SPARK_GRAFT_BENCH_RUNS (default 3) timed runs: the reported
+    // scalar is the MEDIAN, and min/max ride along in "spread" so a
+    // 25-75 ms JIT/scheduler wobble is machine-distinguishable from a
+    // real regression without reading source (VERDICT r04 item 7).
+    // A failed query reports -1, not its time-to-failure — otherwise a
+    // fast crash reads as a speedup in round-over-round comparison.
+    val runs = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val results = selected.map { name =>
-      var t = 0.0
       var ok = true
-      (0 until 2).foreach { _ =>
+      def timed(): Double = {
         val t0 = System.nanoTime()
         try runOnce(name)
         catch { case e: Throwable =>
           ok = false
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        t = (System.nanoTime() - t0) / 1e9
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (if (ok) t else -1.0)
+      timed() // warmup, untimed
+      val ts = Seq.fill(runs)(timed()).sorted
+      val med = ts((ts.size - 1) / 2) // lower median
+      if (ok) (name, med, ts.head, ts.last) else (name, -1.0, -1.0, -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
+    val spread = results.map { case (k, _, mn, mx) =>
+      "\"" + k + "\":{\"min\":" + mn + ",\"max\":" + mx + ",\"runs\":" + runs + "}"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,6 +37,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("GraftBitmap ≡ Set semantics on random keys across all regimes") {
+    import graft.functions.GraftBitmap
+    // key pools chosen to hit every container path: dense low range
+    // (bitmap container), sparse low (array), chunk boundaries (64k±1),
+    // giant keys (array in far chunks), and the 4096 promotion edge
+    val pools = Seq(
+      () => rnd.nextInt(3000),                        // array container
+      () => rnd.nextInt(60000),                       // promotes to bitmap
+      () => 65536 * rnd.nextInt(4) + rnd.nextInt(3),  // chunk edges
+      () => rnd.nextInt(3) * 1000000000 + rnd.nextInt(10))
+    (0 until 4).foreach { trial =>
+      val pool = pools(trial)
+      val n = if (trial == 1) 9000 else 500 // force promotion in trial 1
+      def randomSet(): (GraftBitmap, Set[Int]) = {
+        val bm = new GraftBitmap()
+        val ref = scala.collection.mutable.Set.empty[Int]
+        (0 until n).foreach { _ =>
+          val k = pool()
+          bm.set(k); ref += k
+        }
+        (bm, ref.toSet)
+      }
+      val (a, refA) = randomSet()
+      val (b, refB) = randomSet()
+      assert(a.cardinality == refA.size, s"trial $trial cardinality")
+      // serialize round-trip preserves everything
+      val rt = GraftBitmap.valueOf(a.serialize())
+      assert(rt.cardinality == refA.size, s"trial $trial round-trip")
+      // and/or against an independent Set reference
+      val i = GraftBitmap.valueOf(a.serialize()); i.and(b)
+      assert(i.cardinality == (refA intersect refB).size,
+        s"trial $trial intersect")
+      val u = GraftBitmap.valueOf(a.serialize()); u.or(b)
+      assert(u.cardinality == (refA union refB).size, s"trial $trial union")
+      // or() must not alias the other side's containers: mutating the
+      // union afterwards must leave b unchanged
+      u.set(pool())
+      assert(b.cardinality == refB.size, s"trial $trial aliasing")
+    }
+  }
+
   test("containmentPairs ≡ brute-force gram-set reference on random docs") {
     import graft.operators.Dedup
     val docs = (0L until 40L).map(i => (i, sentence(6 + rnd.nextInt(20))))
