@@ -57,5 +57,45 @@ object Round5Queries {
             lit(114L) * col("sum_b")).as("luma_millis"),
           col("mean_r"), col("mean_g"), col("mean_b"))
         .orderBy("id")
+    },
+
+    // -- ACID delta-file lifecycle (Acid.scala): two insert txns, an
+    //    update txn, a MAJOR compaction + clean, then a delete txn that
+    //    must resolve against the compacted base. The oracle recomputes
+    //    the final committed state relationally; o_totalprice * 2 is a
+    //    power-of-two scale, bit-exact in both engines.
+    dfQ("q207_acid_snapshot", """
+      WITH cur AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 10 < 5
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 7),
+      upd AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+               ELSE o_totalprice END AS o_totalprice
+        FROM cur)
+      SELECT * FROM upd WHERE o_orderkey % 5 <> 0
+      ORDER BY o_orderkey""") { (s, d) =>
+      val orders = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-acid-q207").toString
+      try {
+        Acid.create(t)
+        Acid.insertTxn(s, t, orders.filter(col("o_orderkey") % 10 < 5))
+        Acid.insertTxn(s, t, orders.filter(col("o_orderkey") % 10 === 7))
+        Acid.updateTxn(s, t, Map("o_totalprice" -> "o_totalprice * 2"),
+          "o_orderkey % 3 = 0")
+        Acid.compactMajor(s, t)
+        Acid.clean(t)
+        Acid.deleteTxn(s, t, "o_orderkey % 5 = 0")
+        // eager checkpoint: the frame must outlive the table directory
+        Acid.snapshot(s, t).orderBy("o_orderkey").localCheckpoint()
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(t)).deleteRecursively()
+      }
     })
 }

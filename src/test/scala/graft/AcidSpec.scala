@@ -1,0 +1,233 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ACID delta-file layout: event-log writes, read-time merge, compactor
+  * (initiator/worker/cleaner), crash-safe staging. Layout semantics per
+  * the reference's AcidUtils/OrcRecordUpdater (see Acid.scala scaladoc). */
+class AcidSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft-acid-spec").toString
+
+  private def dirs(path: String): Seq[String] =
+    Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+
+  private def rows(df: DataFrame): Set[(Long, String, Double)] =
+    df.select("k", "s", "v").as[(Long, String, Double)].collect().toSet
+
+  private def seed(n: Int): DataFrame =
+    spark.range(n).select(col("id").as("k"),
+      concat(lit("s"), col("id") % 3).as("s"),
+      (col("id") * 1.5).as("v"))
+
+  test("insert txns append deltas; snapshot is their union") {
+    val t = tmpTable()
+    Acid.create(t)
+    assert(Acid.insertTxn(spark, t, seed(10)) == 1L)
+    assert(Acid.insertTxn(spark, t, seed(20).filter($"k" >= 10)) == 2L)
+    assert(dirs(t) == Seq("delta_0000001_0000001", "delta_0000002_0000002"))
+    assert(rows(Acid.snapshot(spark, t)) == rows(seed(20)))
+  }
+
+  test("update/delete write O(changed) events and merge correctly") {
+    val t = tmpTable()
+    Acid.create(t)
+    Acid.insertTxn(spark, t, seed(100))
+    Acid.updateTxn(spark, t, Map("v" -> "v * 2"), "k % 10 = 3")
+    Acid.deleteTxn(spark, t, "k % 10 = 7")
+    // delta sizes prove the O(changes) write: 10 events each, not 100
+    val upd = spark.read.parquet(s"$t/delta_0000002_0000002")
+    val del = spark.read.parquet(s"$t/delta_0000003_0000003")
+    assert(upd.count() == 10 && del.count() == 10)
+    assert(del.filter(col("row").isNotNull).count() == 0) // delete: row NULL
+    val expected = seed(100)
+      .withColumn("v", when($"k" % 10 === 3, $"v" * 2).otherwise($"v"))
+      .filter($"k" % 10 =!= 7)
+    assert(rows(Acid.snapshot(spark, t)) == rows(expected))
+  }
+
+  test("repeated updates on one row: highest write id wins") {
+    val t = tmpTable()
+    Acid.create(t)
+    Acid.insertTxn(spark, t, seed(5))
+    Acid.updateTxn(spark, t, Map("v" -> "100.0"), "k = 2")
+    Acid.updateTxn(spark, t, Map("v" -> "v + 1"), "k = 2") // sees 100.0
+    val got = Acid.snapshot(spark, t).filter($"k" === 2)
+      .select("v").as[Double].head()
+    assert(got == 101.0)
+    // the row identity survived both updates: same ROW__ID as at insert
+    val ids = Acid.snapshotWithRowId(spark, t)
+      .filter($"k" === 2).select($"row__id.originalTransaction").as[Long]
+      .collect().toSeq
+    assert(ids == Seq(1L))
+  }
+
+  test("update honors simultaneous assignment (SET a=b, b=a swaps)") {
+    val t = tmpTable()
+    Acid.create(t)
+    Acid.insertTxn(spark, t,
+      Seq((1L, "x", 1.0, 2.0)).toDF("k", "s", "v", "w"))
+    Acid.updateTxn(spark, t, Map("v" -> "w", "w" -> "v"), "k = 1")
+    val (v, w) = Acid.snapshot(spark, t).select("v", "w")
+      .as[(Double, Double)].head()
+    assert(v == 2.0 && w == 1.0)
+  }
+
+  test("minor compaction merges deltas; originals ignored then cleaned") {
+    val t = tmpTable()
+    Acid.create(t)
+    (1 to 4).foreach(i =>
+      Acid.insertTxn(spark, t, seed(i * 10).filter($"k" >= (i - 1) * 10)))
+    val before = rows(Acid.snapshot(spark, t))
+    Acid.compactMinor(spark, t)
+    // worker done, cleaner not yet run: merged delta + originals coexist,
+    // and the reader must not double-count events
+    assert(dirs(t).contains("delta_0000001_0000004") && dirs(t).size == 5)
+    assert(rows(Acid.snapshot(spark, t)) == before)
+    Acid.clean(t)
+    assert(dirs(t) == Seq("delta_0000001_0000004"))
+    assert(rows(Acid.snapshot(spark, t)) == before)
+  }
+
+  test("major compaction resolves to a base that keeps ROW__IDs") {
+    val t = tmpTable()
+    Acid.create(t)
+    Acid.insertTxn(spark, t, seed(50))
+    Acid.updateTxn(spark, t, Map("s" -> "'upd'"), "k < 5")
+    Acid.deleteTxn(spark, t, "k >= 45")
+    val idsBefore = Acid.snapshotWithRowId(spark, t)
+      .select($"k", $"row__id").as[(Long, (Long, Int, Long))].collect().toMap
+    Acid.compactMajor(spark, t)
+    Acid.clean(t)
+    assert(dirs(t) == Seq("base_0000003"))
+    val after = Acid.snapshotWithRowId(spark, t)
+    val idsAfter = after.select($"k", $"row__id")
+      .as[(Long, (Long, Int, Long))].collect().toMap
+    assert(idsAfter == idsBefore) // compaction never renumbers a live row
+    // and post-base mutations still resolve against the base
+    Acid.deleteTxn(spark, t, "k = 0")
+    assert(Acid.snapshot(spark, t).count() == 44)
+  }
+
+  test("initiator heuristic: none below threshold, major with no base") {
+    val t = tmpTable()
+    Acid.create(t)
+    Acid.insertTxn(spark, t, seed(10))
+    assert(Acid.maybeCompact(spark, t, minDeltas = 3) == "none")
+    Acid.insertTxn(spark, t, seed(20).filter($"k" >= 10))
+    Acid.deleteTxn(spark, t, "k = 1")
+    // 3 deltas, no base -> major
+    assert(Acid.maybeCompact(spark, t, minDeltas = 3) == "major")
+    Acid.clean(t)
+    assert(dirs(t) == Seq("base_0000003"))
+    // small deltas against a base -> minor at a generous ratio
+    Acid.deleteTxn(spark, t, "k = 2")
+    Acid.deleteTxn(spark, t, "k = 3")
+    assert(Acid.maybeCompact(spark, t, minDeltas = 2, ratio = 1e9) == "minor")
+  }
+
+  test("crash-staged _tmp dirs are invisible to readers and write ids") {
+    val t = tmpTable()
+    Acid.create(t)
+    Acid.insertTxn(spark, t, seed(10))
+    // simulate a writer that died before its atomic rename
+    new File(t, "_tmp_delta_0000002_0000002").mkdirs()
+    assert(rows(Acid.snapshot(spark, t)) == rows(seed(10)))
+    assert(Acid.nextWriteId(t) == 2L)
+  }
+
+  test("MERGE INTO is one delta txn: update + delete + insert events") {
+    val t = tmpTable()
+    Acid.create(t)
+    Acid.insertTxn(spark, t, seed(10))
+    val src = Seq(
+      (2L, "keep", 100.0),   // matched, v>=0  -> update
+      (3L, "kill", -1.0),    // matched, v<0   -> delete
+      (42L, "new", 7.0))     // unmatched      -> insert
+      .toDF("sk", "ss", "sv")
+    val w = Acid.mergeTxn(spark, t, src, "s", "t", "t.k = s.sk",
+      matched = Seq(
+        Warehouse.MatchedDelete(Some("s.sv < 0")),
+        Warehouse.MatchedUpdate(None, Map("s" -> "s.ss", "v" -> "s.sv"))),
+      notMatched = Some(Warehouse.NotMatchedInsert(None,
+        Seq("s.sk", "s.ss", "s.sv"))))
+    assert(w == 2L && dirs(t).size == 2) // everything in ONE delta
+    val got = rows(Acid.snapshot(spark, t))
+    val expected = rows(seed(10).filter($"k" =!= 3)
+      .withColumn("s", when($"k" === 2, lit("keep")).otherwise($"s"))
+      .withColumn("v", when($"k" === 2, lit(100.0)).otherwise($"v"))) +
+      ((42L, "new", 7.0))
+    assert(got == expected)
+  }
+
+  test("MERGE cardinality violation (two source matches) is rejected") {
+    val t = tmpTable()
+    Acid.create(t)
+    Acid.insertTxn(spark, t, seed(5))
+    val src = Seq((2L, "a", 1.0), (2L, "b", 2.0)).toDF("sk", "ss", "sv")
+    val e = intercept[IllegalArgumentException] {
+      Acid.mergeTxn(spark, t, src, "s", "t", "t.k = s.sk",
+        matched = Seq(Warehouse.MatchedUpdate(None, Map("s" -> "s.ss"))),
+        notMatched = None)
+    }
+    assert(e.getMessage.contains("cardinality"))
+  }
+
+  test("streaming insert txns are exactly-once across replay + compaction") {
+    val t = tmpTable()
+    Acid.create(t)
+    assert(Acid.streamingInsertTxn(spark, t, seed(10), batchId = 0).isDefined)
+    assert(Acid.streamingInsertTxn(spark, t,
+      seed(20).filter($"k" >= 10), batchId = 1).isDefined)
+    // crash replay of batch 1: skipped
+    assert(Acid.streamingInsertTxn(spark, t,
+      seed(20).filter($"k" >= 10), batchId = 1).isEmpty)
+    assert(rows(Acid.snapshot(spark, t)) == rows(seed(20)))
+    // the committed watermark survives compaction + clean
+    Acid.compactMajor(spark, t)
+    Acid.clean(t)
+    assert(Acid.lastCommittedBatch(t) == 1L)
+    assert(Acid.streamingInsertTxn(spark, t,
+      seed(20).filter($"k" >= 10), batchId = 1).isEmpty)
+    assert(Acid.streamingInsertTxn(spark, t,
+      seed(25).filter($"k" >= 20), batchId = 2).isDefined)
+    assert(Acid.snapshot(spark, t).count() == 25)
+  }
+
+  test("foreachBatch sink commits each micro-batch as one delta") {
+    val t = tmpTable()
+    val ckpt = Files.createTempDirectory("graft-acid-ckpt").toString
+    Acid.create(t)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, String, Double)](spark, 1)
+    input.addData((1L, "a", 1.0), (2L, "b", 2.0))
+    // continuous trigger: AvailableNow would terminate after draining
+    // the first batch, never seeing data added later in the test
+    val q = Acid.startStreamingInsert(
+      input.toDF().toDF("k", "s", "v"), t, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    q.processAllAvailable()
+    input.addData((3L, "c", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(rows(Acid.snapshot(spark, t)) ==
+      Set((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    assert(Acid.lastCommittedBatch(t) >= 1L)
+  }
+
+  test("row identities are unique across buckets and txns") {
+    val t = tmpTable()
+    Acid.create(t)
+    Acid.insertTxn(spark, t, seed(1000).repartition(8))
+    Acid.insertTxn(spark, t, seed(2000).filter($"k" >= 1000).repartition(8))
+    val ids = Acid.snapshotWithRowId(spark, t).select("row__id")
+    assert(ids.distinct().count() == 2000)
+  }
+}
