@@ -2,6 +2,7 @@ package graft
 
 import java.io.File
 import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -49,6 +50,14 @@ import org.apache.spark.sql.types._
   * and `clean` is `Cleaner.java` — obsolete dirs survive until it runs,
   * so in-flight readers holding the old dir list stay consistent.
   *
+  * Conversion is IN-PLACE, like the reference: `snapshot` over a plain
+  * parquet directory (partitioned or not) treats the loose files as
+  * pre-ACID "originals" with synthesized ROW__IDs (originalTransaction
+  * 0, bucket = in-directory file index, rowId = `_metadata.row_index`),
+  * so an existing non-ACID table starts taking delta mutations with no
+  * rewrite; the first major compaction folds the originals into a real
+  * base and the Cleaner drops them.
+  *
   * Single-writer assumption: write-id allocation lists the directory
   * (`nextWriteId`). The reference serializes writers through the
   * metastore transaction manager (`DbTxnManager`), which is service
@@ -67,11 +76,25 @@ object Acid {
 
   private[graft] final case class Delta(min: Long, max: Long, dir: File)
   private[graft] final case class State(base: Option[(Long, File)],
-      deltas: Seq[Delta])
+      deltas: Seq[Delta], originals: Seq[File])
 
   private def visible(f: File): Boolean = {
     val n = f.getName
     f.isDirectory && !n.startsWith(".") && !n.startsWith("_")
+  }
+
+  /** Pre-ACID "original" data files: loose parquet at the table (or
+    * partition) root, as left by a plain non-ACID writer. Listing them in
+    * the census is what makes conversion IN-PLACE, like the reference
+    * (`AcidUtils.getAcidState` returns `getOriginalFiles`; ROW__IDs for
+    * originals are synthesized, `OrcInputFormat.getReader` offset-based):
+    * `Acid.snapshot` over an existing parquet directory just works, the
+    * first delete/update writes deltas against synthesized ROW__IDs, and
+    * the first major compaction folds the originals into a real base. */
+  private def originalFile(f: File): Boolean = {
+    val n = f.getName
+    f.isFile && !n.startsWith(".") && !n.startsWith("_") &&
+      n.endsWith(".parquet")
   }
 
   /** Directory census: highest base + the deltas above it, with subsumed
@@ -98,13 +121,56 @@ object Acid {
       if (!selected.exists(s => s.min <= d.min && d.max <= s.max))
         selected += d
     }
-    State(base, selected.toSeq)
+    // any base covers the originals (major compaction reads them)
+    val originals =
+      if (base.isDefined) Seq.empty
+      else Option(new File(path).listFiles()).getOrElse(Array.empty)
+        .filter(originalFile).sortBy(_.getName).toSeq
+    State(base, selected.toSeq, originals)
   }
 
-  private[graft] def nextWriteId(path: String): Long = {
-    val s = state(path)
-    (s.base.map(_._1).getOrElse(0L) +: s.deltas.map(_.max)).max + 1
+  // ---- partitioned layout (Hive: each partition dir holds its own
+  // base/delta tree; write ids are table-global) ----
+
+  private def isPartitionDir(f: File): Boolean =
+    visible(f) && f.getName.contains("=")
+
+  /** Leaf partition directories (`p=v` or nested `p=v/q=u`), each of
+    * which is structurally an unpartitioned ACID layout — compaction and
+    * cleaning recurse into them unchanged, mirroring the reference's
+    * per-partition compaction queue entries. */
+  private[graft] def partitionLeaves(path: String): Seq[File] = {
+    def walk(dir: File): Seq[File] = {
+      val kids = Option(dir.listFiles()).getOrElse(Array.empty[File])
+        .filter(isPartitionDir)
+      if (kids.isEmpty) Seq(dir)
+      else kids.toSeq.flatMap(walk)
+    }
+    Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .filter(isPartitionDir).toSeq.flatMap(walk)
   }
+
+  private def isPartitioned(path: String): Boolean =
+    Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .exists(isPartitionDir)
+
+  /** Partition column names, derived from the directory layout itself
+    * (no metadata file): the `k` of each `k=v` segment on a leaf path. */
+  private[graft] def partitionColsOf(path: String): Seq[String] =
+    partitionLeaves(path).headOption.map { leaf =>
+      new File(path).toPath.relativize(leaf.toPath).iterator()
+        .asScala.map(_.toString.split("=", 2)(0)).toSeq
+    }.getOrElse(Nil)
+
+  private def ackDirs(path: String): Seq[String] =
+    if (isPartitioned(path)) partitionLeaves(path).map(_.toString)
+    else Seq(path)
+
+  private[graft] def nextWriteId(path: String): Long =
+    ackDirs(path).map { d =>
+      val s = state(d)
+      (s.base.map(_._1).getOrElse(0L) +: s.deltas.map(_.max)).max
+    }.max + 1
 
   /** Stage-then-rename: parquet lands in `_tmp_<name>` (invisible to
     * readers), one atomic dir rename publishes it. `marker`, when set,
@@ -127,7 +193,85 @@ object Acid {
     * (bucket file + monotonically increasing rowid), so ids are unique
     * without any global coordination. The per-bucket row_number is one
     * shuffle on bucket — the cost of any bucketed write. */
-  private def asInsertEvents(df: DataFrame, w: Long): DataFrame = {
+  private def asInsertEvents(df: DataFrame, w: Long): DataFrame =
+    asInsertEventsKeeping(df, w, df.columns.toSeq, Nil)
+
+  /** Write an event frame carrying top-level partition columns into
+    * `<partition dir>/<name>` per partition: stage the whole txn with one
+    * partitioned write, then rename each staged leaf into place. Renames
+    * are atomic per partition; cross-partition atomicity is the txn
+    * manager's job in the reference (metastore `DbTxnManager`), which is
+    * the same service-infra boundary as single-writer id allocation. */
+  private def writeDirPartitioned(events: DataFrame, path: String,
+      partCols: Seq[String], name: String,
+      marker: Option[String] = None): Unit = {
+    val stage = new File(path, s"_tmp_stage_$name")
+    events.write.mode("overwrite").partitionBy(partCols: _*)
+      .parquet(stage.toString)
+    def leaves(dir: File, depth: Int): Seq[File] =
+      if (depth == 0) Seq(dir)
+      else Option(dir.listFiles()).getOrElse(Array.empty[File])
+        .filter(isPartitionDir).toSeq.flatMap(leaves(_, depth - 1))
+    try leaves(stage, partCols.size).foreach { staged =>
+      val rel = stage.toPath.relativize(staged.toPath)
+      val partDir = new File(path, rel.toString)
+      partDir.mkdirs()
+      marker.foreach(m => new File(staged, m).createNewFile())
+      Files.move(staged.toPath, new File(partDir, name).toPath,
+        StandardCopyOption.ATOMIC_MOVE)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(stage).deleteRecursively()
+    }
+  }
+
+  /** Route an event frame to the table layout: one dir for
+    * unpartitioned, per-partition dirs otherwise. */
+  private def publishEvents(events: DataFrame, path: String,
+      partCols: Seq[String], name: String,
+      marker: Option[String] = None): Unit =
+    if (partCols.isEmpty) writeDir(events, path, name, marker)
+    else writeDirPartitioned(events, path, partCols, name, marker)
+
+  /** Create an empty ACID table directory. Like the reference, a fresh
+    * table has no base — the first base appears at major compaction. */
+  def create(path: String): Unit = { new File(path).mkdirs() }
+
+  /** Resolve the partition columns an insert must use: the layout wins
+    * once it exists; `partitionBy` only seeds a fresh table. */
+  private def resolvePartCols(path: String,
+      partitionBy: Seq[String]): Seq[String] = {
+    val layout = partitionColsOf(path)
+    require(layout.isEmpty || partitionBy.isEmpty || layout == partitionBy,
+      s"table at $path is partitioned by ${layout.mkString(",")}, " +
+        s"not ${partitionBy.mkString(",")}")
+    if (layout.nonEmpty) layout else partitionBy
+  }
+
+  /** INSERT transaction: appends one `delta_w_w` of insert events — per
+    * touched partition when the table is partitioned (Hive dynamic
+    * partitioning; partition values live in the directory name, not the
+    * stored rows). */
+  def insertTxn(spark: SparkSession, path: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil): Long = {
+    val partCols = resolvePartCols(path, partitionBy)
+    val w = nextWriteId(path)
+    if (partCols.isEmpty) writeDir(asInsertEvents(df, w), path, deltaName(w, w))
+    else {
+      val missing = partCols.filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"insert is missing partition column(s) ${missing.mkString(",")}")
+      val dataCols = df.columns.filterNot(partCols.contains).toSeq
+      writeDirPartitioned(asInsertEventsKeeping(df, w, dataCols, partCols),
+        path, partCols, deltaName(w, w))
+    }
+    w
+  }
+
+  /** As `asInsertEvents`, but keeps `partCols` top-level for partitioned
+    * routing while the stored `row` struct holds only data columns. */
+  private def asInsertEventsKeeping(df: DataFrame, w: Long,
+      dataCols: Seq[String], partCols: Seq[String]): DataFrame = {
     require(df.columns.map(_.toLowerCase).intersect(
       (MetaCols :+ "row").map(_.toLowerCase)).isEmpty,
       "data columns may not collide with ACID event columns")
@@ -136,61 +280,135 @@ object Acid {
       .withColumn("rowId", row_number().over(
         Window.partitionBy(col("bucket"))
           .orderBy(col("__seq"))).cast("long") - 1)
-      .select(
+      .select(Seq(
         lit(InsertOp).as("operation"),
         lit(w).as("originalTransaction"),
         col("bucket"),
         col("rowId"),
         lit(w).as("currentTransaction"),
-        struct(df.columns.map(col): _*).as("row"))
+        struct(dataCols.map(col): _*).as("row")) ++
+        partCols.map(col): _*)
   }
 
-  /** Create an empty ACID table directory. Like the reference, a fresh
-    * table has no base — the first base appears at major compaction. */
-  def create(path: String): Unit = { new File(path).mkdirs() }
-
-  /** INSERT transaction: appends one `delta_w_w` of insert events. */
-  def insertTxn(spark: SparkSession, path: String, df: DataFrame): Long = {
-    val w = nextWriteId(path)
-    writeDir(asInsertEvents(df, w), path, deltaName(w, w))
-    w
-  }
-
-  /** Current committed snapshot with the ROW__ID virtual column exposed
-    * (originalTransaction, bucket, rowId) — the reference's ROW__ID. */
-  def snapshotWithRowId(spark: SparkSession, path: String): DataFrame = {
-    val s = state(path)
-    val deltas = s.deltas.map(d =>
-      spark.read.parquet(d.dir.toString))
-    val baseEvents = s.base.map { case (w, dir) =>
-      val b = spark.read.parquet(dir.toString)
-      val dataCols = b.columns
-        .filterNot(Set("originalTransaction", "bucket", "rowId"))
-      b.select(
-        lit(InsertOp).as("operation"),
-        col("originalTransaction"),
-        col("bucket"),
-        col("rowId"),
-        lit(w).as("currentTransaction"),
-        struct(dataCols.map(col): _*).as("row"))
-    }
-    val events = (baseEvents.toSeq ++ deltas) match {
-      case Seq() => return spark.emptyDataFrame
-      case es    => es.reduce(_ unionByName _)
-    }
-    // last event per row identity wins; a winning delete drops the row.
-    // max_by over (currentTransaction) is map-side combinable — partial
-    // aggregation resolves most versions before the single shuffle.
+  /** Last event per row identity wins; a winning delete drops the row.
+    * max_by over (currentTransaction) is map-side combinable — partial
+    * aggregation resolves most versions before the single shuffle.
+    * Partition columns are GROUPING keys, not payload: every event of a
+    * row identity lives in the row's partition dir (updates cannot move
+    * partitions, deletes are routed to the target), so adding them to
+    * the key never splits a group — and it makes a partition predicate
+    * over the snapshot pushable through the aggregate all the way to the
+    * scan's PartitionFilters. Without this, `snapshot(t).filter(p = x)`
+    * would merge-scan EVERY partition before filtering — the difference
+    * between one partition and 100 TB. */
+  private def mergeEvents(events: DataFrame,
+      partCols: Seq[String]): DataFrame =
     events
-      .groupBy(col("originalTransaction"), col("bucket"), col("rowId"))
+      .groupBy((partCols ++
+        Seq("originalTransaction", "bucket", "rowId")).map(col): _*)
       .agg(max_by(struct(col("operation"), col("row")),
         col("currentTransaction")).as("last"))
       .filter(col("last.operation") =!= DeleteOp)
-      .select(
+      .select(Seq(
         struct(col("originalTransaction"), col("bucket"), col("rowId"))
           .as("row__id"),
-        col("last.row.*"))
+        col("last.row.*")) ++
+        partCols.map(col): _*)
+
+  /** Base rows re-wrapped as insert events. `currentTransaction` is the
+    * row's own originalTransaction: the census already excludes every
+    * delta at or below the base, so any surviving delta event outranks
+    * a base row, and no other event of that identity can remain. */
+  private def baseAsEvents(b: DataFrame, partCols: Seq[String]): DataFrame = {
+    val dataCols = b.columns.filterNot(
+      Set("originalTransaction", "bucket", "rowId") ++ partCols)
+    b.select(Seq(
+      lit(InsertOp).as("operation"),
+      col("originalTransaction"),
+      col("bucket"),
+      col("rowId"),
+      col("originalTransaction").as("currentTransaction"),
+      struct(dataCols.map(col): _*).as("row")) ++
+      partCols.map(col): _*)
   }
+
+  /** Pre-ACID original files as insert events with SYNTHESIZED row
+    * identities, the reference's on-the-fly ROW__ID for originals:
+    * originalTransaction 0, bucket = the file's index in the table-wide
+    * sorted file list, rowId = the row's position in its file
+    * (`_metadata.row_index` — stable for a given file, so identities
+    * survive re-reads with different task splits, and NO shuffle is
+    * spent synthesizing them). The distinct-path pre-pass is a
+    * metadata-column-only scan bounded by file count, and the whole
+    * synthesis retires at the first major compaction. */
+  private def originalsAsEvents(spark: SparkSession, basePath: String,
+      files: Seq[File], partCols: Seq[String]): DataFrame = {
+    val raw = spark.read.option("basePath", basePath)
+      .parquet(files.map(_.toString): _*)
+      .select(col("*"), col("_metadata.file_path").as("__file"),
+        col("_metadata.row_index").as("rowId"))
+    // bucket = the file's index within ITS OWN directory's sorted file
+    // list, NOT a table-wide index: per-leaf compaction re-synthesizes
+    // identities seeing only its partition's files, so a table-wide
+    // index would renumber rows and resurrect deleted ones. Identities
+    // are therefore unique per partition (the merge keys on partition
+    // columns too), exactly the reference's scope for ROW__ID.
+    val paths = raw.select("__file").distinct()
+      .collect().map(_.getString(0))
+    val bucketOf = spark.createDataFrame(
+      paths.groupBy(p => p.substring(0, p.lastIndexOf('/'))).toSeq
+        .flatMap { case (_, ps) => ps.sorted.zipWithIndex })
+      .toDF("__file", "bucket")
+    val dataCols = raw.columns
+      .filterNot(Set("__file", "rowId") ++ partCols)
+    raw.join(broadcast(bucketOf), "__file")
+      .select(Seq(
+        lit(InsertOp).as("operation"),
+        lit(0L).as("originalTransaction"),
+        col("bucket"),
+        col("rowId"),
+        lit(0L).as("currentTransaction"),
+        struct(dataCols.map(col): _*).as("row")) ++
+        partCols.map(col): _*)
+  }
+
+  /** Current committed snapshot with the ROW__ID virtual column exposed
+    * (originalTransaction, bucket, rowId) — the reference's ROW__ID.
+    * Partitioned tables read as batched scans (every selected base dir,
+    * every selected delta dir, every original file) with
+    * directory-derived partition columns — plan size is constant in
+    * partition count, and Catalyst prunes partitions on the inferred
+    * columns. */
+  def snapshotWithRowId(spark: SparkSession, path: String): DataFrame =
+    if (!isPartitioned(path)) {
+      val s = state(path)
+      val deltas = s.deltas.map(d => spark.read.parquet(d.dir.toString))
+      val baseEvents = s.base.map { case (_, dir) =>
+        baseAsEvents(spark.read.parquet(dir.toString), Nil)
+      }
+      val originalEvents =
+        if (s.originals.isEmpty) None
+        else Some(originalsAsEvents(spark, path, s.originals, Nil))
+      (baseEvents.toSeq ++ originalEvents.toSeq ++ deltas) match {
+        case Seq() => spark.emptyDataFrame
+        case es    => mergeEvents(es.reduce(_ unionByName _), Nil)
+      }
+    } else {
+      val partCols = partitionColsOf(path)
+      val perLeaf = partitionLeaves(path).map(l => state(l.toString))
+      val deltaDirs = perLeaf.flatMap(_.deltas.map(_.dir.toString))
+      val baseDirs = perLeaf.flatMap(_.base.map(_._2.toString))
+      val originals = perLeaf.flatMap(_.originals)
+      def read(dirs: Seq[String]): Option[DataFrame] =
+        if (dirs.isEmpty) None
+        else Some(spark.read.option("basePath", path).parquet(dirs: _*))
+      val events = read(deltaDirs).toSeq ++
+        read(baseDirs).map(baseAsEvents(_, partCols)) ++
+        (if (originals.isEmpty) None
+         else Some(originalsAsEvents(spark, path, originals, partCols)))
+      if (events.isEmpty) spark.emptyDataFrame
+      else mergeEvents(events.reduce(_ unionByName _), partCols)
+    }
 
   /** Current committed snapshot (data columns only). */
   def snapshot(spark: SparkSession, path: String): DataFrame =
@@ -202,9 +420,17 @@ object Acid {
     * table rewrite. */
   def updateTxn(spark: SparkSession, path: String,
       sets: Map[String, String], where: String): Long = {
+    val partCols = partitionColsOf(path)
     val cur = snapshotWithRowId(spark, path)
-    val dataCols = cur.columns.filterNot(_ == "row__id")
+    val dataCols = cur.columns
+      .filterNot(c => c == "row__id" || partCols.contains(c))
     val setsLower = sets.map { case (c, e) => c.toLowerCase -> e }
+    // Hive rejects SET on a partition column (SemanticAnalyzer
+    // updateDelete): an update event stays in its row's partition dir
+    val movedPart = setsLower.keySet
+      .intersect(partCols.map(_.toLowerCase).toSet)
+    require(movedPart.isEmpty,
+      s"UPDATE cannot set partition column(s) ${movedPart.mkString(", ")}")
     val unknown = setsLower.keySet.diff(dataCols.map(_.toLowerCase).toSet)
     require(unknown.isEmpty,
       s"UPDATE SET references column(s) ${unknown.mkString(", ")} not in $path")
@@ -218,13 +444,14 @@ object Acid {
         case None    => col(c)
       }
     }: _*)
-    writeDir(matched.select(
+    publishEvents(matched.select(Seq(
       lit(UpdateOp).as("operation"),
       col("row__id.originalTransaction"),
       col("row__id.bucket"),
       col("row__id.rowId"),
       lit(w).as("currentTransaction"),
-      updatedRow.as("row")), path, deltaName(w, w))
+      updatedRow.as("row")) ++
+      partCols.map(col): _*), path, partCols, deltaName(w, w))
     w
   }
 
@@ -232,17 +459,20 @@ object Acid {
     * NULL), matching `OrcRecordUpdater.delete`. NULL predicate keeps the
     * row (three-valued logic, as in `Warehouse.delete`). */
   def deleteTxn(spark: SparkSession, path: String, where: String): Long = {
+    val partCols = partitionColsOf(path)
     val cur = snapshotWithRowId(spark, path)
-    val dataCols = cur.columns.filterNot(_ == "row__id")
+    val dataCols = cur.columns
+      .filterNot(c => c == "row__id" || partCols.contains(c))
     val w = nextWriteId(path)
     val rowType = cur.select(struct(dataCols.map(col): _*)).schema.head.dataType
-    writeDir(cur.filter(coalesce(expr(where), lit(false))).select(
+    publishEvents(cur.filter(coalesce(expr(where), lit(false))).select(Seq(
       lit(DeleteOp).as("operation"),
       col("row__id.originalTransaction"),
       col("row__id.bucket"),
       col("row__id.rowId"),
       lit(w).as("currentTransaction"),
-      lit(null).cast(rowType).as("row")), path, deltaName(w, w))
+      lit(null).cast(rowType).as("row")) ++
+      partCols.map(col): _*), path, partCols, deltaName(w, w))
     w
   }
 
@@ -261,8 +491,21 @@ object Acid {
       notMatched: Option[Warehouse.NotMatchedInsert]): Long = {
     require(matched.nonEmpty || notMatched.nonEmpty,
       "MERGE needs at least one WHEN clause")
+    val partCols = partitionColsOf(path)
     val cur = snapshotWithRowId(spark, path)
-    val dataCols = cur.columns.filterNot(_ == "row__id")
+    // data columns exclude partition columns: they are directory-encoded,
+    // never in the stored row struct; an insert still VALUES them (dynamic
+    // partitioning routes the event), an update may not SET them
+    val allCols = cur.columns.filterNot(_ == "row__id").toSeq
+    val dataCols = allCols.filterNot(partCols.contains)
+    matched.foreach {
+      case Warehouse.MatchedUpdate(_, sets) =>
+        val p = sets.keySet.map(_.toLowerCase)
+          .intersect(partCols.map(_.toLowerCase).toSet)
+        require(p.isEmpty,
+          s"MERGE UPDATE cannot set partition column(s) ${p.mkString(", ")}")
+      case _ => ()
+    }
     val w = nextWriteId(path)
     val t = cur.alias(targetAlias)
     val s = source.alias(sourceAlias)
@@ -273,7 +516,10 @@ object Acid {
     val joined = t.join(s, expr(on), "inner")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val dup = joined.groupBy(col(s"$targetAlias.row__id"))
+      // key on (partition, row__id): identities of adopted originals are
+      // unique per partition, not table-wide
+      val dup = joined.groupBy(col(s"$targetAlias.row__id") +:
+          partCols.map(c => col(s"$targetAlias.$c")): _*)
         .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
       require(dup == 0,
         s"MERGE cardinality violation: a row of $path matches more than " +
@@ -291,10 +537,11 @@ object Acid {
       val withOut = joined.withColumn("__out", outcome)
       val rowType = cur.select(struct(dataCols.map(c =>
         col(c)): _*)).schema.head.dataType
+      val targetParts = partCols.map(c => col(s"$targetAlias.$c"))
       val matchedEvents = matched.zipWithIndex.map {
         case (Warehouse.MatchedUpdate(_, sets), i) =>
           val setsLower = sets.map { case (c, e) => c.toLowerCase -> e }
-          withOut.filter(col("__out") === (i + 1)).select(
+          withOut.filter(col("__out") === (i + 1)).select(Seq(
             lit(UpdateOp).as("operation"),
             col(s"$targetAlias.row__id.originalTransaction"),
             col(s"$targetAlias.row__id.bucket"),
@@ -306,29 +553,31 @@ object Acid {
                   .cast(cur.schema(c).dataType).as(c)
                 case None => col(s"$targetAlias.$c")
               }
-            }: _*).as("row"))
+            }: _*).as("row")) ++ targetParts: _*)
         case (Warehouse.MatchedDelete(_), i) =>
-          withOut.filter(col("__out") === (i + 1)).select(
+          withOut.filter(col("__out") === (i + 1)).select(Seq(
             lit(DeleteOp).as("operation"),
             col(s"$targetAlias.row__id.originalTransaction"),
             col(s"$targetAlias.row__id.bucket"),
             col(s"$targetAlias.row__id.rowId"),
             lit(w).as("currentTransaction"),
-            lit(null).cast(rowType).as("row"))
+            lit(null).cast(rowType).as("row")) ++ targetParts: _*)
       }
       val insertEvents = notMatched.map { ins =>
-        require(ins.values.size == dataCols.length,
+        require(ins.values.size == allCols.length,
           s"MERGE INSERT VALUES arity ${ins.values.size} != " +
-            s"${dataCols.length} columns of $path")
+            s"${allCols.length} columns of $path")
         val unmatchedSrc = s.join(t, expr(on), "left_anti")
           .filter(ins.cond.map(expr).getOrElse(lit(true)))
-        asInsertEvents(unmatchedSrc.select(
-          ins.values.zip(dataCols).map { case (v, c) =>
+        val inserted = unmatchedSrc.select(
+          ins.values.zip(allCols).map { case (v, c) =>
             expr(v).cast(cur.schema(c).dataType).as(c)
-          }: _*), w)
+          }: _*)
+        if (partCols.isEmpty) asInsertEvents(inserted, w)
+        else asInsertEventsKeeping(inserted, w, dataCols, partCols)
       }
       val events = (matchedEvents ++ insertEvents).reduce(_ unionByName _)
-      writeDir(events, path, deltaName(w, w))
+      publishEvents(events, path, partCols, deltaName(w, w))
       w
     } finally { joined.unpersist(); () }
   }
@@ -343,13 +592,14 @@ object Acid {
     * the dir it writes (see below) — cleaning originals must not forget
     * history, or a replay after compaction would double-insert. */
   private[graft] def lastCommittedBatch(path: String): Long = {
-    val children = Option(new File(path).listFiles()).getOrElse(Array.empty)
+    val ids: Seq[Long] = ackDirs(path)
+      .flatMap(root => Option(new File(root).listFiles())
+        .getOrElse(Array.empty[File]).toSeq)
       .filter(visible)
-    val ids = for {
-      dir <- children
-      f <- Option(dir.listFiles()).getOrElse(Array.empty)
-      if f.getName.startsWith(BatchMarker)
-    } yield f.getName.stripPrefix(BatchMarker).toLong
+      .flatMap(dir => Option(dir.listFiles())
+        .getOrElse(Array.empty[File]).toSeq)
+      .collect { case f if f.getName.startsWith(BatchMarker) =>
+        f.getName.stripPrefix(BatchMarker).toLong }
     if (ids.isEmpty) -1L else ids.max
   }
 
@@ -359,11 +609,16 @@ object Acid {
     * skipped, so foreachBatch redelivery after a crash is exactly-once.
     * Returns the write id, or None for a skipped replay. */
   def streamingInsertTxn(spark: SparkSession, path: String, df: DataFrame,
-      batchId: Long): Option[Long] =
+      batchId: Long, partitionBy: Seq[String] = Nil): Option[Long] =
     if (batchId <= lastCommittedBatch(path)) None
     else {
+      val partCols = resolvePartCols(path, partitionBy)
       val w = nextWriteId(path)
-      writeDir(asInsertEvents(df, w), path, deltaName(w, w),
+      val events =
+        if (partCols.isEmpty) asInsertEvents(df, w)
+        else asInsertEventsKeeping(df, w,
+          df.columns.filterNot(partCols.contains).toSeq, partCols)
+      publishEvents(events, path, partCols, deltaName(w, w),
         marker = Some(s"$BatchMarker$batchId"))
       Some(w)
     }
@@ -390,6 +645,12 @@ object Acid {
     * consistent view, and `state`'s widest-first selection already
     * ignores them for new readers. */
   def compactMinor(spark: SparkSession, path: String): Unit = {
+    if (isPartitioned(path)) {
+      // per-partition worker runs, exactly the reference's per-partition
+      // compaction queue — each leaf is an unpartitioned layout
+      partitionLeaves(path).foreach(l => compactMinor(spark, l.toString))
+      return
+    }
     val s = state(path)
     if (s.deltas.size > 1) {
       val merged = s.deltas.map(d => spark.read.parquet(d.dir.toString))
@@ -404,11 +665,11 @@ object Acid {
     * it when the Cleaner drops the originals would let a post-compaction
     * replay double-insert an already-committed batch. */
   private def maxMarker(dirs: Seq[File]): Option[String] = {
-    val ids = for {
-      dir <- dirs
-      f <- Option(dir.listFiles()).getOrElse(Array.empty)
-      if f.getName.startsWith(BatchMarker)
-    } yield f.getName.stripPrefix(BatchMarker).toLong
+    val ids: Seq[Long] = dirs
+      .flatMap(dir => Option(dir.listFiles())
+        .getOrElse(Array.empty[File]).toSeq)
+      .collect { case f if f.getName.startsWith(BatchMarker) =>
+        f.getName.stripPrefix(BatchMarker).toLong }
     if (ids.isEmpty) None else Some(s"$BatchMarker${ids.max}")
   }
 
@@ -416,6 +677,10 @@ object Acid {
     * rows that KEEP their original ROW__IDs (compaction never renumbers a
     * live row — later deltas still reference it). */
   def compactMajor(spark: SparkSession, path: String): Unit = {
+    if (isPartitioned(path)) {
+      partitionLeaves(path).foreach(l => compactMajor(spark, l.toString))
+      return
+    }
     val s = state(path)
     val w = (s.base.map(_._1).getOrElse(0L) +: s.deltas.map(_.max)).max
     if (w > 0L) {
@@ -434,6 +699,11 @@ object Acid {
     * MINOR otherwise. Returns what it did. */
   def maybeCompact(spark: SparkSession, path: String,
       minDeltas: Int = 10, ratio: Double = 0.1): String = {
+    if (isPartitioned(path)) {
+      val acts = maybeCompactPartitions(spark, path, minDeltas, ratio)
+      return Seq("major", "minor", "none")
+        .map(a => s"$a:${acts.values.count(_ == a)}").mkString(",")
+    }
     val s = state(path)
     if (s.deltas.size < minDeltas) "none"
     else {
@@ -447,12 +717,27 @@ object Acid {
     }
   }
 
+  /** Per-partition Initiator pass (the reference enqueues compactions
+    * per partition): relative partition path → action taken. */
+  def maybeCompactPartitions(spark: SparkSession, path: String,
+      minDeltas: Int = 10, ratio: Double = 0.1): Map[String, String] = {
+    val root = new File(path).toPath
+    partitionLeaves(path).map { l =>
+      root.relativize(l.toPath).toString ->
+        maybeCompact(spark, l.toString, minDeltas, ratio)
+    }.toMap
+  }
+
   /** `Cleaner.java`: drop directories a new reader can no longer select —
     * bases below the best base, deltas at or below it, and deltas strictly
     * inside a selected (compacted) delta. Run only when in-flight readers
     * of the old census are done; that handoff is the reference Cleaner's
     * job too (it waits out open transactions). */
   def clean(path: String): Unit = {
+    if (isPartitioned(path)) {
+      partitionLeaves(path).foreach(l => clean(l.toString))
+      return
+    }
     val s = state(path)
     val keep = (s.base.map(_._2) ++ s.deltas.map(_.dir)).map(_.getName).toSet
     Option(new File(path).listFiles()).getOrElse(Array.empty)
@@ -463,5 +748,10 @@ object Acid {
         Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
         dir.delete()
       }
+    // a base covers the pre-ACID originals: drop them too (the reference
+    // Cleaner removes obsolete originals after the first major compaction)
+    if (s.base.isDefined)
+      Option(new File(path).listFiles()).getOrElse(Array.empty)
+        .filter(originalFile).foreach(_.delete())
   }
 }

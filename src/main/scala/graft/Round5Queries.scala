@@ -97,5 +97,48 @@ object Round5Queries {
         import scala.reflect.io.Directory
         new Directory(new java.io.File(t)).deleteRecursively()
       }
+    },
+
+    // -- Partitioned ACID (per-partition base/delta trees, table-global
+    //    write ids): dynamic-partition insert, a partition-local update,
+    //    per-partition MAJOR compaction + clean, a cross-partition
+    //    delete, then a second insert resolving against the bases. The
+    //    partition column round-trips through the directory encoding.
+    dfQ("q208_acid_partitioned", """
+      WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 4 < 3),
+      upd AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+          CASE WHEN o_orderstatus = 'F' AND o_orderkey % 3 = 0
+               THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+        FROM base),
+      del AS (SELECT * FROM upd WHERE o_orderkey % 7 <> 0),
+      ins AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 4 = 3)
+      SELECT * FROM del UNION ALL SELECT * FROM ins
+      ORDER BY o_orderkey""") { (s, d) =>
+      val orders = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-acid-q208").toString
+      try {
+        Acid.create(t)
+        Acid.insertTxn(s, t, orders.filter(col("o_orderkey") % 4 < 3),
+          partitionBy = Seq("o_orderstatus"))
+        Acid.updateTxn(s, t, Map("o_totalprice" -> "o_totalprice * 2"),
+          "o_orderstatus = 'F' AND o_orderkey % 3 = 0")
+        Acid.compactMajor(s, t)
+        Acid.clean(t)
+        Acid.deleteTxn(s, t, "o_orderkey % 7 = 0")
+        Acid.insertTxn(s, t, orders.filter(col("o_orderkey") % 4 === 3))
+        Acid.snapshot(s, t)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .orderBy("o_orderkey").localCheckpoint()
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(t)).deleteRecursively()
+      }
     })
 }

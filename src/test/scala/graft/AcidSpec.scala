@@ -222,6 +222,171 @@ class AcidSpec extends SparkSpec {
     assert(Acid.lastCommittedBatch(t) >= 1L)
   }
 
+  test("partitioned layout: per-partition delta trees, global write ids") {
+    val t = tmpTable()
+    Acid.create(t)
+    val df = seed(30).withColumn("p", ($"k" % 3).cast("int"))
+    Acid.insertTxn(spark, t, df, partitionBy = Seq("p"))
+    assert(dirs(t).toSet == Set("p=0", "p=1", "p=2"))
+    assert(dirs(s"$t/p=1") == Seq("delta_0000001_0000001"))
+    // partition values live in the directory, not the stored rows
+    val stored = spark.read.parquet(s"$t/p=1/delta_0000001_0000001")
+    assert(!stored.columns.contains("p") &&
+      !stored.select("row.*").columns.contains("p"))
+    // snapshot restores them, and a second txn gets a global write id
+    val snap = Acid.snapshotWithRowId(spark, t)
+    assert(snap.columns.contains("p"))
+    assert(Acid.insertTxn(spark, t,
+      seed(40).filter($"k" >= 30).withColumn("p", ($"k" % 3).cast("int"))) == 2L)
+    assert(Acid.snapshot(spark, t).count() == 40)
+    assert(Acid.snapshot(spark, t).filter($"p" === 1)
+      .select("k").as[Long].collect().toSet ==
+      (0L until 40L).filter(_ % 3 == 1).toSet)
+  }
+
+  test("partitioned update/delete route events to the row's partition") {
+    val t = tmpTable()
+    Acid.create(t)
+    Acid.insertTxn(spark, t,
+      seed(30).withColumn("p", ($"k" % 3).cast("int")),
+      partitionBy = Seq("p"))
+    Acid.updateTxn(spark, t, Map("v" -> "v * 2"), "p = 1")
+    Acid.deleteTxn(spark, t, "p = 2 AND k < 10")
+    // only the touched partitions got new deltas
+    assert(dirs(s"$t/p=0") == Seq("delta_0000001_0000001"))
+    assert(dirs(s"$t/p=1").contains("delta_0000002_0000002"))
+    assert(dirs(s"$t/p=2").contains("delta_0000003_0000003"))
+    val expected = seed(30)
+      .withColumn("p", ($"k" % 3).cast("int"))
+      .withColumn("v", when($"p" === 1, $"v" * 2).otherwise($"v"))
+      .filter(!($"p" === 2 && $"k" < 10))
+    assert(rows(Acid.snapshot(spark, t)) == rows(expected))
+    // partition columns are immutable under UPDATE (Hive rule)
+    val e = intercept[IllegalArgumentException] {
+      Acid.updateTxn(spark, t, Map("p" -> "0"), "k = 1")
+    }
+    assert(e.getMessage.contains("partition column"))
+  }
+
+  test("partitioned compaction + clean run per partition") {
+    val t = tmpTable()
+    Acid.create(t)
+    (0 until 3).foreach { i =>
+      Acid.insertTxn(spark, t,
+        seed((i + 1) * 10).filter($"k" >= i * 10)
+          .withColumn("p", ($"k" % 2).cast("int")),
+        partitionBy = Seq("p"))
+    }
+    val before = rows(Acid.snapshot(spark, t))
+    Acid.compactMajor(spark, t)
+    Acid.clean(t)
+    // each partition carries its own base at ITS high watermark
+    assert(dirs(s"$t/p=0") == Seq("base_0000003"))
+    assert(dirs(s"$t/p=1") == Seq("base_0000003"))
+    assert(rows(Acid.snapshot(spark, t)) == before)
+    // post-compaction mutations still resolve
+    Acid.deleteTxn(spark, t, "k = 0")
+    assert(Acid.snapshot(spark, t).count() == 29)
+    // per-partition initiator: only p=0 (which got the delete delta)
+    // has anything to consider; p=1 is base-only
+    val acts = Acid.maybeCompactPartitions(spark, t, minDeltas = 1)
+    assert(acts.keySet == Set("p=0", "p=1"))
+    assert(acts("p=1") == "none" && acts("p=0") != "none")
+  }
+
+  test("partitioned snapshot prunes unselected partitions at the scan") {
+    val t = tmpTable()
+    Acid.create(t)
+    Acid.insertTxn(spark, t,
+      seed(40).withColumn("p", ($"k" % 4).cast("int")),
+      partitionBy = Seq("p"))
+    val pruned = Acid.snapshot(spark, t).filter($"p" === 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the partition predicate must reach the scan as a PartitionFilter
+    // (directory-level pruning), not survive as a post-scan Filter only
+    assert(plan.contains("PartitionFilters: [isnotnull(p"),
+      s"no partition filter in:\n$plan")
+    assert(pruned.count() == 10)
+  }
+
+  test("partitioned MERGE routes update/delete/insert events correctly") {
+    val t = tmpTable()
+    Acid.create(t)
+    Acid.insertTxn(spark, t,
+      seed(10).withColumn("p", ($"k" % 2).cast("int")),
+      partitionBy = Seq("p"))
+    val src = Seq(
+      (2L, "keep", 100.0),  // matched (p=0) -> update
+      (3L, "kill", -1.0),   // matched (p=1) -> delete
+      (41L, "new", 7.0))    // unmatched     -> insert into p=1
+      .toDF("sk", "ss", "sv")
+    Acid.mergeTxn(spark, t, src, "s", "t", "t.k = s.sk",
+      matched = Seq(
+        Warehouse.MatchedDelete(Some("s.sv < 0")),
+        Warehouse.MatchedUpdate(None, Map("s" -> "s.ss", "v" -> "s.sv"))),
+      notMatched = Some(Warehouse.NotMatchedInsert(None,
+        Seq("s.sk", "s.ss", "s.sv", "cast(s.sk % 2 as int)"))))
+    val got = Acid.snapshot(spark, t)
+    assert(got.filter($"k" === 2).select("s").as[String].head() == "keep")
+    assert(got.filter($"k" === 3).count() == 0)
+    assert(got.filter($"k" === 41).select("p").as[Int].head() == 1)
+    assert(got.count() == 10)
+  }
+
+  test("in-place adoption: snapshot over a plain parquet dir just works") {
+    val t = tmpTable()
+    seed(50).repartition(3).write.mode("overwrite").parquet(t)
+    // pre-ACID originals readable as-is, with synthesized ROW__IDs
+    assert(rows(Acid.snapshot(spark, t)) == rows(seed(50)))
+    val ids = Acid.snapshotWithRowId(spark, t).select("row__id")
+    assert(ids.distinct().count() == 50)
+    assert(ids.select("row__id.originalTransaction").distinct()
+      .as[Long].collect().toSeq == Seq(0L))
+    // identities are stable across reads: delete via predicate, re-read
+    Acid.deleteTxn(spark, t, "k < 10")
+    Acid.updateTxn(spark, t, Map("v" -> "v + 1"), "k = 20")
+    val expected = seed(50).filter($"k" >= 10)
+      .withColumn("v", when($"k" === 20, $"v" + 1).otherwise($"v"))
+    assert(rows(Acid.snapshot(spark, t)) == rows(expected))
+    // first major compaction folds originals into a base; cleaner drops
+    // the original files
+    Acid.compactMajor(spark, t)
+    Acid.clean(t)
+    assert(dirs(t) == Seq("base_0000002"))
+    // only reader-invisible sidecars (_SUCCESS, .crc) may remain
+    assert(new File(t).listFiles().count(f => f.isFile &&
+      !f.getName.startsWith("_") && !f.getName.startsWith(".")) == 0)
+    assert(rows(Acid.snapshot(spark, t)) == rows(expected))
+  }
+
+  test("partitioned adoption: per-partition originals, pruning intact") {
+    val t = tmpTable()
+    seed(40).withColumn("p", ($"k" % 2).cast("int"))
+      .write.partitionBy("p").mode("overwrite").parquet(t)
+    val all = seed(40).withColumn("p", ($"k" % 2).cast("int"))
+    assert(rows(Acid.snapshot(spark, t)) == rows(all))
+    assert(Acid.snapshot(spark, t).filter($"p" === 1).count() == 20)
+    Acid.deleteTxn(spark, t, "p = 0 AND k < 10")
+    // only p=0 got a delta; p=1 is still originals-only
+    assert(dirs(s"$t/p=0").nonEmpty && dirs(s"$t/p=1").isEmpty)
+    val expected = all.filter(!($"p" === 0 && $"k" < 10))
+    assert(rows(Acid.snapshot(spark, t)) == rows(expected))
+    Acid.compactMajor(spark, t)
+    Acid.clean(t)
+    assert(dirs(s"$t/p=0") == Seq("base_0000001"))
+    // p=1 had no deltas (w=0): originals stay until something to compact
+    assert(rows(Acid.snapshot(spark, t)) == rows(expected))
+  }
+
+  test("no-match update/delete txns leave the snapshot readable") {
+    val t = tmpTable()
+    Acid.create(t)
+    Acid.insertTxn(spark, t, seed(10))
+    Acid.deleteTxn(spark, t, "k = 999")
+    Acid.updateTxn(spark, t, Map("v" -> "0.0"), "k = 999")
+    assert(rows(Acid.snapshot(spark, t)) == rows(seed(10)))
+  }
+
   test("row identities are unique across buckets and txns") {
     val t = tmpTable()
     Acid.create(t)
