@@ -379,6 +379,20 @@ object Acid {
     * directory-derived partition columns — plan size is constant in
     * partition count, and Catalyst prunes partitions on the inferred
     * columns. */
+  /** Project resolved insert-only events straight to snapshot form — the
+    * MERGE BYPASS for dirs with no deltas to reconcile: a fully-compacted
+    * (or pure-originals) table reads at plain parquet speed, no aggregate
+    * and no shuffle. This is the payoff the compactor exists for; the
+    * reference likewise serves a delta-free base without the
+    * OrcRawRecordMerger heap. */
+  private def eventsAsSnapshot(events: DataFrame,
+      partCols: Seq[String]): DataFrame =
+    events.select(Seq(
+      struct(col("originalTransaction"), col("bucket"), col("rowId"))
+        .as("row__id"),
+      col("row.*")) ++
+      partCols.map(col): _*)
+
   def snapshotWithRowId(spark: SparkSession, path: String): DataFrame =
     if (!isPartitioned(path)) {
       val s = state(path)
@@ -391,23 +405,36 @@ object Acid {
         else Some(originalsAsEvents(spark, path, s.originals, Nil))
       (baseEvents.toSeq ++ originalEvents.toSeq ++ deltas) match {
         case Seq() => spark.emptyDataFrame
-        case es    => mergeEvents(es.reduce(_ unionByName _), Nil)
+        case es if s.deltas.isEmpty => // nothing to reconcile
+          es.map(eventsAsSnapshot(_, Nil)).reduce(_ unionByName _)
+        case es => mergeEvents(es.reduce(_ unionByName _), Nil)
       }
     } else {
       val partCols = partitionColsOf(path)
       val perLeaf = partitionLeaves(path).map(l => state(l.toString))
-      val deltaDirs = perLeaf.flatMap(_.deltas.map(_.dir.toString))
-      val baseDirs = perLeaf.flatMap(_.base.map(_._2.toString))
-      val originals = perLeaf.flatMap(_.originals)
+      // partitions with deltas pay the merge; delta-free partitions
+      // (base-only or originals-only) bypass it entirely
+      val (dirty, cleanLeaves) = perLeaf.partition(_.deltas.nonEmpty)
       def read(dirs: Seq[String]): Option[DataFrame] =
         if (dirs.isEmpty) None
         else Some(spark.read.option("basePath", path).parquet(dirs: _*))
-      val events = read(deltaDirs).toSeq ++
-        read(baseDirs).map(baseAsEvents(_, partCols)) ++
-        (if (originals.isEmpty) None
-         else Some(originalsAsEvents(spark, path, originals, partCols)))
-      if (events.isEmpty) spark.emptyDataFrame
-      else mergeEvents(events.reduce(_ unionByName _), partCols)
+      def eventsOf(leaves: Seq[State]): Seq[DataFrame] =
+        read(leaves.flatMap(_.deltas.map(_.dir.toString))).toSeq ++
+          read(leaves.flatMap(_.base.map(_._2.toString)))
+            .map(baseAsEvents(_, partCols)) ++ {
+          val orig = leaves.flatMap(_.originals)
+          if (orig.isEmpty) None
+          else Some(originalsAsEvents(spark, path, orig, partCols))
+        }
+      val merged = eventsOf(dirty) match {
+        case Seq() => None
+        case es    => Some(mergeEvents(es.reduce(_ unionByName _), partCols))
+      }
+      val bypassed = eventsOf(cleanLeaves).map(eventsAsSnapshot(_, partCols))
+      (merged.toSeq ++ bypassed) match {
+        case Seq() => spark.emptyDataFrame
+        case es    => es.reduce(_ unionByName _)
+      }
     }
 
   /** Current committed snapshot (data columns only). */
@@ -683,7 +710,10 @@ object Acid {
     }
     val s = state(path)
     val w = (s.base.map(_._1).getOrElse(0L) +: s.deltas.map(_.max)).max
-    if (w > 0L) {
+    // nothing above the base (or originals with no txns yet, w=0): the
+    // worker has nothing to fold — re-running must not collide with the
+    // existing base_w dir
+    if (s.deltas.nonEmpty) {
       val resolved = snapshotWithRowId(spark, path).select(
         col("row__id.originalTransaction"),
         col("row__id.bucket"),

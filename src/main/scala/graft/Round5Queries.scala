@@ -140,5 +140,63 @@ object Round5Queries {
         import scala.reflect.io.Directory
         new Directory(new java.io.File(t)).deleteRecursively()
       }
+    },
+
+    // -- MERGE INTO over the ACID layout: one snapshot-source join emits
+    //    delete + update + insert events into a single delta (first
+    //    matching WHEN clause wins). The oracle replays the same clause
+    //    logic with a LEFT JOIN + ANTI JOIN.
+    dfQ("q209_acid_merge", """
+      WITH t AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0),
+      s AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 0),
+      m AS (
+        SELECT t.o_orderkey, t.o_custkey,
+          CASE WHEN s.o_orderkey IS NOT NULL
+                AND NOT (s.o_totalprice < 50000)
+               THEN 'M' ELSE t.o_orderstatus END AS o_orderstatus,
+          CASE WHEN s.o_orderkey IS NOT NULL
+                AND NOT (s.o_totalprice < 50000)
+               THEN s.o_totalprice * 2 ELSE t.o_totalprice
+               END AS o_totalprice,
+          CASE WHEN s.o_orderkey IS NOT NULL AND s.o_totalprice < 50000
+               THEN 1 ELSE 0 END AS del
+        FROM t LEFT JOIN s ON t.o_orderkey = s.o_orderkey),
+      kept AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM m WHERE del = 0),
+      ins AS (
+        SELECT s.o_orderkey, s.o_custkey, 'N' AS o_orderstatus,
+               s.o_totalprice
+        FROM s ANTI JOIN t USING (o_orderkey))
+      SELECT * FROM kept UNION ALL SELECT * FROM ins
+      ORDER BY o_orderkey""") { (s, d) =>
+      val orders = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-acid-q209").toString
+      try {
+        Acid.create(t)
+        Acid.insertTxn(s, t, orders.filter(col("o_orderkey") % 2 === 0))
+        Acid.mergeTxn(s, t,
+          orders.filter(col("o_orderkey") % 3 === 0), "s", "t",
+          "t.o_orderkey = s.o_orderkey",
+          matched = Seq(
+            Warehouse.MatchedDelete(Some("s.o_totalprice < 50000")),
+            Warehouse.MatchedUpdate(None, Map(
+              "o_orderstatus" -> "'M'",
+              "o_totalprice" -> "s.o_totalprice * 2"))),
+          notMatched = Some(Warehouse.NotMatchedInsert(None, Seq(
+            "s.o_orderkey", "s.o_custkey", "'N'", "s.o_totalprice"))))
+        Acid.snapshot(s, t)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .orderBy("o_orderkey").localCheckpoint()
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(t)).deleteRecursively()
+      }
     })
 }

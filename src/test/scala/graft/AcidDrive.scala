@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Measures the ACID snapshot's read overhead against a plain parquet
+  * scan of the same data (`sbt "Test/runMain graft.AcidDrive"`): adopt
+  * sf0.1 lineitem in place, mutate ~1%, and compare full-scan aggregate
+  * latency before deltas, with deltas, and after major compaction.
+  * Numbers land in SCALE.md — measured, not asserted. */
+object AcidDrive {
+  def main(args: Array[String]): Unit = {
+    val s = SparkSpec.session
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val t = Files.createTempDirectory("graft-acid-drive").toString
+    Tables.load(s, sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(t)
+
+    def time[A](what: String)(f: => A): A = {
+      f // warm
+      val t0 = System.nanoTime(); val r = f
+      println(f"DRIVE $what%-28s ${(System.nanoTime() - t0) / 1e6}%8.0f ms")
+      r
+    }
+
+    val plain = time("plain parquet scan") {
+      s.read.parquet(t).agg(sum("l_quantity")).collect().head.getDouble(0)
+    }
+    val adopted = time("acid snapshot (originals)") {
+      Acid.snapshot(s, t).agg(sum("l_quantity")).collect().head.getDouble(0)
+    }
+    assert(plain == adopted, "adoption must not change the data")
+
+    Acid.deleteTxn(s, t, "l_orderkey % 100 = 7")
+    Acid.updateTxn(s, t, Map("l_quantity" -> "l_quantity + 1"),
+      "l_orderkey % 100 = 8")
+    val n = time("acid snapshot (2 deltas)") {
+      Acid.snapshot(s, t).count()
+    }
+    Acid.compactMajor(s, t)
+    Acid.clean(t)
+    val n2 = time("acid snapshot (compacted)") {
+      Acid.snapshot(s, t).count()
+    }
+    assert(n == n2, "compaction must not change the data")
+    println(s"DRIVE rows=$n")
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(t)).deleteRecursively()
+    s.stop()
+  }
+}

@@ -378,6 +378,47 @@ class AcidSpec extends SparkSpec {
     assert(rows(Acid.snapshot(spark, t)) == rows(expected))
   }
 
+  test("delta-free snapshots bypass the merge: no shuffle, no aggregate") {
+    val t = tmpTable()
+    Acid.create(t)
+    Acid.insertTxn(spark, t, seed(30))
+    Acid.deleteTxn(spark, t, "k < 5")
+    // with deltas: the merge aggregate is required
+    val dirtyPlan = Acid.snapshot(spark, t)
+      .queryExecution.executedPlan.toString
+    assert(dirtyPlan.contains("max_by"))
+    Acid.compactMajor(spark, t)
+    Acid.clean(t)
+    // fully compacted: plain projection over the base, zero exchanges
+    val cleanDf = Acid.snapshot(spark, t)
+    val cleanPlan = cleanDf.queryExecution.executedPlan.toString
+    assert(!cleanPlan.contains("Exchange") && !cleanPlan.contains("max_by"),
+      s"merge not bypassed:\n$cleanPlan")
+    assert(rows(cleanDf) == rows(seed(30).filter($"k" >= 5)))
+    // adopted originals with no deltas bypass too (broadcast of the
+    // file->bucket map is the only exchange; no shuffle, no aggregate)
+    val t2 = tmpTable()
+    seed(20).write.mode("overwrite").parquet(t2)
+    val adoptedPlan = Acid.snapshot(spark, t2)
+      .queryExecution.executedPlan.toString
+    assert(!adoptedPlan.contains("Exchange hashpartitioning") &&
+      !adoptedPlan.contains("max_by"), s"not bypassed:\n$adoptedPlan")
+    // partitioned mix: only the delta-bearing partition pays the merge
+    val t3 = tmpTable()
+    Acid.create(t3)
+    Acid.insertTxn(spark, t3,
+      seed(20).withColumn("p", ($"k" % 2).cast("int")),
+      partitionBy = Seq("p"))
+    Acid.compactMajor(spark, t3)
+    Acid.clean(t3)
+    Acid.deleteTxn(spark, t3, "p = 1 AND k = 1")
+    val mixed = Acid.snapshot(spark, t3)
+    assert(rows(mixed) == rows(seed(20).filter($"k" =!= 1)))
+    val mixedPlan = mixed.queryExecution.executedPlan.toString
+    // one merge branch (the p=1 side) unioned with a bypass branch
+    assert(mixedPlan.contains("max_by") && mixedPlan.contains("Union"))
+  }
+
   test("no-match update/delete txns leave the snapshot readable") {
     val t = tmpTable()
     Acid.create(t)
@@ -385,6 +426,55 @@ class AcidSpec extends SparkSpec {
     Acid.deleteTxn(spark, t, "k = 999")
     Acid.updateTxn(spark, t, Map("v" -> "0.0"), "k = 999")
     assert(rows(Acid.snapshot(spark, t)) == rows(seed(10)))
+  }
+
+  test("Acid lifecycle ≡ in-memory model under random txns + compaction") {
+    val rnd = new scala.util.Random(42)
+    (0 until 2).foreach { trial =>
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-acid-prop").toString
+      Acid.create(t)
+      val model = scala.collection.mutable.Map.empty[Long, (String, Double)]
+      var nextK = 0L
+      def insert(n: Int): Unit = {
+        val rows = (0 until n).map { _ =>
+          val k = nextK; nextK += 1
+          (k, s"s${k % 4}", (k * 3 % 17).toDouble)
+        }
+        rows.foreach { r => model(r._1) = (r._2, r._3) }
+        Acid.insertTxn(spark, t, rows.toDF("k", "s", "v"))
+      }
+      insert(10) // the table must exist before predicate txns
+      (0 until 10).foreach { _ =>
+        rnd.nextInt(6) match {
+          case 0 => insert(5 + rnd.nextInt(10))
+          case 1 | 2 =>
+            val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+            val c = 1 + rnd.nextInt(9)
+            Acid.updateTxn(spark, t, Map("v" -> s"v + $c"), s"k % $m = $r")
+            model.keys.toSeq.filter(_ % m == r).foreach { k =>
+              model(k) = (model(k)._1, model(k)._2 + c)
+            }
+          case 3 =>
+            val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+            val lo = rnd.nextInt(30)
+            Acid.deleteTxn(spark, t, s"k % $m = $r AND k >= $lo")
+            model.keys.toSeq.filter(k => k % m == r && k >= lo)
+              .foreach(model.remove)
+          case 4 =>
+            Acid.compactMinor(spark, t)
+            if (rnd.nextBoolean()) Acid.clean(t)
+          case 5 =>
+            Acid.compactMajor(spark, t)
+            if (rnd.nextBoolean()) Acid.clean(t)
+        }
+      }
+      val got = Acid.snapshot(spark, t).select("k", "s", "v")
+        .as[(Long, String, Double)].collect().toSet
+      val want = model.map { case (k, (s2, v)) => (k, s2, v) }.toSet
+      assert(got == want, s"trial $trial diverged: " +
+        s"extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+    }
   }
 
   test("row identities are unique across buckets and txns") {
