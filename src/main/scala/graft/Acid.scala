@@ -515,7 +515,16 @@ object Acid {
       source: DataFrame, sourceAlias: String, targetAlias: String,
       on: String,
       matched: Seq[Warehouse.MatchedClause],
-      notMatched: Option[Warehouse.NotMatchedInsert]): Long = {
+      notMatched: Option[Warehouse.NotMatchedInsert]): Long =
+    mergeTxnImpl(spark, path, source, sourceAlias, targetAlias, on,
+      matched, notMatched, None)
+
+  private def mergeTxnImpl(spark: SparkSession, path: String,
+      source: DataFrame, sourceAlias: String, targetAlias: String,
+      on: String,
+      matched: Seq[Warehouse.MatchedClause],
+      notMatched: Option[Warehouse.NotMatchedInsert],
+      marker: Option[String]): Long = {
     require(matched.nonEmpty || notMatched.nonEmpty,
       "MERGE needs at least one WHEN clause")
     val partCols = partitionColsOf(path)
@@ -604,7 +613,7 @@ object Acid {
         else asInsertEventsKeeping(inserted, w, dataCols, partCols)
       }
       val events = (matchedEvents ++ insertEvents).reduce(_ unionByName _)
-      publishEvents(events, path, partCols, deltaName(w, w))
+      publishEvents(events, path, partCols, deltaName(w, w), marker)
       w
     } finally { joined.unpersist(); () }
   }
@@ -649,6 +658,76 @@ object Acid {
         marker = Some(s"$BatchMarker$batchId"))
       Some(w)
     }
+
+  /** Keyed upsert as ONE MERGE transaction per micro-batch — the ACID
+    * replacement for `Ingest.startUpsert`'s staged table rewrite, and
+    * the streaming CDC shape: the batch reduces to its latest row per
+    * key (by `orderCol`, NULLs rank lowest), then commits
+    * update-matched / insert-unmatched events in a single delta —
+    * O(batch) written per batch instead of a table rewrite, and
+    * published atomically. The in-batch reduce makes same-key
+    * duplicates within a batch safe; the batch marker makes whole-batch
+    * redelivery after a crash exactly-once. Key matching is NULL-safe
+    * (`<=>`), like `startUpsert`. This 1.2-era reference streams
+    * inserts only (`hcatalog/streaming/TransactionBatch.java`) — the
+    * delta layout is what makes row-level streaming mutation natural,
+    * which is the route later Hive versions took. */
+  def streamingUpsertTxn(spark: SparkSession, path: String,
+      batch: DataFrame, keyCols: Seq[String], orderCol: String,
+      batchId: Long): Option[Long] =
+    if (batchId <= lastCommittedBatch(path)) None
+    else {
+      val all = struct(batch.columns.map(col): _*)
+      val ord = struct(col(orderCol).isNotNull.as("_has"),
+        col(orderCol).as("_v"))
+      val latest = batch
+        .groupBy(keyCols.map(col): _*)
+        .agg(max_by(all, ord).as("_row"))
+        .select(batch.columns.map(c => col(s"_row.$c").as(c)): _*)
+      val partCols = partitionColsOf(path)
+      val s = state(path)
+      val bootstrap = !isPartitioned(path) && s.base.isEmpty &&
+        s.deltas.isEmpty && s.originals.isEmpty
+      if (bootstrap) { // first batch of a fresh table: plain insert txn
+        val w = nextWriteId(path)
+        publishEvents(asInsertEvents(latest, w), path, Nil,
+          deltaName(w, w), Some(s"$BatchMarker$batchId"))
+        Some(w)
+      } else {
+        // SET and VALUES follow the TABLE's column order, not the
+        // batch frame's — MERGE INSERT VALUES bind positionally
+        val tableCols = snapshotWithRowId(spark, path).columns
+          .filterNot(_ == "row__id").toSeq
+        val missing = tableCols.filterNot(batch.columns.contains)
+        require(missing.isEmpty,
+          s"upsert batch is missing table column(s) ${missing.mkString(",")}")
+        val on = keyCols.map(c => s"t.$c <=> s.$c").mkString(" AND ")
+        val sets = tableCols
+          .filterNot(c => keyCols.contains(c) || partCols.contains(c))
+          .map(c => c -> s"s.$c").toMap
+        Some(mergeTxnImpl(spark, path, latest, "s", "t", on,
+          matched = Seq(Warehouse.MatchedUpdate(None, sets)),
+          notMatched = Some(Warehouse.NotMatchedInsert(None,
+            tableCols.map(c => s"s.$c"))),
+          marker = Some(s"$BatchMarker$batchId")))
+      }
+    }
+
+  /** Continuous ACID upsert sink: one MERGE txn per micro-batch. */
+  def startStreamingUpsert(stream: DataFrame, path: String,
+      keyCols: Seq[String], orderCol: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        streamingUpsertTxn(batch.sparkSession, path, batch, keyCols,
+          orderCol, batchId)
+        ()
+      }
+      .start()
 
   /** Continuous transactional ingest: each micro-batch commits as one
     * delta. Pair with `maybeCompact` on a maintenance cadence. */

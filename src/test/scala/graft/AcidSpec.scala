@@ -419,6 +419,51 @@ class AcidSpec extends SparkSpec {
     assert(mixedPlan.contains("max_by") && mixedPlan.contains("Union"))
   }
 
+  test("streaming upsert txns: latest-per-key, replay-safe, bootstrap") {
+    val t = tmpTable()
+    Acid.create(t)
+    // batch 0 bootstraps an empty table (plain insert txn)
+    val b0 = Seq((1L, "a", 1.0, 10L), (2L, "b", 2.0, 11L),
+      (2L, "b2", 2.5, 12L)) // same-key dup inside the batch: latest wins
+      .toDF("k", "s", "v", "ord")
+    assert(Acid.streamingUpsertTxn(spark, t, b0, Seq("k"), "ord", 0).isDefined)
+    assert(Acid.snapshot(spark, t).count() == 2)
+    assert(Acid.snapshot(spark, t).filter($"k" === 2)
+      .select("s").as[String].head() == "b2")
+    // batch 1: update k=1, insert k=3
+    val b1 = Seq((1L, "a9", 9.0, 20L), (3L, "c", 3.0, 21L))
+      .toDF("k", "s", "v", "ord")
+    assert(Acid.streamingUpsertTxn(spark, t, b1, Seq("k"), "ord", 1).isDefined)
+    // crash replay of batch 1 is skipped
+    assert(Acid.streamingUpsertTxn(spark, t, b1, Seq("k"), "ord", 1).isEmpty)
+    val got = Acid.snapshot(spark, t).select("k", "s", "v", "ord")
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(got == Set((1L, "a9", 9.0, 20L), (2L, "b2", 2.5, 12L),
+      (3L, "c", 3.0, 21L)))
+    // the k=1 row kept its insert-time identity through the upsert
+    assert(Acid.snapshotWithRowId(spark, t).filter($"k" === 1)
+      .select($"row__id.originalTransaction").as[Long].head() == 1L)
+  }
+
+  test("streaming upsert sink commits one MERGE txn per micro-batch") {
+    val t = tmpTable()
+    val ckpt = Files.createTempDirectory("graft-acid-ups-ckpt").toString
+    Acid.create(t)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, String, Long)](spark, 1)
+    input.addData((1L, "x", 1L), (2L, "y", 2L))
+    val q = Acid.startStreamingUpsert(
+      input.toDF().toDF("k", "s", "ord"), t, Seq("k"), "ord", ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    q.processAllAvailable()
+    input.addData((1L, "x2", 3L), (3L, "z", 4L))
+    q.processAllAvailable()
+    q.stop()
+    val got = Acid.snapshot(spark, t).select("k", "s")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "x2"), (2L, "y"), (3L, "z")))
+  }
+
   test("no-match update/delete txns leave the snapshot readable") {
     val t = tmpTable()
     Acid.create(t)
