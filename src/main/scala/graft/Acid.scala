@@ -334,8 +334,8 @@ object Acid {
 
   /** Pre-ACID original files as insert events with SYNTHESIZED row
     * identities, the reference's on-the-fly ROW__ID for originals:
-    * originalTransaction 0, bucket = the file's index in the table-wide
-    * sorted file list, rowId = the row's position in its file
+    * originalTransaction 0, bucket = the file's index within its own
+    * directory's sorted file list, rowId = the row's position in its file
     * (`_metadata.row_index` — stable for a given file, so identities
     * survive re-reads with different task splits, and NO shuffle is
     * spent synthesizing them). The distinct-path pre-pass is a
@@ -372,13 +372,6 @@ object Acid {
         partCols.map(col): _*)
   }
 
-  /** Current committed snapshot with the ROW__ID virtual column exposed
-    * (originalTransaction, bucket, rowId) — the reference's ROW__ID.
-    * Partitioned tables read as batched scans (every selected base dir,
-    * every selected delta dir, every original file) with
-    * directory-derived partition columns — plan size is constant in
-    * partition count, and Catalyst prunes partitions on the inferred
-    * columns. */
   /** Project resolved insert-only events straight to snapshot form — the
     * MERGE BYPASS for dirs with no deltas to reconcile: a fully-compacted
     * (or pure-originals) table reads at plain parquet speed, no aggregate
@@ -393,6 +386,13 @@ object Acid {
       col("row.*")) ++
       partCols.map(col): _*)
 
+  /** Current committed snapshot with the ROW__ID virtual column exposed
+    * (originalTransaction, bucket, rowId) — the reference's ROW__ID.
+    * Partitioned tables read as batched scans (every selected base dir,
+    * every selected delta dir, every original file) with
+    * directory-derived partition columns — plan size is constant in
+    * partition count, and Catalyst prunes partitions on the inferred
+    * columns. */
   def snapshotWithRowId(spark: SparkSession, path: String): DataFrame =
     if (!isPartitioned(path)) {
       val s = state(path)
@@ -617,6 +617,38 @@ object Acid {
       w
     } finally { joined.unpersist(); () }
   }
+
+  // ---- SQL registry (GraftSession.sql front door) ----
+
+  private val registry =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Register a delta-layout table under a SQL name: `spark.table(name)`
+    * serves the current snapshot, and `GraftSession.sql` routes INSERT
+    * INTO / UPDATE / DELETE / MERGE INTO / ALTER TABLE ... COMPACT on
+    * this name to ACID transactions — a reference user's ACID SQL runs
+    * unchanged against the delta layout. The view captures the census at
+    * registration; every SQL-routed txn re-registers it, and Scala-API
+    * writers call `refresh` themselves. */
+  def register(spark: SparkSession, name: String, path: String): Unit = {
+    registry(name.toLowerCase) = path
+    refresh(spark, name)
+  }
+
+  /** Re-point the registered view at the table's current census. */
+  def refresh(spark: SparkSession, name: String): Unit =
+    registry.get(name.toLowerCase).foreach { path =>
+      snapshot(spark, path).createOrReplaceTempView(name)
+    }
+
+  def deregister(spark: SparkSession, name: String): Unit = {
+    registry.remove(name.toLowerCase)
+    spark.catalog.dropTempView(name)
+    ()
+  }
+
+  private[graft] def registeredPath(name: String): Option[String] =
+    registry.get(name.toLowerCase)
 
   // ---- streaming ingest (HiveEndPoint/TransactionBatch semantics) ----
 

@@ -94,6 +94,10 @@ object GraftSession {
   private val DeleteRe =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+))?\s*""".r
   private val MacroRe = """(?is)\s*(?:CREATE|DROP)\s+TEMPORARY\s+MACRO\b.*""".r
+  private val InsertIntoRe =
+    """(?is)\s*INSERT\s+INTO\s+(?:TABLE\s+)?([\w.]+)\s+(SELECT\b.+|VALUES\b.+|WITH\b.+|TABLE\b.+)""".r
+  private val AlterCompactRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)(?:\s+PARTITION\s*\(([^)]*)\))?\s+COMPACT\s+'(major|minor)'\s*""".r
   private val MergeRe =
     """(?is)\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+(.+)""".r
   private val MergeUpdRe =
@@ -231,6 +235,50 @@ object GraftSession {
         Warehouse.exportTable(spark, table, path); spark.emptyDataFrame
       case ImportRe(table, path) =>
         Warehouse.importTable(spark, table, path); spark.emptyDataFrame
+      // ACID-registered names: route DML to delta-layout transactions
+      // (Hive's ACID SQL surface, incl. ALTER TABLE ... COMPACT —
+      // ql/ddl AlterTableSimpleDesc compact path); the view refreshes to
+      // the new census after every routed txn
+      case InsertIntoRe(table, query)
+          if Acid.registeredPath(table).isDefined =>
+        // positional bind + cast to the table schema (Hive INSERT
+        // semantics) — an unaligned literal type (0.5 is DECIMAL in
+        // SQL) must not fork the stored row-struct schema across deltas
+        val df = spark.sql(query)
+        val target = spark.table(table).schema
+        require(df.columns.length == target.fields.length,
+          s"INSERT arity ${df.columns.length} != ${target.fields.length} " +
+            s"columns of $table")
+        // positional rename BEFORE selecting: a literal's generated name
+        // ("0.5") would otherwise parse as a nested-field accessor
+        val renamed = df.toDF(target.fields.map(_.name): _*)
+        val aligned = renamed.select(target.fields.map(f =>
+          renamed(f.name).cast(f.dataType).as(f.name)): _*)
+        Acid.insertTxn(spark, Acid.registeredPath(table).get, aligned)
+        Acid.refresh(spark, table)
+        spark.emptyDataFrame
+      case UpdateRe(table, rest) if Acid.registeredPath(table).isDefined =>
+        val (sets, where) = splitSetWhere(rest)
+        Acid.updateTxn(spark, Acid.registeredPath(table).get,
+          parseSetClause(sets), where.getOrElse("true"))
+        Acid.refresh(spark, table)
+        spark.emptyDataFrame
+      case DeleteRe(table, where) if Acid.registeredPath(table).isDefined =>
+        Acid.deleteTxn(spark, Acid.registeredPath(table).get,
+          Option(where).getOrElse("true"))
+        Acid.refresh(spark, table)
+        spark.emptyDataFrame
+      case AlterCompactRe(table, partSpec, kind)
+          if Acid.registeredPath(table).isDefined =>
+        val root = Acid.registeredPath(table).get
+        // PARTITION (k='v') compacts that partition's own tree, the
+        // reference's per-partition compaction queue entry
+        val dir = Option(partSpec).map(parsePartitionSpec).getOrElse(Nil)
+          .foldLeft(root) { case (p, (k, v)) => s"$p/$k=$v" }
+        if (kind.equalsIgnoreCase("major")) Acid.compactMajor(spark, dir)
+        else Acid.compactMinor(spark, dir)
+        Acid.refresh(spark, table)
+        spark.emptyDataFrame
       case UpdateRe(table, rest) =>
         val (sets, where) = splitSetWhere(rest)
         Warehouse.update(spark, table, parseSetClause(sets),
@@ -255,11 +303,20 @@ object GraftSession {
             matched += Warehouse.MatchedDelete(Option(c))
           case other => sys.error(s"unsupported MERGE clause: WHEN $other")
         }
-        Warehouse.merge(spark, tgt,
-          Option(tAls).getOrElse(tgt.split('.').last),
-          spark.table(src),
-          Option(sAls).getOrElse(src.split('.').last),
-          on, matched.toSeq, insert)
+        Acid.registeredPath(tgt) match {
+          case Some(path) =>
+            Acid.mergeTxn(spark, path, spark.table(src),
+              Option(sAls).getOrElse(src.split('.').last),
+              Option(tAls).getOrElse(tgt.split('.').last),
+              on, matched.toSeq, insert)
+            Acid.refresh(spark, tgt)
+          case None =>
+            Warehouse.merge(spark, tgt,
+              Option(tAls).getOrElse(tgt.split('.').last),
+              spark.table(src),
+              Option(sAls).getOrElse(src.split('.').last),
+              on, matched.toSeq, insert)
+        }
         spark.emptyDataFrame
       case other => spark.sql(other)
     }

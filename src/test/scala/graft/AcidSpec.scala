@@ -464,6 +464,38 @@ class AcidSpec extends SparkSpec {
     assert(got == Set((1L, "x2"), (2L, "y"), (3L, "z")))
   }
 
+  test("SQL front door: registered name takes the full Hive ACID DML") {
+    val t = tmpTable()
+    Acid.create(t)
+    Acid.insertTxn(spark, t, seed(10))
+    Acid.register(spark, "acid_sql_t", t)
+    assert(spark.table("acid_sql_t").count() == 10)
+    // INSERT INTO: positional bind + cast (0.5 is a DECIMAL literal)
+    GraftSession.sql(spark,
+      "INSERT INTO acid_sql_t SELECT id + 10, 'i', 0.5 FROM range(5)")
+    GraftSession.sql(spark, "UPDATE acid_sql_t SET v = 9.0 WHERE k = 3")
+    GraftSession.sql(spark, "DELETE FROM acid_sql_t WHERE k >= 13")
+    Seq((1L, "m", 7.0), (20L, "n", 8.0)).toDF("k", "s", "v")
+      .createOrReplaceTempView("acid_sql_src")
+    GraftSession.sql(spark, """
+      MERGE INTO acid_sql_t AS t USING acid_sql_src AS s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET s = s.s
+      WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.s, s.v)""")
+    GraftSession.sql(spark, "ALTER TABLE acid_sql_t COMPACT 'major'")
+    Acid.clean(t)
+    assert(dirs(t).size == 1 && dirs(t).head.startsWith("base_"))
+    val got = rows(spark.table("acid_sql_t"))
+    val expected = rows(seed(10)
+      .withColumn("v", when($"k" === 3, 9.0).otherwise($"v"))
+      .withColumn("s", when($"k" === 1, "m").otherwise($"s"))) ++
+      Set((10L, "i", 0.5), (11L, "i", 0.5), (12L, "i", 0.5),
+        (20L, "n", 8.0))
+    assert(got == expected)
+    Acid.deregister(spark, "acid_sql_t")
+    // after deregistration the same statement is plain Spark SQL again
+    assert(Acid.registeredPath("acid_sql_t").isEmpty)
+  }
+
   test("no-match update/delete txns leave the snapshot readable") {
     val t = tmpTable()
     Acid.create(t)
