@@ -402,12 +402,17 @@ object Dedup {
     * engine-standard lowercase-alphanumeric rule.
     *
     * Scale shape: per-doc gram emission is expression work (no shuffle);
-    * candidate generation self-joins 8-byte xxhash64 gram keys only
-    * (never the strings), with degenerate grams — site-wide boilerplate
-    * appearing in more than `maxBucket` positions — dropped before the
-    * join, exactly the MinHash bucket cap. Candidates then verify by
-    * joining the actual gram strings back, so a 64-bit hash collision
-    * (certain at 100 TB gram counts) can never fabricate a pair. */
+    * ONE xxhash64-bucket self-join does candidate generation and exact
+    * verification together — the gram strings ride through the join and
+    * the in-bucket string equality is the verify, so a 64-bit hash
+    * collision (certain at 100 TB gram counts) can never fabricate a
+    * pair, and the strings cross the wire once instead of three times
+    * (hash-only candidates + two fetch-back joins — measured 30% slower
+    * at sf1; a doc-level candidate prune measured slower still, because
+    * a corpus with real duplicate mass leaves most documents candidates).
+    * Degenerate grams — site-wide boilerplate appearing in more than
+    * `maxBucket` positions — are dropped before the join, exactly the
+    * MinHash bucket cap. */
   def sharedSpans(
       df: DataFrame,
       idCol: String,
@@ -416,9 +421,10 @@ object Dedup {
       maxBucket: Int = 100000): DataFrame = {
     require(spanTokens >= 2, "spanTokens must be >= 2")
     val toks = TextOps.tokens(col(textCol))
-    // persisted: this frame feeds the hash path AND both sides of the
-    // exact-verify join — unpersisted, the corpus would re-tokenize and
-    // re-build every gram string three times (the minhash working-set
+    // persisted: this frame feeds the bucket-size guard AND both sides
+    // of the verifying self-join (plan-identical sides share one
+    // exchange) — unpersisted, the corpus would re-tokenize and re-build
+    // every gram string per consumer (the minhash working-set
     // discipline; released below once the small pair set materializes)
     val gramText = df
       .select(col(idCol).as("id"), toks.as("__t"))
@@ -428,23 +434,18 @@ object Dedup {
         i => struct(i.as("pos"),
           concat_ws(" ", slice(col("__t"), i, lit(spanTokens))).as("gram"))))
         .as("pg"))
-      .select(col("id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+      .select(col("id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"),
+        xxhash64(col("pg.gram")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hashed = gramText
-      .select(col("id"), col("pos"), xxhash64(col("gram")).as("h"))
-    val ok = hashed.groupBy("h").agg(count(lit(1)).as("bn"))
+    val ok = gramText.groupBy("h").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= maxBucket).select("h")
-    val slim = hashed.join(ok, Seq("h"))
-    val cand = slim.select(col("h"), col("id").as("id_a"), col("pos").as("pos_a"))
-      .join(slim.select(col("h"), col("id").as("id_b"), col("pos").as("pos_b")),
-        Seq("h"))
-      .filter(col("id_a") < col("id_b"))
-    val verified = cand
-      .join(gramText.select(col("id").as("id_a"), col("pos").as("pos_a"),
-        col("gram").as("g_a")), Seq("id_a", "pos_a"))
-      .join(gramText.select(col("id").as("id_b"), col("pos").as("pos_b"),
-        col("gram").as("g_b")), Seq("id_b", "pos_b"))
-      .filter(col("g_a") === col("g_b"))
+    val slim = gramText.join(ok, Seq("h"))
+    val verified = slim
+      .select(col("h"), col("id").as("id_a"), col("pos").as("pos_a"),
+        col("gram").as("g_a"))
+      .join(slim.select(col("h"), col("id").as("id_b"),
+        col("pos").as("pos_b"), col("gram").as("g_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b") && col("g_a") === col("g_b"))
     val out = verified.groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_spans"))
       .localCheckpoint(true)

@@ -258,10 +258,16 @@ object TextAnalysis {
     * flags gibberish, low flags boilerplate-like repetition. Documents
     * with < 2 tokens have no bigrams and are excluded.
     *
-    * Scale shape: bigram emission is per-row expression work (no
-    * shuffle); the model is two count aggregations; scoring joins each
-    * doc's bigram stream to the counts on their natural keys (AQE handles
-    * the stop-word-pair skew). Per-bigram log-probs are rounded to 12
+    * Scale shape: the corpus is tokenized exactly TWICE (the regex
+    * tokenize dominates this operator's cost, so corpus passes are the
+    * budget). Pass one emits every token occurrence as (w1,
+    * next-token-or-NULL) and aggregates to a distinct-(w1, w2) count
+    * table — which yields the pair counts (non-NULL w2 rows), the
+    * context counts (a rollup over w2), AND the vocabulary (distinct w1
+    * = every distinct token) without re-reading the corpus. Those fold
+    * into a distinct-bigram log-prob table that pass two joins back on
+    * (w1, w2) — one occurrence-stream shuffle total (AQE handles the
+    * stop-word-pair skew). Per-bigram log-probs are rounded to 12
     * decimals and summed as exact decimals, so the score is
     * merge-order-independent. Output: idCol, n_bigrams, avg_nll. */
   def bigramNll(
@@ -270,28 +276,39 @@ object TextAnalysis {
       textCol: String,
       addK: Double = 0.5): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
-    val tokRows = df.select(col(idCol), explode(toks).as("w"))
-    val bi = df
+    // every token occurrence, paired with its successor (NULL at the
+    // doc's last token — the guard also keeps ANSI element_at in bounds)
+    def stream: DataFrame = df
       .select(col(idCol), toks.as("__t"))
-      .filter(size(col("__t")) >= 2)
+      .filter(size(col("__t")) >= 1)
       .select(col(idCol), explode(transform(
-        sequence(lit(1), size(col("__t")) - 1),
+        sequence(lit(1), size(col("__t"))),
         i => struct(element_at(col("__t"), i).as("w1"),
-          element_at(col("__t"), i + 1).as("w2")))).as("b"))
+          when(i < size(col("__t")), element_at(col("__t"), i + 1))
+            .as("w2")))).as("b"))
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-    val ctx = bi.groupBy("w1").agg(count(lit(1)).as("ctx"))
-    val vocab = tokRows.agg(countDistinct("w").as("v"))
-    bi.join(big, Seq("w1", "w2"))
+    // small (distinct bigrams + per-token end-of-doc sentinels), three
+    // consumers — persist, released after the result materializes
+    val counts = stream.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = counts.agg(countDistinct("w1").as("v"))
+    val ctx = counts.filter(col("w2").isNotNull)
+      .groupBy("w1").agg(sum("c").as("ctx"))
+    val lp = counts.filter(col("w2").isNotNull)
       .join(ctx, Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .select(col(idCol),
+      .select(col("w1"), col("w2"),
         round(log((col("c").cast("double") + lit(addK)) /
             (col("ctx").cast("double") + lit(addK) * col("v").cast("double"))),
           12).cast("decimal(28,12)").as("lp"))
+    val out = stream.filter(col("w2").isNotNull)
+      .join(lp, Seq("w1", "w2"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"),
         round(-(sum("lp").cast("double")) / count(lit(1)), 6).as("avg_nll"))
+      .localCheckpoint(true)
+    counts.unpersist(false)
+    out
   }
 
   /** Byte-pair-encoding merge training (Sennrich et al. 2016) on the
