@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Multimodal
+import graft.operators.{Multimodal, Quality, Stats, TimeSeries}
 import Queries._
 
 /** Round-5 queries: real image-pixel decode evidence.
@@ -198,5 +198,124 @@ object Round5Queries {
         import scala.reflect.io.Directory
         new Directory(new java.io.File(t)).deleteRecursively()
       }
+    },
+
+    // -- Declarative data-quality gate (Quality.check): six constraints
+    //    compiled to ONE aggregation pass; every metric is a single
+    //    division of two exact longs, so the report is bit-identical to
+    //    the oracle's relational replay.
+    dfQ("q210_quality_checks", """
+      WITH a AS (
+        SELECT count(*) AS n,
+          count(text) AS h_text,
+          count(lang) AS h_lang,
+          count(DISTINCT doc_id) AS h_id, count(doc_id) AS b_id,
+          count(*) FILTER (n_chars IS NOT NULL
+            AND CAST(n_chars AS DOUBLE) BETWEEN 1.0 AND 500.0) AS h_nc,
+          count(n_chars) AS b_nc,
+          count(*) FILTER (lang IS NOT NULL
+            AND regexp_matches(lang, '^[a-z]{2}$')) AS h_re,
+          count(*) FILTER (source IN ('src0','src1','src2','src3','src4',
+            'src5','src6','src7','src8','src9')) AS h_src,
+          count(source) AS b_src
+        FROM documents),
+      r AS (
+        SELECT 'complete' AS check_name, 'text' AS col_name,
+          h_text::DOUBLE / n::DOUBLE AS metric, 1.0::DOUBLE AS threshold
+          FROM a
+        UNION ALL SELECT 'complete', 'lang',
+          h_lang::DOUBLE / n::DOUBLE, 1.0::DOUBLE FROM a
+        UNION ALL SELECT 'unique', 'doc_id',
+          h_id::DOUBLE / b_id::DOUBLE, 1.0::DOUBLE FROM a
+        UNION ALL SELECT 'in_range[1.0,500.0]', 'n_chars',
+          h_nc::DOUBLE / b_nc::DOUBLE, 0.9::DOUBLE FROM a
+        UNION ALL SELECT 'matches[^[a-z]{2}$]', 'lang',
+          h_re::DOUBLE / h_lang::DOUBLE, 1.0::DOUBLE FROM a
+        UNION ALL SELECT 'in_set', 'source',
+          h_src::DOUBLE / b_src::DOUBLE, 0.4::DOUBLE FROM a)
+      SELECT check_name, col_name, metric, threshold,
+        metric IS NULL OR metric >= threshold AS passed
+      FROM r ORDER BY check_name, col_name""") { (s, d) =>
+      Quality.check(Tables.load(s, d, "documents"), Seq(
+          Quality.Complete("text"),
+          Quality.Complete("lang"),
+          Quality.Unique("doc_id"),
+          Quality.InRange("n_chars", 1.0, 500.0, minFraction = 0.9),
+          Quality.Matches("lang", "^[a-z]{2}$"),
+          Quality.InSet("source", (0 to 9).map(i => s"src$i"),
+            minFraction = 0.4)))
+        .select(col("constraint").as("check_name"),
+          col("column").as("col_name"),
+          col("metric"), col("threshold"), col("passed"))
+        .orderBy("check_name", "col_name")
+    },
+
+    // -- EWMA level per user (TimeSeries.ewma): the engine folds the
+    //    recurrence sequentially inside a codegen'd higher-order
+    //    aggregate; the oracle expands the same fold into its closed
+    //    form (sum of alpha*(1-alpha)^(n-i) weights). The two
+    //    summation orders agree to ~1e-12 relative, so both sides round
+    //    to 6 decimals.
+    dfQ("q211_ewma", """
+      WITH r AS (
+        SELECT user_id, value,
+          row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS i,
+          count(*) OVER (PARTITION BY user_id) AS n,
+          max(event_id) OVER (PARTITION BY user_id) AS last_ord
+        FROM events
+        WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+          AND value IS NOT NULL)
+      SELECT user_id, count(*) AS n_obs, max(last_ord) AS last_ord,
+        ROUND(SUM(CASE WHEN i = 1 THEN value * POWER(0.75, n - 1)
+                       ELSE 0.25 * value * POWER(0.75, n - i) END),
+              6) AS ewma
+      FROM r GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+      TimeSeries.ewma(Tables.load(s, d, "events"),
+          "user_id", "event_id", "value", alpha = 0.25)
+        .select(col("user_id"), col("n_obs"), col("last_ord"),
+          round(col("ewma"), 6).as("ewma"))
+        .orderBy("user_id")
+    },
+
+    // -- Per-group OLS fit (Stats.linearFit): slope/intercept/r² from
+    //    exact-decimal sufficient statistics in one combinable
+    //    aggregate; divisions happen once in double, then rounded with
+    //    a magnitude-aware budget (slope/intercept 6, bounded r² 12 —
+    //    see the operator scaladoc).
+    dfQ("q212_linear_fit", """
+      WITH a AS (
+        SELECT l_returnflag AS grp, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sy,
+          CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+            * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+            AS DOUBLE) AS sxy,
+          CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+            * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+            AS DOUBLE) AS sxx,
+          CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+            AS DOUBLE) AS syy,
+          min(CAST(l_quantity AS DECIMAL(18,2)))
+            = max(CAST(l_quantity AS DECIMAL(18,2))) AS constx
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        GROUP BY 1)
+      SELECT grp, n,
+        ROUND(CASE WHEN constx THEN NULL
+          ELSE (n*sxy - sx*sy) / (n*sxx - sx*sx) END, 6) AS slope,
+        ROUND(CASE WHEN constx THEN NULL
+          ELSE (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n
+          END, 6) AS intercept,
+        ROUND(CASE WHEN constx OR NOT (n*syy - sy*sy > 0) THEN NULL
+          ELSE (n*sxy - sx*sy) * (n*sxy - sx*sy)
+            / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 12) AS r2
+      FROM a ORDER BY grp""") { (s, d) =>
+      Stats.linearFit(Tables.load(s, d, "lineitem"),
+          "l_returnflag", "l_quantity", "l_extendedprice")
+        .select(col("group").as("grp"), col("n"), col("slope"),
+          col("intercept"), col("r2"))
+        .orderBy("grp")
     })
 }

@@ -176,6 +176,57 @@ object Stats {
     rows.reduce(_ unionByName _)
   }
 
+  /** Per-group ordinary-least-squares fit y = slope*x + intercept with
+    * r², from the five classic sufficient statistics (n, Σx, Σy, Σxy,
+    * Σx², Σy²) — ONE map-side-combinable groupBy aggregate, no second
+    * pass over the data and no per-group iteration, the shape that
+    * holds at any group count or size.
+    *
+    * Determinism: the sufficient statistics accumulate in exact
+    * DECIMAL (inputs cast to decimal(18,2), products summed as
+    * decimal(38,4)) so they are independent of partial-aggregation
+    * order; the slope/intercept/r² divisions then happen once in
+    * double and are rounded — the corrMatrix contract, with the
+    * rounding budget set by magnitude: r² is bounded [0,1] so 12
+    * decimals stays inside double precision, but slope/intercept scale
+    * with the data (an intercept of 5e4 at 12 decimals would demand 17
+    * significant digits — more than a double holds, making round() a
+    * no-op that lets last-ulp engine differences through), so they
+    * round to 6. A constant x (exact decimal min=max
+    * test) yields NULL slope/intercept/r²; a constant y yields NULL r²
+    * (zero variance — fit is exact but r² is 0/0). NULL x or y rows
+    * are dropped pairwise. */
+  def linearFit(
+      df: DataFrame, groupCol: String, xCol: String, yCol: String)
+      : DataFrame = {
+    def dec(c: String) = col(c).cast("decimal(18,2)")
+    def prod(a: String, b: String) =
+      sum((dec(a) * dec(b)).cast("decimal(38,4)"))
+    val agg = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(xCol)).as("__sx"), sum(dec(yCol)).as("__sy"),
+        prod(xCol, yCol).as("__sxy"), prod(xCol, xCol).as("__sxx"),
+        prod(yCol, yCol).as("__syy"),
+        min(dec(xCol)).as("__minx"), max(dec(xCol)).as("__maxx"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val varX = n * d("__sxx") - d("__sx") * d("__sx")
+    val varY = n * d("__syy") - d("__sy") * d("__sy")
+    val cov = n * d("__sxy") - d("__sx") * d("__sy")
+    val constX = col("__minx") === col("__maxx")
+    val slope = when(constX, lit(null).cast("double"))
+      .otherwise(cov / varX)
+    agg.select(col("group"), col("n"),
+      round(slope, 6).as("slope"),
+      round(when(constX, lit(null).cast("double"))
+        .otherwise((d("__sy") - slope * d("__sx")) / n), 6)
+        .as("intercept"),
+      round(when(constX || !(varY > 0.0), lit(null).cast("double"))
+        .otherwise(cov * cov / (varX * varY)), 12).as("r2"))
+  }
+
   /** Pareto frontier (skyline): the rows not dominated by any other row,
     * where `dominates` means ≥ on every dim and > on at least one (all
     * dims maximize; negate a column upstream to minimize). Identical

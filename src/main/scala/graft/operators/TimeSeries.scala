@@ -68,6 +68,53 @@ object TimeSeries {
         col("observed").isNotNull.as("was_observed"))
   }
 
+  /** Exponentially-weighted moving average per key: the recurrence
+    * `e_1 = x_1; e_i = alpha*x_i + (1-alpha)*e_{i-1}` folded over each
+    * key's rows in `ordCol` order, reporting the final smoothed value —
+    * the "current level" read of a metric stream. `ordCol` must be
+    * unique per key (an event id / sequence number): a total order is
+    * what makes the recurrence well-defined, and an integer order
+    * column sidesteps engine-specific sub-microsecond timestamp
+    * truncation that would silently permute the fold.
+    *
+    * Scale shape: one map-side-combinable groupBy; each key's history
+    * is gathered and folded INSIDE the aggregate via codegen'd
+    * higher-order functions (`array_sort` + `aggregate`) — no window
+    * shuffle, no UDF. Per-key memory is the key's row count, the same
+    * bound a WindowExec sort over the key would need; keys are
+    * independent so hot keys parallelize across the shuffle like any
+    * skewed groupBy (AQE). (The recurrence is a composition of affine
+    * maps and hence associative — a custom partial-aggregate is the
+    * escape hatch if a single key's history ever outgrows one task;
+    * not needed at any bench scale.)
+    *
+    * Rows with a NULL key, order, or value are dropped (NULL has no
+    * position in the fold). Output: (key, n_obs, last_ord, ewma). */
+  def ewma(
+      df: DataFrame,
+      keyCol: String,
+      ordCol: String,
+      valueCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val obs = df.filter(col(keyCol).isNotNull && col(ordCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(ordCol).as("__o"),
+        col(valueCol).cast("double").as("__v"))
+    obs.groupBy(col("__k").as(keyCol))
+      .agg(count(lit(1)).as("n_obs"), max("__o").as("last_ord"),
+        aggregate(
+          array_sort(collect_list(struct(col("__o").as("o"),
+            col("__v").as("v")))),
+          struct(lit(false).as("s"), lit(0.0).as("a")),
+          (acc, e) => struct(lit(true).as("s"),
+            when(acc.getField("s"),
+              lit(alpha) * e.getField("v") +
+                lit(1.0 - alpha) * acc.getField("a"))
+              .otherwise(e.getField("v")).as("a")),
+          acc => acc.getField("a")).as("ewma"))
+  }
+
   /** The repo-wide float-determinism contract: doubles sum through
     * exact decimals so the result is independent of partial-aggregation
     * order and bit-identical to a SQL oracle's replay. */

@@ -213,4 +213,37 @@ class StatsSpec extends SparkSpec {
       .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
     assert(a == b)
   }
+
+  test("linearFit: exact line, noise, constant-x and constant-y groups") {
+    val rows =
+      (1 to 50).map(i => ("exact", i.toDouble, 3.0 * i + 7)) ++
+      Seq(("noisy", 1.0, 1.0), ("noisy", 2.0, 3.0), ("noisy", 3.0, 2.0),
+        ("noisy", 4.0, 4.0)) ++
+      (1 to 5).map(i => ("constx", 2.0, i.toDouble)) ++
+      (1 to 5).map(i => ("consty", i.toDouble, 4.0))
+    val out = Stats.linearFit(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), Option(r.get(2)),
+        Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(out("exact") == ((50L, Some(3.0), Some(7.0), Some(1.0))))
+    // noisy x=1..4, y=1,3,2,4: cov=4*29-10*10=16, varX=4*30-100=20,
+    // varY=4*30-100=20 → slope .8, intercept (10-8)/4=.5, r2=256/400=.64
+    assert(out("noisy") == ((4L, Some(0.8), Some(0.5), Some(0.64))))
+    assert(out("constx") == ((5L, None, None, None)))
+    // constant y: exact flat fit, r2 undefined (zero variance)
+    assert(out("consty") == ((5L, Some(0.0), Some(4.0), None)))
+  }
+
+  test("linearFit drops NULL pairs and is partition-invariant") {
+    val df = (Seq(("g", Option.empty[Double], Option(1.0)),
+        ("g", Option(1.0), Option.empty[Double])) ++
+      (1 to 200).map(i => ("g", Option(i * 0.25), Option(i * 0.5 + 3))))
+      .toDF("g", "x", "y")
+    val a = Stats.linearFit(df, "g", "x", "y").collect().head
+    val b = Stats.linearFit(df.repartition(13), "g", "x", "y")
+      .collect().head
+    assert(a == b)
+    assert(a.getLong(1) == 200L && a.getDouble(2) == 2.0 &&
+      a.getDouble(3) == 3.0)
+  }
 }

@@ -86,4 +86,37 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(1L) == ((3L, 0L, 0.0)))
     assert(out(2L) == ((3L, 1L, 1.0 / 3.0))) // durian is OOV
   }
+
+  test("ewma: sequential recurrence in order, NULL drops, alpha=1") {
+    val df = Seq(
+      (Some("a"), Some(3L), Some(30.0)), // arrives out of order
+      (Some("a"), Some(1L), Some(10.0)),
+      (Some("a"), Some(2L), Some(20.0)),
+      (Some("b"), Some(1L), Some(5.0)),  // single obs → itself
+      (None, Some(9L), Some(1.0)),       // NULL key dropped
+      (Some("c"), None, Some(1.0)),      // NULL ord dropped → c vanishes
+      (Some("a"), Some(4L), None)        // NULL value dropped
+    ).toDF("k", "seq", "v")
+    val out = TimeSeries.ewma(df, "k", "seq", "v", alpha = 0.5)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    // a: e1=10, e2=.5*20+.5*10=15, e3=.5*30+.5*15=22.5
+    assert(out.size == 2)
+    assert(out("a") == ((3L, 3L, 22.5)))
+    assert(out("b") == ((1L, 1L, 5.0)))
+    val last = TimeSeries.ewma(df, "k", "seq", "v", alpha = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(last("a") == 30.0, "alpha=1 degenerates to the last value")
+  }
+
+  test("ewma is partition-invariant (fold happens inside the aggregate)") {
+    val df = (1 to 500).map(i => ("k", i.toLong, (i % 97) * 0.5))
+      .toDF("k", "seq", "v")
+    val a = TimeSeries.ewma(df, "k", "seq", "v", 0.1)
+      .collect().head.getDouble(3)
+    val b = TimeSeries.ewma(df.repartition(17), "k", "seq", "v", 0.1)
+      .collect().head.getDouble(3)
+    assert(a == b, "bit-identical across physical layouts")
+  }
 }
