@@ -13,6 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     (graft.functions.HiveCompat.registrations ++
       graft.functions.BitmapExpressions.registrations ++
+      graft.functions.BloomExpressions.registrations ++
       graft.functions.HeavyHitterExpressions.registrations).foreach {
       case (name, builder) =>
         ext.injectFunction((

@@ -317,5 +317,43 @@ object Round5Queries {
         .select(col("group").as("grp"), col("n"), col("slope"),
           col("intercept"), col("r2"))
         .orderBy("grp")
+    },
+
+    // -- Bloom-prefiltered decontamination: the q117 workload through
+    //    Decontaminate.overlapBloom — eval grams aggregated into a
+    //    mergeable Bloom filter (bloom_build TypedImperativeAggregate),
+    //    corpus shingles probed scan-locally inside codegen, exact
+    //    verify join only on survivors. No false negatives + FP removal
+    //    ⇒ output bit-identical to the exact join, so the SAME oracle
+    //    SQL hash-checks the sketch path end-to-end.
+    dfQ("q213_bloom_decontaminate", """
+      WITH tok AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                      x -> len(x) > 0) AS t
+        FROM documents
+      ), grams AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 6),
+          i -> array_to_string(t[i:i+7], ' '))) AS g
+        FROM tok
+      ), ev AS (
+        SELECT t[1:40] AS t40 FROM tok WHERE doc_id % 10 = 7
+      ), eval_grams AS (
+        SELECT DISTINCT unnest(list_transform(range(1, len(t40) - 6),
+          i -> array_to_string(t40[i:i+7], ' '))) AS ngram
+        FROM ev
+      )
+      SELECT doc_id, count(*) AS n_hits
+      FROM (SELECT doc_id, unnest(g) AS ngram FROM grams) c
+      JOIN eval_grams USING (ngram)
+      GROUP BY doc_id
+      ORDER BY doc_id""") { (s, d) =>
+      import graft.operators.{Decontaminate, TextOps}
+      val docs = Tables.load(s, d, "documents")
+      val evalSet = docs.filter(col("doc_id") % 10 === 7)
+        .select(concat_ws(" ",
+          slice(TextOps.tokens(col("text")), 1, 40)).as("text"))
+      Decontaminate.overlapBloom(docs, evalSet, "doc_id", "text", n = 8)
+        .orderBy("doc_id")
     })
 }

@@ -160,6 +160,7 @@ object HiveCompat {
 
   def register(spark: SparkSession): Unit =
     (registrations ++ BitmapExpressions.registrations ++
+      BloomExpressions.registrations ++
       HeavyHitterExpressions.registrations ++
       TopKExpressions.registrations).foreach { case (name, b) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+
+import graft.functions.{BloomAgg, BloomContains, BloomFunctions}
 
 /** Benchmark decontamination: find corpus documents that share word
   * n-grams with an evaluation set (the standard contamination check run
@@ -55,5 +58,57 @@ object Decontaminate {
       .join(hits, Seq(idCol), "left")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .withColumn("contaminated", col("n_hits") >= minHits)
+  }
+
+  /** `bloom_build(value, numBits, numHashes)` as a Column aggregate. */
+  def bloomBuild(value: Column, numBits: Int, numHashes: Int): Column =
+    toCol(BloomAgg(toExpr(value), numBits, numHashes)
+      .toAggregateExpression())
+
+  /** `bloom_contains(filter, value)` as a Column. */
+  def bloomContains(filter: Column, value: Column): Column =
+    toCol(BloomContains(toExpr(filter), toExpr(value)))
+
+  /** `overlap` with a Bloom pre-filter: same output, different 100 TB
+    * envelope. The broadcast-join shape above ships the full distinct
+    * eval-gram dictionary to every executor as a JOIN HASH TABLE —
+    * dozens of bytes per gram of java.util overhead. This variant
+    * aggregates the eval grams into a Bloom filter (MBs of bits at
+    * `fpp`, built with one tiny extra aggregate), probes every corpus
+    * shingle SCAN-LOCALLY with two xxhash64 evaluations inside
+    * whole-stage codegen, and only the survivors — true hits plus an
+    * fpp-fraction of false positives — enter the broadcast hash join,
+    * which now exists solely to make the result exact. Because the
+    * Bloom filter has no false negatives and the join removes the
+    * false positives, the output is bit-identical to `overlap` — the
+    * two-phase plan is a pure physical rewrite, which is what makes it
+    * oracle-checkable at all.
+    *
+    * The eval side is read twice (count to size the filter, then the
+    * build aggregate) plus once more by the verify join — three scans
+    * of the MB-scale side to keep the TB-scale side single-scan and
+    * shuffle-free, the right trade at any corpus size. */
+  def overlapBloom(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      fpp: Double = 0.01): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(TextOps.shingleSet(col(textCol), n)).as("ngram"))
+      .distinct()
+    val nGrams = math.max(1L, evalGrams.count())
+    val (numBits, numHashes) = BloomFunctions.optimalParams(nGrams, fpp)
+    val filter = evalGrams
+      .agg(bloomBuild(col("ngram"), numBits, numHashes).as("f"))
+      .head().getAs[Array[Byte]](0)
+    corpus
+      .select(col(idCol),
+        explode(TextOps.shingleSet(col(textCol), n)).as("ngram"))
+      .filter(bloomContains(lit(filter), col("ngram")))
+      .join(broadcast(evalGrams), "ngram") // exact verify: drops the FPs
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"))
   }
 }
