@@ -355,5 +355,84 @@ object Round5Queries {
           slice(TextOps.tokens(col("text")), 1, 40)).as("text"))
       Decontaminate.overlapBloom(docs, evalSet, "doc_id", "text", n = 8)
         .orderBy("doc_id")
+    },
+
+    // -- Johnson–Lindenstrauss random projection 64→16 dims: the ±1
+    //    sign matrix derives from md5("seed:j:i") nibble parity, a
+    //    contract BOTH engines compute independently — the oracle
+    //    rebuilds the matrix with its own md5() and replays the whole
+    //    projection relationally. Sums round to 6 (the q55 float-fold
+    //    discipline: engine folds in array order, SQL sums in scan
+    //    order; round-6 bridges the low-bit difference).
+    dfQ("q214_random_projection", """
+      WITH m AS (
+        SELECT j.range AS j, i.range AS i,
+          CASE WHEN substr(md5(42 || ':' || j.range || ':' || i.range),
+                      1, 1) IN ('0','2','4','6','8','a','c','e')
+               THEN 1.0 ELSE -1.0 END AS s
+        FROM range(16) j, range(64) i
+      ), e AS (
+        SELECT vec_id, i.range AS i,
+          embedding[i.range + 1]::DOUBLE AS v
+        FROM embeddings, range(64) i
+      )
+      SELECT e.vec_id, m.j, ROUND(SUM(e.v * m.s) / sqrt(16.0), 6) AS p
+      FROM e JOIN m USING (i)
+      GROUP BY e.vec_id, m.j
+      ORDER BY vec_id, j""") { (s, d) =>
+      import graft.operators.Vectors
+      Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(
+          Vectors.randomProject(col("embedding"), 64, 16, seed = 42L)))
+        .select(col("vec_id"), col("pos").cast("long").as("j"),
+          round(col("col"), 6).as("p"))
+        .orderBy("vec_id", "j")
+    },
+
+    // -- MAD outlier flags per user (Stats.madOutliers): two exact
+    //    rank-median passes; the deviation is one IEEE subtraction and
+    //    the flag a comparison, so engine and oracle agree with NO
+    //    rounding bridge anywhere — raw doubles hash-match.
+    dfQ("q215_mad_outliers", """
+      WITH nn AS (
+        SELECT event_id, user_id, value::DOUBLE AS v FROM events
+        WHERE value IS NOT NULL AND user_id IS NOT NULL
+      ), r AS (
+        SELECT event_id, user_id, v,
+          row_number() OVER (PARTITION BY user_id ORDER BY v) AS rn,
+          count(*) OVER (PARTITION BY user_id) AS n
+        FROM nn
+      ), med AS (
+        SELECT user_id,
+          max(CASE WHEN rn = greatest(1, ceil(n * 0.5)) THEN v END) AS med
+        FROM r GROUP BY user_id
+      ), d AS (
+        SELECT nn.event_id, nn.user_id, nn.v, med.med,
+          abs(nn.v - med.med) AS dev
+        FROM nn JOIN med USING (user_id)
+      ), r2 AS (
+        SELECT *,
+          row_number() OVER (PARTITION BY user_id ORDER BY dev) AS rn,
+          count(*) OVER (PARTITION BY user_id) AS n
+        FROM d
+      ), mad AS (
+        SELECT user_id,
+          max(CASE WHEN rn = greatest(1, ceil(n * 0.5)) THEN dev END)
+            AS mad
+        FROM r2 GROUP BY user_id
+      )
+      SELECT d.event_id, d.user_id, d.v AS value, d.med AS median,
+        mad.mad, d.dev > 3.0 * mad.mad AS is_outlier
+      FROM d JOIN mad USING (user_id)
+      ORDER BY event_id""") { (s, d) =>
+      Stats.madOutliers(
+          Tables.load(s, d, "events")
+            .filter(col("value").isNotNull && col("user_id").isNotNull)
+            .select(col("event_id"), col("user_id"),
+              col("value").cast("double").as("value")),
+          "user_id", "value", k = 3.0)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("median"), col("mad"), col("is_outlier"))
+        .orderBy("event_id")
     })
 }

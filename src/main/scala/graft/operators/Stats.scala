@@ -117,6 +117,42 @@ object Stats {
     max(when(col("__rn") === greatest(lit(1), ceil(col("__n") * lit(p))),
       col(valCol)))
 
+  /** Robust per-group outlier flags via median absolute deviation: a
+    * row is an outlier when |x − median| > k·MAD, with
+    * MAD = median(|x − median|) — the estimator that survives the
+    * outliers it is hunting (mean/stddev get dragged by them; see
+    * zScore for the non-robust variant). Two rank passes over the
+    * group: the rankQuantiles median, then the same machinery on the
+    * derived deviation column; both join back as broadcast
+    * |groups|-row tables, so the input is scanned twice and shuffled
+    * only by the two rank windows — the robustScale envelope, ×2.
+    *
+    * Exactness: the deviation is ONE IEEE subtraction of two exact
+    * inputs and the flag is a comparison — no accumulation anywhere,
+    * so engine and SQL replay agree bit-for-bit with NO rounding
+    * bridge. Degenerate groups (MAD = 0, i.e. a majority of identical
+    * values): any nonzero deviation flags, the k·MAD threshold having
+    * collapsed to zero. NULL values keep their row, carry their
+    * group's median/mad, and get a NULL flag. */
+  def madOutliers(
+      df: DataFrame, groupCol: String, valCol: String, k: Double = 3.0)
+      : DataFrame = {
+    val half = Seq(("__med", new java.math.BigDecimal("0.5")))
+    val withDev = withRankBounds(df, groupCol, valCol, half)
+      .withColumn("__dev",
+        when(col(valCol).isNull, lit(null).cast("double"))
+          .otherwise(abs(col(valCol).cast("double")
+            - col("__med").cast("double"))))
+    withRankBounds(withDev, groupCol, "__dev",
+        Seq(("__mad", new java.math.BigDecimal("0.5"))))
+      .withColumn("median", col("__med").cast("double"))
+      .withColumn("mad", col("__mad").cast("double"))
+      .withColumn("is_outlier",
+        when(col(valCol).isNull, lit(null).cast("boolean"))
+          .otherwise(col("__dev") > lit(k) * col("__mad").cast("double")))
+      .drop("__med", "__dev", "__mad")
+  }
+
   /** Pairwise Pearson correlation matrix over `cols` in ONE aggregate
     * pass: every sum, square-sum, and cross-sum accumulates as an exact
     * decimal (order-independent), then each pair's correlation is the

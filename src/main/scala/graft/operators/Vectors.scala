@@ -45,6 +45,42 @@ object Vectors {
   def maxAbs(a: Column): Column =
     aggregate(a, lit(0.0), (acc, v) => greatest(acc, abs(v.cast("double"))))
 
+  /** Johnson–Lindenstrauss random projection to `outDim` dims with a
+    * deterministic ±1 (Achlioptas) matrix: out[j] =
+    * (Σ_i v[i]·s(j,i)) / √outDim, where the sign s(j,i) is +1 iff the
+    * first hex nibble of md5("seed:j:i") is even — a derivation both
+    * this engine (driver-side, once) and a SQL oracle (md5()) can
+    * compute, which is what makes the projection hash-checkable.
+    *
+    * Scale shape: the sign matrix is outDim×inDim literals folded into
+    * the plan (a few KB — it rides the task binary, no broadcast, no
+    * join), and each output coordinate is a codegen'd zip_with +
+    * aggregate fold over the row's own array — per-row work O(inDim ×
+    * outDim), no shuffle, scan-speed on 100 TB of embeddings. The fold
+    * accumulates left-to-right in array order, so results are
+    * bit-deterministic across partitionings.
+    *
+    * The standard use: shrink 1k–4k-dim embeddings to 16–64 dims ahead
+    * of ANN indexing / clustering, preserving pairwise distances within
+    * the JL distortion bound. */
+  def randomProject(
+      v: Column, inDim: Int, outDim: Int, seed: Long = 42L): Column = {
+    require(inDim > 0 && outDim > 0, "dims must be positive")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, i: Int): Double = {
+      val d = md.digest(
+        s"$seed:$j:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if ((((d(0) >> 4) & 0xf) & 1) == 0) 1.0 else -1.0
+    }
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    array((0 until outDim).map { j =>
+      val signs = array((0 until inDim).map(i => lit(sign(j, i))): _*)
+      aggregate(
+        zip_with(v, signs, (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, x) => acc + x) * lit(scale)
+    }: _*)
+  }
+
   /** L2-normalize: the norm is computed in a separate projection column
     * (not inside the transform lambda, which would re-evaluate the
     * O(d) aggregate per element → O(d²) per row). */

@@ -295,6 +295,56 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("randomProject: md5-sign contract, linearity, JL norm bound") {
+    // hand-verify the sign derivation for a few (j, i) cells
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def refSign(j: Int, i: Int): Double = {
+      val hex = md.digest(s"7:$j:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if ("02468ace".contains(hex.charAt(0))) 1.0 else -1.0
+    }
+    // a one-hot input reads the sign matrix back out of the operator
+    val eye = (0 until 8).map(i =>
+      (i, (0 until 8).map(d => if (d == i) 1.0f else 0.0f).toArray))
+    val got = eye.toDF("i", "v")
+      .select(col("i"), Vectors.randomProject(col("v"), 8, 4, seed = 7L)
+        .as("p"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val scale = 1.0 / math.sqrt(4.0)
+    for (i <- 0 until 8; j <- 0 until 4)
+      assert(got(i)(j) == refSign(j, i) * scale, s"sign mismatch at ($j,$i)")
+
+    // linearity + approximate norm preservation on random vectors
+    val rnd = new Random(11)
+    val a = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val b = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val ab = a.zip(b).map { case (x, y) => x + y }
+    val out = Seq(("a", a), ("b", b), ("ab", ab)).toDF("k", "v")
+      .select(col("k"), Vectors.randomProject(col("v"), 64, 16).as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val sumAB = out("a").zip(out("b")).map { case (x, y) => x + y }
+    sumAB.zip(out("ab")).foreach { case (x, y) =>
+      // tolerance is set by the float32 input addition (a+b rounds to
+      // float before projecting), not the double fold
+      assert(math.abs(x - y) < 1e-6, "projection is linear") }
+    // E[||p||²] = ||v||² under the JL scaling; 16 dims is loose, so
+    // assert the ratio only within a wide band
+    def n2(xs: Seq[Double]) = xs.map(x => x * x).sum
+    val ratio = n2(out("a")) / a.map(x => x.toDouble * x).sum
+    assert(ratio > 0.3 && ratio < 3.0, s"norm ratio $ratio")
+  }
+
+  test("randomProject is partition-invariant (fold order is array order)") {
+    val rnd = new Random(5)
+    val rows = (0 until 200).map(i =>
+      (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("id", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("id"), Vectors.randomProject(col("v"), 32, 8).as("p"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(run(df.coalesce(1)) == run(df.repartition(16)))
+  }
 }
 
 /** Randomized equivalence of the custom join operators against

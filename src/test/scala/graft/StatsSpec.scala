@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Stats
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit}
 
 class StatsSpec extends SparkSpec {
   import spark.implicits._
@@ -245,5 +245,33 @@ class StatsSpec extends SparkSpec {
     assert(a == b)
     assert(a.getLong(1) == 200L && a.getDouble(2) == 2.0 &&
       a.getDouble(3) == 3.0)
+  }
+
+  test("madOutliers: hand case, MAD=0 degenerate, NULLs, invariance") {
+    val rows = (1 to 10).map(i => ("a", Option(i.toDouble))) ++
+      Seq(("a", Option(100.0)),
+        ("b", Option(5.0)), ("b", Option(5.0)), ("b", Option(5.0)),
+        ("b", Option(7.0)), ("b", None))
+    val df = rows.toDF("g", "v")
+    val out = Stats.madOutliers(df, "g", "v", k = 3.0)
+    // a: 11 values, median = 6th smallest = 6; devs sorted
+    // 0,1,1,2,2,3,3,4,4,5,94 -> mad = 6th = 3; outlier iff dev > 9
+    val a = out.filter(col("g") === "a").collect()
+    assert(a.forall(r => r.getDouble(r.fieldIndex("median")) == 6.0 &&
+      r.getDouble(r.fieldIndex("mad")) == 3.0))
+    assert(a.filter(_.getBoolean(4)).map(_.getDouble(1)).toSeq == Seq(100.0))
+    // b: median 5, devs 0,0,0,2 -> mad 0; any nonzero dev flags
+    val b = out.filter(col("g") === "b" && col("v").isNotNull).collect()
+    assert(b.forall(r => r.getDouble(r.fieldIndex("mad")) == 0.0))
+    assert(b.filter(_.getBoolean(4)).map(_.getDouble(1)).toSeq == Seq(7.0))
+    // NULL value keeps its row, carries group stats, NULL flag
+    val nul = out.filter(col("g") === "b" && col("v").isNull).collect()
+    assert(nul.length == 1 && nul.head.isNullAt(4) &&
+      nul.head.getDouble(nul.head.fieldIndex("median")) == 5.0)
+    // partition invariance
+    val again = Stats.madOutliers(df.repartition(13), "g", "v", 3.0)
+      .collect().map(r => (r.getString(0), Option(r.get(1)))).toSet
+    assert(again == out.collect()
+      .map(r => (r.getString(0), Option(r.get(1)))).toSet)
   }
 }
