@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (graft.functions.HiveCompat.registrations ++
       graft.functions.BitmapExpressions.registrations ++
       graft.functions.BloomExpressions.registrations ++
+      graft.functions.CountMinExpressions.registrations ++
       graft.functions.HeavyHitterExpressions.registrations).foreach {
       case (name, builder) =>
         ext.injectFunction((

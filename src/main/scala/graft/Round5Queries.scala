@@ -434,5 +434,60 @@ object Round5Queries {
         .select(col("event_id"), col("user_id"), col("value"),
           col("median"), col("mad"), col("is_outlier"))
         .orderBy("event_id")
+    },
+
+    // -- count-min point queries vs exact GROUP BY: 10 known keys
+    //    through a w=2719 sketch — deterministic hashing (fixed seeds)
+    //    means the collision-free estimates are stable across runs, so
+    //    the sketch path is hash-checked against the exact counts the
+    //    oracle computes relationally (the q126 planted-determinism
+    //    pattern, applied to a frequency sketch).
+    dfQ("q216_cm_source_counts", """
+      SELECT source, count(*) AS est
+      FROM documents GROUP BY source ORDER BY source""") { (s, d) =>
+      import graft.functions.{CountMinAgg, CountMinEstimate}
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+      val docs = Tables.load(s, d, "documents")
+      val sketch = docs
+        .agg(toCol(CountMinAgg(toExpr(col("source")), 2719, 5)
+          .toAggregateExpression()).as("f"))
+        .head().getAs[Array[Byte]](0)
+      docs.select(col("source")).distinct()
+        .select(col("source"),
+          toCol(CountMinEstimate(toExpr(lit(sketch)),
+            toExpr(col("source")))).as("est"))
+        .orderBy("source")
+    },
+
+    // -- count-min one-sided error law on the full token stream (~1250
+    //    vocab keys, heavy collisions at w=544): est >= true for EVERY
+    //    key, and est <= true + eps*N — the boolean-invariant oracle
+    //    pattern (q125), asserted in-engine over the whole vocabulary.
+    dfQ("q217_cm_token_bounds", """
+      SELECT true AS no_underestimate, true AS within_eps_budget""") {
+      (s, d) =>
+      import graft.functions.{CountMinAgg, CountMinEstimate, CountMinFunctions}
+      import graft.operators.TextOps
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+      val sq = s; import sq.implicits._
+      val eps = 0.005
+      val (w, dep) = CountMinFunctions.optimalParams(eps, 0.01)
+      val toks = Tables.load(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      val sketch = toks
+        .agg(toCol(CountMinAgg(toExpr(col("tok")), w, dep)
+          .toAggregateExpression()).as("f"))
+        .head().getAs[Array[Byte]](0)
+      val n = toks.count()
+      val checked = toks.groupBy("tok").agg(count(lit(1)).as("truth"))
+        .select(col("truth"),
+          toCol(CountMinEstimate(toExpr(lit(sketch)),
+            toExpr(col("tok")))).as("est"))
+        .agg(min(col("est") - col("truth")).as("min_err"),
+          max(col("est") - col("truth")).as("max_err"))
+        .head()
+      Seq((checked.getLong(0) >= 0L,
+        checked.getLong(1) <= (eps * n).toLong))
+        .toDF("no_underestimate", "within_eps_budget")
     })
 }

@@ -161,6 +161,7 @@ object HiveCompat {
   def register(spark: SparkSession): Unit =
     (registrations ++ BitmapExpressions.registrations ++
       BloomExpressions.registrations ++
+      CountMinExpressions.registrations ++
       HeavyHitterExpressions.registrations ++
       TopKExpressions.registrations).foreach { case (name, b) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -84,10 +84,14 @@ object Decontaminate {
     * two-phase plan is a pure physical rewrite, which is what makes it
     * oracle-checkable at all.
     *
-    * The eval side is read twice (count to size the filter, then the
-    * build aggregate) plus once more by the verify join — three scans
-    * of the MB-scale side to keep the TB-scale side single-scan and
-    * shuffle-free, the right trade at any corpus size. */
+    * The eval side is scanned twice: once cached for the sizing count
+    * + build aggregate, once by the verify join — to keep the TB-scale
+    * side single-scan and shuffle-free, the right trade at any corpus
+    * size. Measured at sf1 the sketch path pays ~10% over `overlap`
+    * (the extra tiny-side jobs; the eval dictionary there is small
+    * enough to broadcast comfortably) — its win is the regime where
+    * the gram dictionary is too big to ship as a join hash table but
+    * its bits are not. */
   def overlapBloom(
       corpus: DataFrame,
       evalSet: DataFrame,
@@ -98,11 +102,19 @@ object Decontaminate {
     val evalGrams = evalSet
       .select(explode(TextOps.shingleSet(col(textCol), n)).as("ngram"))
       .distinct()
-    val nGrams = math.max(1L, evalGrams.count())
-    val (numBits, numHashes) = BloomFunctions.optimalParams(nGrams, fpp)
-    val filter = evalGrams
-      .agg(bloomBuild(col("ngram"), numBits, numHashes).as("f"))
-      .head().getAs[Array[Byte]](0)
+    // the sizing count and the build share one cached materialization;
+    // released before return (the minhash persist discipline), so the
+    // verify join below re-derives the grams — two scans of the tiny
+    // side total, same envelope as `overlap`'s one plus the sketch
+    evalGrams.persist()
+    val filter =
+      try {
+        val nGrams = math.max(1L, evalGrams.count())
+        val (bits, hashes) = BloomFunctions.optimalParams(nGrams, fpp)
+        evalGrams
+          .agg(bloomBuild(col("ngram"), bits, hashes).as("f"))
+          .head().getAs[Array[Byte]](0)
+      } finally evalGrams.unpersist()
     corpus
       .select(col(idCol),
         explode(TextOps.shingleSet(col(textCol), n)).as("ngram"))
