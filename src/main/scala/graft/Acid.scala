@@ -101,31 +101,72 @@ object Acid {
     * delta ranges (a minor-compacted `delta_1_5` next to not-yet-cleaned
     * `delta_2_2`) dropped so no event is read twice. Mirrors
     * `AcidUtils.getAcidState`. */
-  private[graft] def state(path: String): State = {
+  private[graft] def state(path: String): State =
+    stateAsOf(path, Long.MaxValue)
+
+  /** Census bounded by a write-id horizon — the reference's
+    * ValidWriteIdList snapshot (`AcidUtils.getAcidState` takes one;
+    * `ValidReaderWriteIdList` marks ids above the reader's high-water
+    * mark invisible). Directory-level selection suffices: every event
+    * in `delta_m_n` carries a currentTransaction in [m, n], so
+    * excluding dirs with max > asOf excludes exactly the too-new
+    * events — no row filtering. A dir STRADDLING the horizon (a
+    * compacted delta or base folding writes on both sides) cannot be
+    * split; the coverage check below fails loudly when the
+    * pre-compaction dirs it subsumed are already cleaned, instead of
+    * silently returning a state that never existed. (Cleaner drops a
+    * compaction's obsolete deltas and originals in one pass, so while
+    * it has NOT run, the pre-compaction dirs are still selectable and
+    * old horizons keep working.) */
+  private[graft] def stateAsOf(path: String, asOf: Long): State = {
+    require(asOf >= 0, s"asOf write id must be non-negative, got $asOf")
     val children = Option(new File(path).listFiles()).getOrElse(Array.empty)
       .filter(visible)
-    val base = children.collect {
+    val bases = children.collect {
       case f if f.getName.startsWith("base_") =>
         (f.getName.stripPrefix("base_").toLong, f)
-    }.sortBy(_._1).lastOption
+    }.sortBy(_._1)
+    val base = bases.filter(_._1 <= asOf).lastOption
     val floor = base.map(_._1).getOrElse(0L)
-    val all = children.collect {
+    val allDeltas = children.collect {
       case f if f.getName.startsWith("delta_") =>
         val Array(mn, mx) = f.getName.stripPrefix("delta_").split("_")
         Delta(mn.toLong, mx.toLong, f)
-    }.filter(_.max > floor)
+    }
+    val eligible = allDeltas.filter(d => d.max > floor && d.max <= asOf)
     // widest-first selection: a delta strictly inside an already-selected
     // range is the pre-compaction original of a merged delta — skip it
     val selected = scala.collection.mutable.ArrayBuffer.empty[Delta]
-    all.sortBy(d => (d.min, -d.max)).foreach { d =>
+    eligible.sortBy(d => (d.min, -d.max)).foreach { d =>
       if (!selected.exists(s => s.min <= d.min && d.max <= s.max))
         selected += d
     }
-    // any base covers the originals (major compaction reads them)
+    // any selected base covers the originals (major compaction reads
+    // them); with the base excluded as too new, surviving originals are
+    // the pre-ACID data again
     val originals =
       if (base.isDefined) Seq.empty
       else Option(new File(path).listFiles()).getOrElse(Array.empty)
         .filter(originalFile).sortBy(_.getName).toSeq
+    // coverage: every write id ≤ asOf present in ANY directory must be
+    // readable through the selection — a hole means that id's events
+    // survive only inside a straddling compacted dir
+    val existing = (bases.map { case (b, _) => (1L, b) } ++
+      allDeltas.map(d => (d.min, d.max)))
+      .map { case (lo, hi) => (lo, math.min(hi, asOf)) }
+      .filter { case (lo, hi) => lo <= hi }
+    val covered = (if (floor > 0) Seq((1L, floor)) else Seq.empty) ++
+      selected.map(d => (d.min, d.max))
+    existing.foreach { case (lo, hi) =>
+      var id = lo
+      while (id <= hi) {
+        require(covered.exists { case (a, b) => a <= id && id <= b },
+          s"write id $id at $path is not readable as of $asOf: its " +
+            "events survive only inside a compacted directory " +
+            "(history below the horizon was cleaned)")
+        id += 1
+      }
+    }
     State(base, selected.toSeq, originals)
   }
 
@@ -394,8 +435,17 @@ object Acid {
     * partition count, and Catalyst prunes partitions on the inferred
     * columns. */
   def snapshotWithRowId(spark: SparkSession, path: String): DataFrame =
+    snapshotWithRowIdAsOf(spark, path, Long.MaxValue)
+
+  /** Snapshot as of a write-id horizon (time travel): the table exactly
+    * as a reader with ValidWriteIdList high-water mark `asOf` saw it —
+    * writes above the horizon invisible, directory-level selection via
+    * `stateAsOf`, which fails loudly if that history was compacted away
+    * and cleaned rather than silently misreading. */
+  def snapshotWithRowIdAsOf(spark: SparkSession, path: String,
+      asOf: Long): DataFrame =
     if (!isPartitioned(path)) {
-      val s = state(path)
+      val s = stateAsOf(path, asOf)
       val deltas = s.deltas.map(d => spark.read.parquet(d.dir.toString))
       val baseEvents = s.base.map { case (_, dir) =>
         baseAsEvents(spark.read.parquet(dir.toString), Nil)
@@ -411,7 +461,7 @@ object Acid {
       }
     } else {
       val partCols = partitionColsOf(path)
-      val perLeaf = partitionLeaves(path).map(l => state(l.toString))
+      val perLeaf = partitionLeaves(path).map(l => stateAsOf(l.toString, asOf))
       // partitions with deltas pay the merge; delta-free partitions
       // (base-only or originals-only) bypass it entirely
       val (dirty, cleanLeaves) = perLeaf.partition(_.deltas.nonEmpty)
@@ -440,6 +490,12 @@ object Acid {
   /** Current committed snapshot (data columns only). */
   def snapshot(spark: SparkSession, path: String): DataFrame =
     snapshotWithRowId(spark, path).drop("row__id")
+
+  /** Time-travel snapshot (data columns only): the committed table as
+    * of write id `asOf`. */
+  def snapshotAsOf(spark: SparkSession, path: String, asOf: Long)
+      : DataFrame =
+    snapshotWithRowIdAsOf(spark, path, asOf).drop("row__id")
 
   /** UPDATE transaction: SQL simultaneous-assignment semantics (every SET
     * expression and the predicate see the PRE-update row), writing update

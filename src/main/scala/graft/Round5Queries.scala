@@ -489,5 +489,47 @@ object Round5Queries {
       Seq((checked.getLong(0) >= 0L,
         checked.getLong(1) <= (eps * n).toLong))
         .toDF("no_underestimate", "within_eps_budget")
+    },
+
+    // -- ACID time travel: insert → update → delete, then read the
+    //    table at EVERY historical write-id horizon via snapshotAsOf
+    //    (the reference's ValidWriteIdList high-water mark semantics,
+    //    directory-level selection). The oracle replays each state
+    //    relationally and unions them tagged by horizon.
+    dfQ("q218_acid_time_travel", """
+      WITH w1 AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 10 < 4),
+      w2 AS (
+        SELECT o_orderkey, o_custkey,
+          CASE WHEN o_custkey % 2 = 0 THEN o_totalprice * 3
+               ELSE o_totalprice END AS o_totalprice
+        FROM w1),
+      w3 AS (SELECT * FROM w2 WHERE o_orderkey % 7 <> 1)
+      SELECT 1 AS as_of, * FROM w1
+      UNION ALL SELECT 2, * FROM w2
+      UNION ALL SELECT 3, * FROM w3
+      ORDER BY as_of, o_orderkey""") { (s, d) =>
+      val orders = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-acid-q218").toString
+      try {
+        Acid.create(t)
+        Acid.insertTxn(s, t, orders.filter(col("o_orderkey") % 10 < 4))
+        Acid.updateTxn(s, t,
+          Map("o_totalprice" -> "o_totalprice * 3"), "o_custkey % 2 = 0")
+        Acid.deleteTxn(s, t, "o_orderkey % 7 = 1")
+        (1 to 3).map(w =>
+            Acid.snapshotAsOf(s, t, w).withColumn("as_of", lit(w)))
+          .reduce(_ unionByName _)
+          .select(col("as_of"), col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"))
+          .orderBy("as_of", "o_orderkey")
+          .localCheckpoint() // must outlive the table directory
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(t)).deleteRecursively()
+      }
     })
 }

@@ -562,4 +562,70 @@ class AcidSpec extends SparkSpec {
     val ids = Acid.snapshotWithRowId(spark, t).select("row__id")
     assert(ids.distinct().count() == 2000)
   }
+
+  test("snapshotAsOf replays every historical state of the table") {
+    val t = tmpTable()
+    Acid.create(t)
+    Acid.insertTxn(spark, t, seed(10))                          // w1
+    Acid.insertTxn(spark, t, seed(20).filter($"k" >= 10))       // w2
+    Acid.updateTxn(spark, t, Map("v" -> "v * 10"), "k < 5")     // w3
+    Acid.deleteTxn(spark, t, "k >= 15")                         // w4
+    val afterW1 = rows(seed(10))
+    val afterW2 = rows(seed(20))
+    val afterW3 = rows(seed(20)
+      .withColumn("v", when($"k" < 5, $"v" * 10).otherwise($"v")))
+    val afterW4 = rows(seed(20)
+      .withColumn("v", when($"k" < 5, $"v" * 10).otherwise($"v"))
+      .filter($"k" < 15))
+    assert(rows(Acid.snapshotAsOf(spark, t, 1)) == afterW1)
+    assert(rows(Acid.snapshotAsOf(spark, t, 2)) == afterW2)
+    assert(rows(Acid.snapshotAsOf(spark, t, 3)) == afterW3)
+    assert(rows(Acid.snapshotAsOf(spark, t, 4)) == afterW4)
+    // horizon above the tip and the current snapshot agree
+    assert(rows(Acid.snapshotAsOf(spark, t, 99)) ==
+      rows(Acid.snapshot(spark, t)))
+    // asOf 0: nothing committed yet
+    assert(Acid.snapshotAsOf(spark, t, 0).count() == 0L)
+  }
+
+  test("snapshotAsOf before a compaction works until the Cleaner runs") {
+    val t = tmpTable()
+    Acid.create(t)
+    Acid.insertTxn(spark, t, seed(10))                          // w1
+    Acid.updateTxn(spark, t, Map("v" -> "0.0"), "k = 1")        // w2
+    Acid.insertTxn(spark, t, seed(12).filter($"k" >= 10))       // w3
+    val afterW1 = rows(seed(10))
+    val afterW2 = rows(seed(10)
+      .withColumn("v", when($"k" === 1, lit(0.0)).otherwise($"v")))
+    Acid.compactMajor(spark, t) // base_3 alongside the original deltas
+    // pre-compaction deltas still on disk: every horizon still readable
+    assert(rows(Acid.snapshotAsOf(spark, t, 1)) == afterW1)
+    assert(rows(Acid.snapshotAsOf(spark, t, 2)) == afterW2)
+    Acid.clean(t) // obsolete deltas dropped -> horizons below base_3 gone
+    val e = intercept[IllegalArgumentException] {
+      Acid.snapshotAsOf(spark, t, 2).collect()
+    }
+    assert(e.getMessage.contains("compacted"))
+    // the base horizon itself and the tip still read fine
+    assert(rows(Acid.snapshotAsOf(spark, t, 3)) ==
+      rows(Acid.snapshot(spark, t)))
+  }
+
+  test("snapshotAsOf on a partitioned table bounds every leaf") {
+    val t = tmpTable()
+    Acid.create(t)
+    val byPart = seed(10).withColumn("p", ($"k" % 2).cast("string"))
+    Acid.insertTxn(spark, t, byPart, Seq("p"))                  // w1
+    Acid.deleteTxn(spark, t, "p = '1'")                         // w2 one leaf
+    Acid.insertTxn(spark, t,
+      seed(14).filter($"k" >= 10)
+        .withColumn("p", ($"k" % 2).cast("string")), Seq("p"))  // w3
+    def proj(df: DataFrame) = df.select("k", "s", "v", "p")
+      .as[(Long, String, Double, String)].collect().toSet
+    assert(proj(Acid.snapshotAsOf(spark, t, 1)) == proj(byPart))
+    assert(proj(Acid.snapshotAsOf(spark, t, 2)) ==
+      proj(byPart.filter($"p" =!= "1")))
+    assert(proj(Acid.snapshotAsOf(spark, t, 3)) ==
+      proj(Acid.snapshot(spark, t)))
+  }
 }
