@@ -187,6 +187,72 @@ object Ingest {
       }
       .start()
 
+  /** Streaming maintenance of a per-key count-min sketch table: each
+    * micro-batch builds its own sketch (one combinable aggregate over
+    * the batch) and folds it into the stored one with `cm_merge` —
+    * counts are additive, so the maintained sketch is BYTE-IDENTICAL
+    * to a batch build over everything ingested, and the `_batch_id`
+    * guard makes replay after a crash idempotent (the
+    * startAggMaintenance discipline). The always-current answer to
+    * "how often has key x appeared in the stream so far" in d×w longs
+    * per group — no per-key state store, no growing table.
+    *
+    * `keyCols` empty maintains ONE global sketch row. */
+  def startSketchMaintenance(
+      stream: DataFrame,
+      ep: Endpoint,
+      valueCol: String,
+      keyCols: Seq[String] = Nil,
+      width: Int = 2719,
+      depth: Int = 5,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    import graft.functions.{CountMinAgg, CountMinMerge}
+    def build(c: Column) =
+      toCol(CountMinAgg(toExpr(c), width, depth).toAggregateExpression())
+    def merge(a: Column, b: Column) =
+      toCol(CountMinMerge(toExpr(a), toExpr(b)))
+    stream.writeStream
+      .option("checkpointLocation", ep.checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val ks = if (keyCols.nonEmpty) keyCols else Seq("__global")
+        val keyed =
+          if (keyCols.nonEmpty) batch
+          else batch.withColumn("__global", lit(0))
+        val snap = keyed.groupBy(ks.map(col): _*)
+          .agg(build(col(valueCol)).as("sketch"))
+        if (!spark.catalog.tableExists(ep.table)) {
+          snap.withColumn("_batch_id", lit(batchId))
+            .write.saveAsTable(ep.table)
+        } else {
+          val current = spark.table(ep.table)
+          val applied = current.agg(coalesce(max("_batch_id"), lit(-1L)))
+            .collect().head.getLong(0)
+          if (batchId > applied) {
+            // null-safe key equality: the NULL group is one group
+            val cur = current.drop("_batch_id")
+              .withColumnRenamed("sketch", "__cur")
+            val joined = cur.join(snap,
+              ks.map(k => cur(k) <=> snap(k)).reduce(_ && _),
+              "full_outer")
+            val merged = joined.select(
+              ks.map(k => coalesce(snap(k), cur(k)).as(k)) :+
+                when(cur("__cur").isNull, snap("sketch"))
+                  .when(snap("sketch").isNull, cur("__cur"))
+                  .otherwise(merge(cur("__cur"), snap("sketch")))
+                  .as("sketch"): _*)
+            graft.Warehouse.overwriteUnpartitioned(spark, ep.table,
+              merged.withColumn("_batch_id", lit(batchId)))
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming NEAR-dup filtering against a stored MinHash index — the
     * online arm of `Dedup.minhashAgainstIndex`: each micro-batch is
     * sketched, probed against the index, and only documents with no

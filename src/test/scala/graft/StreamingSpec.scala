@@ -457,4 +457,40 @@ class StreamingSpec extends SparkSpec {
       .agg(sum($"n")).collect().head.getLong(0)
     assert(streamed == batch.count(), "every event lands in some window")
   }
+
+  test("streaming count-min maintenance: merged sketch is byte-identical " +
+    "to a batch build over everything ingested") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    import graft.functions.{CountMinAgg, CountMinFunctions}
+    val table = s"cm_snap_${System.nanoTime()}"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val src = MemoryStream[(String, String)](spark, 31)
+    val ep = Ingest.Endpoint(table, tmp("cmm-ckpt"))
+    def sketchOf(g: String): Array[Byte] = {
+      spark.catalog.refreshTable(table)
+      spark.table(table).filter(col("grp") === g)
+        .select("sketch").collect().head.getAs[Array[Byte]](0)
+    }
+    src.addData(("a", "x"), ("a", "x"), ("a", "y"), ("b", "z"))
+    Ingest.startSketchMaintenance(src.toDF().toDF("grp", "tok"), ep,
+      "tok", Seq("grp"), width = 271, depth = 5).awaitTermination()
+    assert(CountMinFunctions.estimate(sketchOf("a"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("x")) == 2L)
+    // second batch: existing group grows, new group appears
+    src.addData(("a", "x"), ("c", "w"))
+    Ingest.startSketchMaintenance(src.toDF().toDF("grp", "tok"), ep,
+      "tok", Seq("grp"), width = 271, depth = 5).awaitTermination()
+    val est = Map("x" -> sketchOf("a"), "w" -> sketchOf("c"))
+      .map { case (k, f) => k -> CountMinFunctions.estimate(f,
+        org.apache.spark.unsafe.types.UTF8String.fromString(k)) }
+    assert(est == Map("x" -> 3L, "w" -> 1L))
+    // the maintained bytes equal a one-shot batch build (counts are
+    // additive, merge is element-wise add)
+    val oneShot = Seq("x", "x", "y", "x").toDF("tok")
+      .agg(toCol(CountMinAgg(toExpr(col("tok")), 271, 5)
+        .toAggregateExpression()))
+      .head().getAs[Array[Byte]](0)
+    assert(sketchOf("a").toSeq == oneShot.toSeq)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
