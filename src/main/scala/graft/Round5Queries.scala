@@ -531,5 +531,117 @@ object Round5Queries {
         import scala.reflect.io.Directory
         new Directory(new java.io.File(t)).deleteRecursively()
       }
+    },
+
+    // -- REAL video-container decode: planted ISO-BMFF files (ftyp +
+    //    free + mdat + moov{mvhd, trak×n}, every box size real) whose
+    //    movie parameters derive from the key; the engine must recover
+    //    brand/timescale/duration/track-count by walking the actual box
+    //    chain — free and mdat boxes before moov force honest skipping —
+    //    while the oracle recomputes them from the generating formulas.
+    dfQ("q219_mp4_meta", """
+      WITH p AS (
+        SELECT o_orderkey AS id,
+          (o_orderkey % 7) * 100 + 600 AS ts,
+          (o_orderkey * 977) % 90000 + 1000 AS dur,
+          (o_orderkey % 3 + 1)::INT AS ntrk
+        FROM orders WHERE o_orderkey < 80)
+      SELECT id, 'isom' AS major_brand, ts::BIGINT AS timescale,
+        dur::BIGINT AS duration, ntrk AS n_tracks,
+        (dur * 1000 // ts)::BIGINT AS duration_ms
+      FROM p ORDER BY id""") { (s, d) =>
+      def be32hex(c: org.apache.spark.sql.Column) =
+        lpad(hex(c.cast("long")), 8, "0")
+      val k = col("o_orderkey")
+      val ts = (k % 7) * 100 + 600
+      val dur = (k * 977) % 90000 + 1000
+      val ntrk = k % 3 + 1
+      // unity transform matrix (36 bytes), shared by mvhd and tkhd
+      val mx = "000100000000000000000000000000000001000000000000" +
+        "000000000000000040000000"
+      // mvhd v0: creation/modification 0, rate 1.0, volume 1.0,
+      // next_track_id 4 — 108 (0x6C) bytes incl. header
+      val mvhd = concat(
+        lit("0000006C6D7668640000000000000000" + "00000000"),
+        be32hex(ts), be32hex(dur),
+        lit("00010000" + "01000000" + "0000000000000000" + mx +
+          "0" * 48 + "00000004"))
+      // trak = header + tkhd v0 (track enabled, planted track_id) —
+      // 100 (0x64) bytes incl. header
+      def trak(t: Int) = concat(
+        lit("000000647472616B0000005C746B68640000000700000000" +
+          "00000000" + f"$t%08X" + "00000000"),
+        be32hex(dur),
+        lit("0000000000000000" + "00000000" + "00000000" + mx +
+          "00000000" + "00000000"))
+      val traks = when(ntrk === 1, trak(1))
+        .when(ntrk === 2, concat(trak(1), trak(2)))
+        .otherwise(concat(trak(1), trak(2), trak(3)))
+      val moovSize = when(ntrk === 1, lit("000000D8"))
+        .when(ntrk === 2, lit("0000013C")).otherwise(lit("000001A0"))
+      val hexStr = concat(
+        lit("00000010" + "66747970" + "69736F6D" + "00000200" + // ftyp isom
+          "0000000C" + "66726565" + "DEADBEEF" + // free box (skipped)
+          "00000010" + "6D646174" + "0011223344556677"), // mdat before moov
+        moovSize, lit("6D6F6F76"), mvhd, traks)
+      val planted = Tables.load(s, d, "orders")
+        .filter(k < 80)
+        .select(k.as("id"), unhex(hexStr).as("payload"))
+      planted
+        .select(col("id"),
+          graft.operators.Multimodal.mp4Meta(col("payload")).as("m"))
+        .select(col("id"),
+          col("m.major_brand").as("major_brand"),
+          col("m.timescale").as("timescale"),
+          col("m.duration").as("duration"),
+          col("m.n_tracks").as("n_tracks"),
+          (col("m.duration") * 1000 / col("m.timescale")).cast("long")
+            .as("duration_ms"))
+        .orderBy("id")
+    },
+
+    // -- frame-level audio features: planted PCM16 WAVs with signed
+    //    samples from the key formula; the engine folds per-frame
+    //    energy and zero-crossings from the actual bytes, the oracle
+    //    replays the same frames arithmetically (integer math only on
+    //    both sides — bit-exact at any partitioning)
+    dfQ("q220_audio_frames", """
+      WITH s AS (
+        SELECT o_orderkey AS id, unnest(range(0, 16)) AS i
+        FROM orders WHERE o_orderkey < 100),
+      v AS (SELECT id, i, (id * 31 + i * 13) % 4096 - 2048 AS val,
+              (i // 4)::INT AS frame FROM s),
+      p AS (SELECT id, frame, i, val,
+              lag(val) OVER (PARTITION BY id, frame ORDER BY i) AS prev
+            FROM v)
+      SELECT id, frame, count(*)::INT AS n,
+        sum(val * val)::BIGINT AS sum_sq,
+        sum(CASE WHEN prev IS NOT NULL AND prev * val < 0
+                 THEN 1 ELSE 0 END)::INT AS zc,
+        round(sqrt(sum(val * val)::DOUBLE / count(*)), 6) AS rms
+      FROM p GROUP BY id, frame ORDER BY id, frame""") { (s, d) =>
+      def le16hex(c: org.apache.spark.sql.Column) = {
+        // two's-complement LE16: pmod folds negative samples to 0..65535
+        val h = lpad(hex(pmod(c.cast("long"), lit(65536L))), 4, "0")
+        concat(substring(h, 3, 2), substring(h, 1, 2))
+      }
+      val header = "52494646" + "44000000" + "57415645" + "666D7420" +
+        "10000000" + "0100" + "0100" + "401F0000" + "803E0000" + "0200" +
+        "1000" + "64617461" + "20000000"
+      val samples = (0 until 16).map(i =>
+        le16hex((col("o_orderkey") * 31 + i * 13) % 4096 - 2048))
+      val wav = unhex(concat((lit(header) +: samples): _*))
+      val planted = Tables.load(s, d, "orders")
+        .filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey").as("id"), wav.as("payload"))
+      planted
+        .select(col("id"), posexplode(
+          graft.operators.Multimodal.wavFrameEnergy(col("payload"), 4)))
+        .select(col("id"), col("col.frame").as("frame"),
+          col("col.n").as("n"), col("col.sum_sq").as("sum_sq"),
+          col("col.zc").as("zc"),
+          round(sqrt(col("col.sum_sq").cast("double") / col("col.n")), 6)
+            .as("rms"))
+        .orderBy("id", "frame")
     })
 }

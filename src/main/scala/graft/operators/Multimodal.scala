@@ -101,6 +101,30 @@ object Multimodal {
     toCol(graft.functions.WavPcm16Stats(toExpr(bin)))
   }
 
+  /** Frame-level audio features: consecutive `frameSize`-sample frames
+    * of the PCM16 payload, each with sample count, energy (exact Int64
+    * sum of squares) and zero-crossing count
+    * (graft.functions.WavFrameEnergy); null for non-WAV/non-PCM16 rows.
+    * posexplode the array for per-frame rows; RMS = sqrt(sum_sq/n). */
+  def wavFrameEnergy(bin: Column, frameSize: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    toCol(graft.functions.WavFrameEnergy(toExpr(bin), frameSize))
+  }
+
+  /** ISO-BMFF (MP4/MOV): a leading `ftyp` box is the container magic. */
+  def isMp4(bin: Column): Column =
+    length(bin) >= 12 && upper(hex(substring(bin, 5, 4))) === "66747970"
+
+  /** REAL video-container decode: major brand, movie timescale/duration
+    * and track count from the actual ISO-BMFF box chain
+    * (graft.functions.Mp4Meta — ftyp magic, moov/mvhd/trak walk,
+    * unknown boxes skipped by size); null for non-MP4 payloads. Derive
+    * duration_ms as duration * 1000 / timescale in query space. */
+  def mp4Meta(bin: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    toCol(graft.functions.Mp4Meta(toExpr(bin)))
+  }
+
   /** Wrap a (id, binary) DataFrame into the canonical media schema.
     * Recognized headers (PNG, GIF, JPEG, BMP, WAV) are decoded for
     * real; anything else gets the stub metadata — one pass of codegen'd
@@ -150,6 +174,16 @@ object Multimodal {
       lit(0).as("width"), lit(0).as("height"),
       wavDurationMs(bin).as("durationMs"),
       wavSampleRate(bin).as("sampleRateHz"), wavChannels(bin).as("channels"))
+    val mp4 = mp4Meta(bin)
+    val mp4Duration = when(mp4.getField("timescale") > 0,
+      mp4.getField("duration") * 1000L / mp4.getField("timescale"))
+      .otherwise(lit(0L)).cast("long")
+    val mp4MetaStruct = struct(
+      lit("video").as("kind"), lit("video/mp4").as("mimeType"),
+      lit(0).as("width"), lit(0).as("height"),
+      mp4Duration.as("durationMs"),
+      lit(0).as("sampleRateHz"),
+      mp4.getField("n_tracks").as("channels"))
     df.select(
       col(idCol).cast("long").as("id"),
       bin.as("content"),
@@ -158,6 +192,7 @@ object Multimodal {
         .when(jpeg.isNotNull, jpegMeta)
         .when(isBmp(bin), bmpMeta)
         .when(isWav(bin), wavMeta)
+        .when(mp4.isNotNull, mp4MetaStruct)
         .otherwise(stubMeta).as("meta"),
       length(bin).as("n_bytes"),
       sha2(bin, 256).as("content_sha256"))

@@ -286,4 +286,126 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getInt(2) == 224 && r.getInt(3) == 224)
     assert(r.getString(0) == "image")
   }
+
+  // ---- ISO-BMFF (MP4) container decode ---------------------------------
+
+  private def be32(v: Long): Array[Byte] = Array(
+    (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+    be32(payload.length + 8L) ++ tpe.getBytes("US-ASCII") ++ payload
+
+  private def mvhdV1(timescale: Long, duration: Long): Array[Byte] = {
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(Array[Byte](1, 0, 0, 0)) // version 1
+    body.write(be32(0)); body.write(be32(0)) // creation u64
+    body.write(be32(0)); body.write(be32(0)) // modification u64
+    body.write(be32(timescale))
+    body.write(be32(duration >> 32)); body.write(be32(duration & 0xffffffffL))
+    body.write(new Array[Byte](80)) // rate..next_track_id
+    box("mvhd", body.toByteArray)
+  }
+
+  test("mp4Meta reads a version-1 mvhd (64-bit duration) and counts traks") {
+    val ftyp = box("ftyp", "mp42".getBytes("US-ASCII") ++ be32(0))
+    val moov = box("moov",
+      mvhdV1(90000L, 0x1_0000_0001L) ++ box("trak", Array[Byte]()) ++
+        box("trak", Array[Byte]()))
+    val df = Seq((1L, ftyp ++ moov)).toDF("id", "payload")
+      .select($"id", Multimodal.mp4Meta($"payload").as("m"))
+      .select($"m.major_brand", $"m.timescale", $"m.duration", $"m.n_tracks")
+    val r = df.collect().head
+    assert(r.getString(0) == "mp42")
+    assert(r.getLong(1) == 90000L)
+    assert(r.getLong(2) == 0x1_0000_0001L, "64-bit duration read in full")
+    assert(r.getInt(3) == 2)
+  }
+
+  test("mp4Meta honors a 64-bit largesize box header") {
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0x200))
+    // a `free` box using size==1 + largesize, then moov
+    val freePayload = Array[Byte](1, 2, 3, 4)
+    val largeFree = be32(1L) ++ "free".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 20) ++ freePayload
+    val moov = box("moov", mvhdV1(1000L, 5000L))
+    val r = Seq((1L, ftyp ++ largeFree ++ moov)).toDF("id", "payload")
+      .select(Multimodal.mp4Meta($"payload").as("m"))
+      .select($"m.duration").collect().head
+    assert(r.getLong(0) == 5000L)
+  }
+
+  test("mp4Meta is null for non-MP4, truncated and moov-less payloads") {
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0))
+    val moov = box("moov", mvhdV1(1000L, 5000L))
+    val full = ftyp ++ moov
+    val rows = Seq(
+      (1L, "not an mp4 at all".getBytes("UTF-8")),
+      (2L, full.take(full.length - 30)), // truncated mid-moov
+      (3L, ftyp), // no moov
+      (4L, ftyp ++ box("moov", box("trak", Array[Byte]()))) // moov, no mvhd
+    ).toDF("id", "payload")
+      .select($"id", Multimodal.mp4Meta($"payload").as("m"))
+      .orderBy("id").collect()
+    assert(rows.forall(_.isNullAt(1)))
+  }
+
+  // ---- frame-level PCM16 features --------------------------------------
+
+  private def wav(samples: Array[Int]): Array[Byte] = {
+    val data = samples.flatMap(s =>
+      Array((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
+    val hdr = new java.io.ByteArrayOutputStream()
+    hdr.write("RIFF".getBytes("US-ASCII"))
+    hdr.write(Array[Byte](((36 + data.length) & 0xff).toByte,
+      (((36 + data.length) >> 8) & 0xff).toByte, 0, 0))
+    hdr.write("WAVEfmt ".getBytes("US-ASCII"))
+    hdr.write(Array[Byte](16, 0, 0, 0, 1, 0, 1, 0))
+    hdr.write(Array[Byte](0x40, 0x1f, 0, 0, -128, 0x3e, 0, 0, 2, 0, 16, 0))
+    hdr.write("data".getBytes("US-ASCII"))
+    hdr.write(Array[Byte]((data.length & 0xff).toByte,
+      ((data.length >> 8) & 0xff).toByte, 0, 0))
+    hdr.write(data)
+    hdr.toByteArray
+  }
+
+  test("wavFrameEnergy: hand-computed frames, zero-crossings, partial tail") {
+    // 10 samples, frame size 4 → frames of 4, 4, 2
+    val s = Array(100, -200, 300, 0, 0, -1, 1, -1, 7, 7)
+    val out = Seq((1L, wav(s))).toDF("id", "payload")
+      .select(posexplode(Multimodal.wavFrameEnergy($"payload", 4)))
+      .select($"col.frame", $"col.n", $"col.sum_sq", $"col.zc")
+      .orderBy("frame").collect()
+    assert(out.length == 3)
+    // frame 0: 100,-200,300,0 → zc: 100→-200, -200→300 (0 is no crossing)
+    assert(out(0).getInt(1) == 4)
+    assert(out(0).getLong(2) == 100L * 100 + 200L * 200 + 300L * 300)
+    assert(out(0).getInt(3) == 2)
+    // frame 1: 0,-1,1,-1 → -1→1, 1→-1 cross; 0→-1 does not (strict sign)
+    assert(out(1).getInt(3) == 2)
+    // frame 2 (partial): 7,7 → n=2, no crossing
+    assert(out(2).getInt(1) == 2)
+    assert(out(2).getLong(2) == 98L)
+    assert(out(2).getInt(3) == 0)
+    // frame-local zc: sample 7 (-1) → sample 8 (7) crossing is NOT
+    // counted — it straddles the frame boundary
+  }
+
+  test("wavFrameEnergy totals reconcile with wavPcm16Stats") {
+    val s = Array.tabulate(23)(i => (i * 37) % 4096 - 2048)
+    val df = Seq((1L, wav(s))).toDF("id", "payload")
+    val whole = df.select(Multimodal.wavPcm16Stats($"payload").as("st"))
+      .select($"st.n_samples", $"st.sum_sq").collect().head
+    val frames = df
+      .select(explode(Multimodal.wavFrameEnergy($"payload", 5)).as("f"))
+      .agg(sum($"f.n"), sum($"f.sum_sq")).collect().head
+    assert(frames.getLong(0) == whole.getInt(0).toLong)
+    assert(frames.getLong(1) == whole.getLong(1))
+  }
+
+  test("wavFrameEnergy is null for non-WAV and non-PCM16 payloads") {
+    val r = Seq((1L, "RIFFxxxxWAVE but junk".getBytes("UTF-8")))
+      .toDF("id", "payload")
+      .select(Multimodal.wavFrameEnergy($"payload", 4).as("f"))
+      .collect().head
+    assert(r.isNullAt(0))
+  }
 }
