@@ -643,5 +643,132 @@ object Round5Queries {
           round(sqrt(col("col.sum_sq").cast("double") / col("col.n")), 6)
             .as("rms"))
         .orderBy("id", "frame")
+    },
+
+    // -- distributed k-means, oracle-unrolled: every Lloyd round's
+    //    assignment (round-6 cosine argmax, ties → lowest cid) and
+    //    centroid update (round-6 decimal-exact means, empty clusters
+    //    keep their centroid) is replayed as chained CTEs — the
+    //    pagerank/bpe unrolling discipline applied to clustering.
+    dfQ("q221_kmeans", duckKmeansOracle(4, 2)) { (s, d) =>
+      graft.operators.Clustering.kmeans(
+        Tables.load(s, d, "embeddings"), "vec_id", "embedding",
+        k = 4, iters = 2, seeding = graft.operators.Clustering.seedFirstK)
+        .assigned.select(col("id"), col("cid")).orderBy("id")
+    },
+
+    // -- product-quantization ANN invariant (the q125 pattern): ADC
+    //    top-10 over 8×16 codebooks must recover at least half of the
+    //    exact L2 top-10, and every code must be a valid codebook index
+    //    — hash-checked evidence for the PQ path on top of its specs.
+    dfQ("q222_pq_recall", """
+      SELECT true AS recall_ok, true AS codes_bounded, 8 AS m""") { (s, d) =>
+      import graft.operators.{Pq, Vectors}
+      val sq = s; import sq.implicits._
+      val emb = Tables.load(s, d, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding")).collect().head.getSeq[Float](0)
+      val exact = emb
+        .select(col("vec_id"),
+          Vectors.l2Distance(col("embedding"), lit(qv.toArray)).as("dist"))
+        .orderBy(col("dist").asc, col("vec_id")).limit(10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val model = Pq.buildPq(emb, "vec_id", "embedding",
+        dim = 64, m = 8, ksub = 16, iters = 2)
+      val approx = Pq.searchPq(model, qv, 10)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val codesOk = model.codes
+        .filter(size(col("codes")) =!= 8 ||
+          exists(col("codes"), c => c < 0 || c >= 16))
+        .count() == 0L
+      Seq((exact.intersect(approx).size >= (exact.size + 1) / 2,
+        codesOk, 8)).toDF("recall_ok", "codes_bounded", "m")
+    },
+
+    // -- label propagation communities, oracle-unrolled: synchronous
+    //    rounds over the q173 customer–supplier bipartite graph; each
+    //    round every vertex adopts its in-neighbors' most frequent label
+    //    (ties → smallest), replayed round-by-round as chained CTEs.
+    dfQ("q223_label_prop", duckLpaOracle(2)) { (s, d) =>
+      val half = Tables.load(s, d, "orders")
+        .join(Tables.load(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val edges = half.union(
+        half.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.labelPropagation(edges, "src", "dst", iters = 2)
+        .orderBy("node")
     })
+
+  /** DuckDB replay of `Clustering.kmeans` (firstK seeds, cosine):
+    * identical arithmetic to the engine — round-6 cosine argmax with
+    * lowest-cid ties, round-6 decimal-exact centroid means, empty
+    * clusters keeping their previous centroid, and a final assignment
+    * against the last round's centroids. */
+  private def duckKmeansOracle(k: Int, iters: Int): String = {
+    def assign(cTab: String) =
+      s"""SELECT v.id, c.cid, v.vec,
+            row_number() OVER (PARTITION BY v.id
+              ORDER BY round(list_cosine_similarity(v.vec, c.cvec), 6) DESC,
+                       c.cid) AS rn
+          FROM v CROSS JOIN $cTab c"""
+    val rounds = (0 until iters).map { i =>
+      s"""a$i AS (SELECT id, cid, vec FROM (${assign(s"c$i")}) t WHERE rn = 1),
+      m$i AS (
+        SELECT cid, pos,
+          round(sum(val::DECIMAL(27,12))::DOUBLE / count(*), 6) AS mval
+        FROM (SELECT cid, unnest(vec) AS val,
+                generate_subscripts(vec, 1) AS pos FROM a$i) u
+        GROUP BY cid, pos),
+      c${i + 1} AS (
+        SELECT c.cid, coalesce(mm.mvec, c.cvec) AS cvec
+        FROM c$i c LEFT JOIN (
+          SELECT cid, list(mval ORDER BY pos) AS mvec
+          FROM m$i GROUP BY cid) mm
+        ON c.cid = mm.cid)"""
+    }.mkString(",\n")
+    s"""
+      WITH v AS (
+        SELECT vec_id AS id,
+          list_transform(embedding, x -> x::DOUBLE) AS vec
+        FROM embeddings),
+      c0 AS (
+        SELECT (row_number() OVER (ORDER BY id) - 1)::INT AS cid,
+          vec AS cvec
+        FROM v ORDER BY id LIMIT $k),
+      $rounds
+      SELECT id, cid FROM (${assign(s"c$iters")}) t WHERE rn = 1
+      ORDER BY id"""
+  }
+
+  /** DuckDB replay of `Graph.labelPropagation` on the q173 bipartite
+    * graph: synchronous rounds, most-frequent in-neighbor label, ties
+    * to the smallest label, no-inbound vertices keep theirs. */
+  private def duckLpaOracle(iters: Int): String = {
+    val rounds = (0 until iters).map { i =>
+      s"""f$i AS (
+        SELECT e.dst AS node, l.label, count(*) AS c
+        FROM e JOIN l$i l ON e.src = l.node GROUP BY 1, 2),
+      w$i AS (
+        SELECT node, label FROM (
+          SELECT node, label,
+            row_number() OVER (PARTITION BY node
+              ORDER BY c DESC, label) AS rn
+          FROM f$i) t WHERE rn = 1),
+      l${i + 1} AS (
+        SELECT l.node, coalesce(w.label, l.label) AS label
+        FROM l$i l LEFT JOIN w$i w ON l.node = w.node)"""
+    }.mkString(",\n")
+    s"""
+      WITH e0 AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      l0 AS (SELECT node, node AS label FROM n),
+      $rounds
+      SELECT node, label FROM l$iters ORDER BY node"""
+  }
 }

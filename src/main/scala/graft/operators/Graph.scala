@@ -281,4 +281,57 @@ object Graph {
       } finally oriented.unpersist(false)
     } finally und.unpersist(false)
   }
+
+  /** Synchronous label propagation (LPA) community detection — the
+    * lightweight complement to `Dedup.connectedComponents`: components
+    * find the reachability partition, LPA finds *dense* regions inside
+    * it (near-duplicate web-host clusters, citation communities) in a
+    * fixed number of rounds. Reference counterpart: graph analytics
+    * family (SURVEY §2 pipeline additions), same additive status as
+    * pageRank/triangleCount.
+    *
+    * Every vertex starts labeled with its own id; each round, every
+    * vertex adopts the most frequent label among its in-neighbors, ties
+    * broken toward the smallest label. Updates are synchronous (round
+    * t+1 reads only round t's labels), so the result is deterministic
+    * under any partitioning and replayable round-by-round in SQL — the
+    * q-query oracle unrolls the rounds as chained CTEs. Vertices with no
+    * in-edges keep their current label. Pass an edge list with both
+    * directions present for undirected graphs (the pageRank convention).
+    *
+    * Scale shape: each round is one shuffle-join of the |V|-row label
+    * table with the edge list plus a (dst, label)-keyed count — the
+    * power-method cost profile; per-round labels are eagerly
+    * localCheckpoint'd so lineage stays bounded. Returns (node, label)
+    * after `iters` rounds. */
+  def labelPropagation(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst"))).distinct()
+      var labels = nodes.select(col("node"), col("node").as("label"))
+        .localCheckpoint(true)
+      for (_ <- 0 until math.max(iters, 1)) {
+        val freq = e
+          .join(labels.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"), col("label"))
+          .agg(count(lit(1)).as("c"))
+        // most frequent label, ties to the smallest: min over (-c, label)
+        val winner = freq
+          .groupBy("node")
+          .agg(min_by(col("label"), struct(-col("c"), col("label")))
+            .as("new_label"))
+        labels = labels
+          .join(winner, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("new_label"), col("label")).as("label"))
+          .localCheckpoint(true)
+      }
+      labels
+    } finally e.unpersist(false)
+  }
 }
