@@ -15,20 +15,35 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-      // rejects at schema inference; an explicit user schema typed LONG
-      // reads the raw int64 without touching session conf (the previous
-      // global `nanosAsLong` toggle leaked into shared sessions), then
-      // truncates to micros (what DuckDB's ts::TIMESTAMP cast does too,
-      // so oracles agree).
-      import org.apache.spark.sql.types._
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      spark.read.schema(schema).parquet(s"$dir/events.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
+      // events.ts has shipped as both parquet TIMESTAMP(MICROS) (readable
+      // directly) and TIMESTAMP(NANOS) (rejected at schema inference, since
+      // Spark has no nanos timestamp type). Try the native read first; on
+      // the nanos encoding fall back to an explicit LONG schema that reads
+      // the raw int64 without touching session conf (a global `nanosAsLong`
+      // toggle would leak into shared sessions), then truncate to micros
+      // (what DuckDB's ts::TIMESTAMP cast does too, so oracles agree).
+      try {
+        import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+        val df = spark.read.parquet(s"$dir/events.parquet")
+        df.schema("ts").dataType match {
+          case TimestampType => df
+          // pandas-written files carry isAdjustedToUTC=false → NTZ; the
+          // session runs UTC, so the cast is wall-clock-identity and
+          // matches DuckDB's naive-timestamp read.
+          case TimestampNTZType =>
+            df.withColumn("ts", df("ts").cast(TimestampType))
+          case other => sys.error(s"unexpected events.ts type $other")
+        }
+      } catch { case scala.util.control.NonFatal(_) =>
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        spark.read.schema(schema).parquet(s"$dir/events.parquet")
+          .withColumn("ts", org.apache.spark.sql.functions.expr(
+            "timestamp_micros(ts div 1000)"))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

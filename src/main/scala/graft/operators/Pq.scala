@@ -81,22 +81,34 @@ object Pq {
       .limit(k)
   }
 
-  /** ADC shortlist of `k * refine` candidates, then exact cosine over
+  /** ADC shortlist of `k * refine` candidates, then exact distance over
     * the original vectors for the final top-k — the standard two-stage
-    * PQ pipeline. The shortlist is tiny, so the rerank join broadcasts
-    * and only the shortlisted rows' vectors are ever touched. */
+    * PQ pipeline. `metric` is "cosine" (descending similarity) or "l2"
+    * (ascending squared distance). The shortlist is tiny, so the rerank
+    * join broadcasts and only the shortlisted rows' vectors are ever
+    * touched. */
   def searchPqExactRerank(
       model: PqModel, df: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Float], k: Int, refine: Int = 4): DataFrame = {
+      query: Seq[Float], k: Int, refine: Int = 4,
+      metric: String = "cosine"): DataFrame = {
     val shortlist = searchPq(model, query, k * math.max(refine, 1))
       .select("id")
     val q = lit(query.toArray)
-    df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val joined = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .join(broadcast(shortlist), "id")
-      .select(col("id"),
-        nanvl(Vectors.cosine(col("vec"), q), lit(-1.0)).as("cosine"))
-      .orderBy(col("cosine").desc, col("id"))
-      .limit(k)
+    metric match {
+      case "cosine" =>
+        joined.select(col("id"),
+            nanvl(Vectors.cosine(col("vec"), q), lit(-1.0)).as("cosine"))
+          .orderBy(col("cosine").desc, col("id"))
+          .limit(k)
+      case "l2" =>
+        joined.select(col("id"),
+            Vectors.l2Distance(col("vec"), q).as("dist"))
+          .orderBy(col("dist").asc, col("id"))
+          .limit(k)
+      case other => sys.error(s"unknown rerank metric $other")
+    }
   }
 
   /** Driver-side m×ksub table of exact squared L2 from the query's
