@@ -478,18 +478,22 @@ object GapQueries {
       SELECT true AS recall_ok, 10 AS k""") { (s, d) =>
       import graft.operators.Similarity
       val emb = Tables.load(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") === 0L)
-        .select(col("embedding")).collect().head.getSeq[Float](0)
       val sq = s; import sq.implicits._
-      // both top-k lists are tiny — collect once, compare locally
-      // (intersect-then-count would re-run the brute-force scan twice)
-      val exact = Similarity.topKForId(emb, "vec_id", "embedding",
-        queryId = 0L, k = 10).select("id").collect().map(_.getLong(0)).toSet
-      val approx = Similarity.searchIvf(
-        Similarity.buildIvf(emb, "vec_id", "embedding", nlist = 8),
-        q, k = 10, nprobe = 3).select("id").collect().map(_.getLong(0)).toSet
-      val hits = exact.intersect(approx).size
-      Seq((hits >= (exact.size + 1) / 2, exact.size))
+      // Mean recall@10 over 5 probe queries against ONE shared index —
+      // a single query's recall swings hard with each testdata sample
+      // (observed 5/10..10/10 across probe ids), the mean is stable.
+      // Top-k lists are tiny — collect once, compare locally.
+      val ivf = Similarity.buildIvf(emb, "vec_id", "embedding", nlist = 8)
+      val hits = (0L until 5L).map { qid =>
+        val q = emb.filter(col("vec_id") === qid)
+          .select(col("embedding")).collect().head.getSeq[Float](0)
+        val exact = Similarity.topKForId(emb, "vec_id", "embedding",
+          queryId = qid, k = 10).select("id").collect().map(_.getLong(0)).toSet
+        val approx = Similarity.searchIvf(ivf, q, k = 10, nprobe = 3)
+          .select("id").collect().map(_.getLong(0)).toSet
+        exact.intersect(approx).size
+      }.sum
+      Seq((hits >= 25, 10)) // mean recall ≥ 0.5 over 50 slots
         .toDF("recall_ok", "k")
     },
 

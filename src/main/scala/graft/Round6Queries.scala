@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import Queries._
+
+/** Round-6 queries: warehouse history (SCD Type 2), a trained-and-scored
+  * quality classifier with the fit itself oracle-unrolled, and the EXACT
+  * set-similarity join completing the dedup family (LSH ≈ fast/approx,
+  * prefix-filter = exact, same tokenizer).
+  */
+object Round6Queries {
+
+  def all: Seq[Q] = Seq(
+
+    // -- SCD Type 2 over the events changelog: per user, each run of
+    //    consecutive equal event_types becomes one version row carrying
+    //    its validity interval. The oracle replays the same two windows
+    //    (lag change-detect, lead valid_to) verbatim.
+    dfQ("q224_scd_type2", """
+      WITH v AS (
+        SELECT user_id, event_type, ts,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS prev
+        FROM events),
+      ver AS (
+        SELECT user_id, event_type, ts AS valid_from
+        FROM v WHERE prev IS NULL OR prev <> event_type)
+      SELECT user_id, event_type, valid_from,
+        lead(valid_from) OVER (PARTITION BY user_id
+          ORDER BY valid_from) AS valid_to,
+        (lead(valid_from) OVER (PARTITION BY user_id
+          ORDER BY valid_from) IS NULL) AS is_current
+      FROM ver
+      ORDER BY user_id, valid_from""") { (s, d) =>
+      graft.operators.Cdc.scdType2(
+        Tables.load(s, d, "events"),
+        keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+        attrCols = Seq("event_type"), validCol = "ts")
+        .orderBy("user_id", "valid_from")
+    },
+
+    // -- Quality-classifier training, oracle-unrolled: 2 rounds of
+    //    full-batch GD logistic regression on three engineered document
+    //    features, then the fitted model scores every document. The
+    //    oracle replays both gradient rounds as chained CTEs with the
+    //    identical arithmetic (round-6 probabilities, decimal-exact
+    //    gradient sums, round-6 weight updates) — the kmeans/pagerank/
+    //    bpe unrolling discipline applied to a learner.
+    dfQ("q225_logreg_quality", duckLogregOracle(iters = 2, lr = 0.5)) {
+      (s, d) =>
+      val feat = logregFeatures(Tables.load(s, d, "documents"))
+      val model = graft.operators.Classifier.logisticFit(
+        feat, "y", Seq("f1", "f2", "f3"), iters = 2, lr = 0.5)
+      graft.operators.Classifier.logisticScore(feat, model)
+        .select(col("doc_id"), col("prob"), col("label_pred"))
+        .orderBy("doc_id")
+    },
+
+    // -- EXACT Jaccard self-join (prefix filter + size filter + verify):
+    //    every document pair with token-set Jaccard >= 0.5. The oracle
+    //    is the brute-force inverted-index pair count — feasible at
+    //    oracle scale, the thing the prefix filter makes unnecessary at
+    //    engine scale.
+    dfQ("q226_setsim_exact", """
+      WITH tok AS (
+        SELECT doc_id,
+          list_distinct(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'),
+            x -> len(x) > 0)) AS toks
+        FROM documents),
+      t2 AS (SELECT doc_id, unnest(toks) AS token FROM tok
+             WHERE len(toks) > 0),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM t2 a JOIN t2 b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, len(toks) AS n FROM tok)
+      SELECT id_a, id_b,
+        round(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE inter::DOUBLE >= 0.5 * (sa.n + sb.n - inter)::DOUBLE
+      ORDER BY id_a, id_b""") { (s, d) =>
+      graft.operators.SetSim.jaccardSelfJoin(
+        Tables.load(s, d, "documents"), "doc_id", "text", threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    })
+
+  /** Engineered features shared by the Spark side and (textually
+    * mirrored) the oracle: f1 = round(ln(1+len),6), f2 = round-6 digit
+    * ratio, f3 = round-6 ws-token-count/100, label y = doc_id % 3 == 0.
+    * All three reduce to exact integer counts before one double op, so
+    * both engines see bit-identical inputs. */
+  private def logregFeatures(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      round(log(lit(1.0) + length(col("text"))), 6).as("f1"),
+      round(length(regexp_replace(col("text"), "[^0-9]", ""))
+        .cast("double") / length(col("text")), 6).as("f2"),
+      round(size(filter(split(col("text"), "\\s+"), x => length(x) > 0))
+        .cast("double") / 100.0, 6).as("f3"),
+      (col("doc_id") % 3 === 0).cast("int").as("y"))
+
+  /** DuckDB replay of `Classifier.logisticFit` + `logisticScore`:
+    * starting from zero weights, each round computes round-6 sigmoid
+    * probabilities, decimal(27,12)-exact mean-gradient sums and round-6
+    * weight updates as chained CTEs; the final SELECT scores every
+    * document with the last round's weights. */
+  private def duckLogregOracle(iters: Int, lr: Double): String = {
+    val feats = """
+      f AS (
+        SELECT doc_id,
+          round(ln(1 + len(text)), 6) AS f1,
+          round(len(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+            / len(text), 6) AS f2,
+          round(len(list_filter(string_split_regex(text, '\s+'),
+            x -> len(x) > 0))::DOUBLE / 100.0, 6) AS f3,
+          (doc_id % 3 = 0)::INT::DOUBLE AS y
+        FROM documents)"""
+    // w0: all-zero weights as a 1-row CTE
+    val w0 = "w0 AS (SELECT 0.0::DOUBLE AS w1, 0.0::DOUBLE AS w2," +
+      " 0.0::DOUBLE AS w3, 0.0::DOUBLE AS b)"
+    def prob(wTab: String) =
+      s"round(1.0 / (1.0 + exp(-($wTab.b + $wTab.w1 * f1 + $wTab.w2 * f2" +
+        s" + $wTab.w3 * f3))), 6)"
+    val rounds = (0 until iters).map { i =>
+      s"""g$i AS (
+        SELECT
+          sum(((p - y) * f1)::DECIMAL(27,12)) AS g1,
+          sum(((p - y) * f2)::DECIMAL(27,12)) AS g2,
+          sum(((p - y) * f3)::DECIMAL(27,12)) AS g3,
+          sum((p - y)::DECIMAL(27,12)) AS gb,
+          count(*) AS n
+        FROM (SELECT f.*, ${prob(s"w$i")} AS p FROM f CROSS JOIN w$i) t),
+      w${i + 1} AS (
+        SELECT
+          round(w$i.w1 - $lr * (g$i.g1::DOUBLE) / g$i.n, 6) AS w1,
+          round(w$i.w2 - $lr * (g$i.g2::DOUBLE) / g$i.n, 6) AS w2,
+          round(w$i.w3 - $lr * (g$i.g3::DOUBLE) / g$i.n, 6) AS w3,
+          round(w$i.b  - $lr * (g$i.gb::DOUBLE) / g$i.n, 6) AS b
+        FROM g$i CROSS JOIN w$i)"""
+    }.mkString(",\n")
+    s"""WITH $feats,
+      $w0,
+      $rounds
+      SELECT doc_id, ${prob(s"w$iters")} AS prob,
+        (${prob(s"w$iters")} >= 0.5)::INT AS label_pred
+      FROM f CROSS JOIN w$iters
+      ORDER BY doc_id"""
+  }
+}

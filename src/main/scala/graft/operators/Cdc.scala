@@ -98,4 +98,46 @@ object Cdc {
           coalesce(col("__b_n"), lit(0L))).as("n")) ++
         sums.map(c => addSum(c).as(c)): _*)
   }
+
+  /** Slowly-changing-dimension Type 2: turn a per-key change log into a
+    * versioned history. Consecutive rows (per key, ordered by `orderCols`)
+    * whose tracked attributes are unchanged are collapsed; each surviving
+    * version carries `valid_from` (its first order value), `valid_to`
+    * (the next version's `valid_from`, NULL while current) and
+    * `is_current`. The warehouse counterpart of `applyCdc`: applyCdc
+    * keeps only the latest state, scdType2 keeps every state with its
+    * validity interval — the dimension-table shape point-in-time joins
+    * (`AsOfJoin`) need.
+    *
+    * Scale shape: both the change-detection lag and the valid_to lead are
+    * windows PARTITIONED BY the key — one hash shuffle on the key total
+    * (Catalyst collapses adjacent same-partitioning windows), per-key
+    * state is a single row of lag memory, and no window ever spans the
+    * whole table. Hot keys are bounded by their own change count, not by
+    * table size. `orderCols` must be unique per key (add a sequence/event
+    * id as tiebreak) or version order is data-dependent; `validCol`
+    * (defaults to the first order column) is the value that becomes the
+    * version's `valid_from` / the predecessor's `valid_to`. */
+  def scdType2(
+      changes: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      attrCols: Seq[String], validCol: String = ""): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty && attrCols.nonEmpty,
+      "keyCols, orderCols and attrCols must all be non-empty")
+    val vc = if (validCol.nonEmpty) validCol else orderCols.head
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val attrs = struct(attrCols.map(col): _*)
+    // NULL-safe change test: the first row per key (lag = NULL struct)
+    // always starts a version; later rows only when attrs differ.
+    changes
+      .withColumn("__changed",
+        !(attrs <=> lag(attrs, 1).over(w)))
+      .filter(col("__changed"))
+      .withColumn("valid_from", col(vc))
+      .withColumn("valid_to", lead(col(vc), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((keyCols ++ attrCols).map(col) :+
+        col("valid_from") :+ col("valid_to") :+ col("is_current"): _*)
+  }
 }

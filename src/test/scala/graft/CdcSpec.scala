@@ -117,4 +117,42 @@ class CdcSpec extends SparkSpec {
       .toMap
     assert(aEmpty == Map("x" -> ((2L, 3.0))))
   }
+
+  test("scd2: consecutive equal attrs collapse, intervals chain, " +
+    "last version is current") {
+    val log = Seq(
+      (1L, 1L, "a"), (1L, 2L, "a"), (1L, 3L, "b"), (1L, 4L, "a"),
+      (2L, 1L, "x")
+    ).toDF("k", "ts", "attr")
+    val out = Cdc.scdType2(log, Seq("k"), Seq("ts"), Seq("attr"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+      .toSet
+    assert(out == Set(
+      (1L, "a", 1L, Some(3L), false),
+      (1L, "b", 3L, Some(4L), false),
+      (1L, "a", 4L, None, true),   // a reappears = a NEW version
+      (2L, "x", 1L, None, true)))
+  }
+
+  test("scd2: NULL attr values are versioned null-safely") {
+    val log = Seq(
+      (1L, 1L, Option("a")), (1L, 2L, None), (1L, 3L, None),
+      (1L, 4L, Option("a"))
+    ).toDF("k", "ts", "attr")
+    val out = Cdc.scdType2(log, Seq("k"), Seq("ts"), Seq("attr"))
+    // a → null → a: three versions (null run collapses to one)
+    assert(out.count() == 3)
+  }
+
+  test("scd2: result is invariant to input partitioning") {
+    val log = (1L to 500L).map(i =>
+      (i % 20, i, s"v${(i / 37) % 3}")).toDF("k", "ts", "attr")
+    val one = Cdc.scdType2(log.coalesce(1), Seq("k"), Seq("ts"), Seq("attr"))
+      .collect().map(_.toSeq).toSet
+    val many = Cdc.scdType2(log.repartition(11), Seq("k"), Seq("ts"),
+      Seq("attr")).collect().map(_.toSeq).toSet
+    assert(one == many && one.nonEmpty)
+  }
 }
