@@ -41,6 +41,20 @@ object SetSim {
   def jaccardSelfJoin(
       df: DataFrame, idCol: String, textCol: String, threshold: Double,
       maxBucket: Int = 0): DataFrame = {
+    val (pairs, release) =
+      jaccardPipeline(df, idCol, textCol, threshold, maxBucket)
+    // Eagerly materialize the (output-sized) pair set so the working-set
+    // cache can drop immediately — the minhashNearDups discipline.
+    val out = pairs.localCheckpoint(true)
+    release()
+    out
+  }
+
+  /** The lazy pipeline + release handle for the persisted ordered-token
+    * working set — shared by the eager public wrapper and plan specs. */
+  private[graft] def jaccardPipeline(
+      df: DataFrame, idCol: String, textCol: String, threshold: Double,
+      maxBucket: Int): (DataFrame, () => Unit) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
     val tok = df
@@ -92,8 +106,6 @@ object SetSim {
         lit(threshold) * col("uni").cast("double"))
       .select(col("id_a"), col("id_b"),
         round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
-      .localCheckpoint(true)
-    ordered.unpersist(false)
-    out
+    (out, () => { ordered.unpersist(false); () })
   }
 }

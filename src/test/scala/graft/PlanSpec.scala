@@ -310,4 +310,20 @@ class PlanSpec extends SparkSpec {
     // offsets come back via broadcast, not a shuffled join
     assert(p.contains("BroadcastHashJoin"), s"offset join must broadcast:\n$p")
   }
+
+  test("setsim exact join: candidate stage is an equi-join on prefix " +
+    "tokens, never a nested loop") {
+    val (pairs, release) = graft.operators.SetSim.jaccardPipeline(
+      Tables.load(spark, dir, "documents"), "doc_id", "text", 0.5, 0)
+    try {
+      pairs.collect() // finalize AQE
+      val p = pairs.queryExecution.executedPlan.toString
+      // the size filter rides the token equi-join as a post-condition;
+      // a CartesianProduct/BNLJ here would be the all-pairs plan the
+      // prefix filter exists to avoid
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"setsim candidate join must stay equi:\n$p")
+    } finally release()
+  }
 }
