@@ -24,7 +24,8 @@ object Bench {
     "q170_cdc_apply", "q171_bpe_train", "q173_pagerank",
     "q176_hashing_tf", "q184_triangles", "q187_containment",
     "q188_gapfill", "q191_zscore", "q195_robust_scale",
-    "q196_corr_matrix", "q213_bloom_decontaminate")
+    "q196_corr_matrix", "q213_bloom_decontaminate",
+    "q224_scd_type2", "q226_setsim_exact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
