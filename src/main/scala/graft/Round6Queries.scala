@@ -86,6 +86,62 @@ object Round6Queries {
       graft.operators.SetSim.jaccardSelfJoin(
         Tables.load(s, d, "documents"), "doc_id", "text", threshold = 0.5)
         .orderBy("id_a", "id_b")
+    },
+
+    // -- the SCALE.md playbook end-to-end: exact set-sim pairs (t=0.8)
+    //    feed connected components, each cluster keeps its best-scored
+    //    doc (longest text, ties to smallest id) — pairs are consumed
+    //    by a dedup DECISION, never materialized as the product. The
+    //    oracle replays brute-force pairs + a recursive-CTE closure +
+    //    the same keep rule.
+    dfQ("q227_setsim_dedup", """
+      WITH RECURSIVE tok AS (
+        SELECT doc_id,
+          list_distinct(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'),
+            x -> len(x) > 0)) AS toks
+        FROM documents),
+      t2 AS (SELECT doc_id, unnest(toks) AS token FROM tok
+             WHERE len(toks) > 0),
+      pr AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM t2 a JOIN t2 b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sz AS (SELECT doc_id, len(toks) AS n FROM tok),
+      pairs AS (
+        SELECT id_a, id_b FROM pr
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b
+        WHERE inter::DOUBLE >= 0.8 * (sa.n + sb.n - inter)::DOUBLE),
+      e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+      comp AS (
+        SELECT d.doc_id,
+          least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS component
+        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        GROUP BY d.doc_id),
+      best AS (
+        SELECT c.component, max(len(d.text)) AS bs
+        FROM comp c JOIN documents d USING (doc_id) GROUP BY 1),
+      keep AS (
+        SELECT c.component, min(c.doc_id) AS doc_id
+        FROM comp c
+        JOIN documents d USING (doc_id)
+        JOIN best b ON b.component = c.component AND len(d.text) = b.bs
+        GROUP BY c.component)
+      SELECT doc_id FROM keep ORDER BY doc_id""") { (s, d) =>
+      import graft.operators.{Dedup, SetSim}
+      val docs = Tables.load(s, d, "documents")
+      val pairs = SetSim.jaccardSelfJoin(
+        docs, "doc_id", "text", threshold = 0.8)
+      Dedup.dedupByClusterKeepBest(
+          docs.withColumn("__score", length(col("text"))),
+          "doc_id", pairs, "id_a", "id_b", "__score")
+        .select("doc_id").orderBy("doc_id")
     })
 
   /** Engineered features shared by the Spark side and (textually
