@@ -142,6 +142,40 @@ object Round6Queries {
           docs.withColumn("__score", length(col("text"))),
           "doc_id", pairs, "id_a", "id_b", "__score")
         .select("doc_id").orderBy("doc_id")
+    },
+
+    // -- incremental SCD2 maintenance: history built from the first half
+    //    of the month, the second half folded in with scdType2Apply
+    //    (cost ∝ touched keys + batch, stored history never rescanned).
+    //    The oracle is the FULL-LOG rebuild — hash equality IS the
+    //    incremental-equals-recompute theorem on real data.
+    dfQ("q228_scd2_incremental", """
+      WITH v AS (
+        SELECT user_id, event_type, ts,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS prev
+        FROM events),
+      ver AS (
+        SELECT user_id, event_type, ts AS valid_from
+        FROM v WHERE prev IS NULL OR prev <> event_type)
+      SELECT user_id, event_type, valid_from,
+        lead(valid_from) OVER (PARTITION BY user_id
+          ORDER BY valid_from) AS valid_to,
+        (lead(valid_from) OVER (PARTITION BY user_id
+          ORDER BY valid_from) IS NULL) AS is_current
+      FROM ver
+      ORDER BY user_id, valid_from""") { (s, d) =>
+      import graft.operators.Cdc
+      val events = Tables.load(s, d, "events")
+      val cutoff = lit("2024-01-16").cast("timestamp")
+      val history = Cdc.scdType2(
+        events.filter(col("ts") < cutoff),
+        keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+        attrCols = Seq("event_type"), validCol = "ts")
+      Cdc.scdType2Apply(history,
+          events.filter(col("ts") >= cutoff), Seq("user_id"), "ts",
+          Seq("event_type"))
+        .orderBy("user_id", "valid_from")
     })
 
   /** Engineered features shared by the Spark side and (textually

@@ -140,4 +140,53 @@ object Cdc {
       .select((keyCols ++ attrCols).map(col) :+
         col("valid_from") :+ col("valid_to") :+ col("is_current"): _*)
   }
+
+  /** Incrementally fold a new change batch into an existing
+    * `scdType2` history — cost ∝ (touched keys' versions + batch), the
+    * stored history is never rescanned beyond a key semi-join. Keys
+    * absent from the batch pass through untouched; touched keys replay
+    * (their stored versions, re-expressed as change rows at
+    * `valid_from`) ∪ (their batch rows) through the same collapse.
+    *
+    * Contract: the batch must be strictly LATER than the stored history
+    * (per key, every batch order value > the key's last `valid_from`) —
+    * version collapse is order-sensitive, so late-arriving data needs a
+    * replay from the full log instead. Violations fail loudly (one
+    * aggregate over the touched keys, not a full-history pass) rather
+    * than silently producing a history that a from-scratch rebuild
+    * would contradict. Equivalence to the full rebuild is spec-pinned.
+    *
+    * `history` must be in scdType2's output shape; `orderCol` is both
+    * the batch's ordering column and the history's `valid_from` ordering
+    * (the common case — for multi-column ordering, rebuild from the
+    * log). */
+  def scdType2Apply(
+      history: DataFrame, batch: DataFrame, keyCols: Seq[String],
+      orderCol: String, attrCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty,
+      "keyCols and attrCols must be non-empty")
+    val outCols = (keyCols ++ attrCols).map(col) :+
+      col("valid_from") :+ col("valid_to") :+ col("is_current")
+    val touched = batch.select(keyCols.map(col): _*).distinct()
+    val untouched = history.join(touched, keyCols, "left_anti")
+    val affectedHist = history.join(touched, keyCols, "left_semi")
+    // loud late-data guard: newest stored valid_from vs oldest batch row
+    val lateCount = affectedHist
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(col("valid_from")).as("__last"))
+      .join(batch.groupBy(keyCols.map(col): _*)
+        .agg(min(col(orderCol)).as("__first")), keyCols)
+      .filter(col("__first") <= col("__last"))
+      .count()
+    require(lateCount == 0L,
+      s"scdType2Apply: $lateCount key(s) have batch rows at or before " +
+        "their stored history — late data needs a full-log rebuild")
+    val replay = affectedHist
+      .select((keyCols ++ attrCols).map(col) :+
+        col("valid_from").as(orderCol): _*)
+      .unionByName(batch.select(
+        (keyCols ++ attrCols).map(col) :+ col(orderCol): _*))
+    val rebuilt = scdType2(replay, keyCols, Seq(orderCol), attrCols)
+    untouched.select(outCols: _*).unionByName(rebuilt.select(outCols: _*))
+  }
 }

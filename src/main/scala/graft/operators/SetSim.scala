@@ -74,9 +74,13 @@ object SetSim {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefixLen = (col("len") - ceil(lit(threshold) * col("len")) + 1)
       .cast("int")
+    // posexplode keeps each prefix token's 1-based position in the
+    // df-sorted list for the PPJoin positional filter below
     val prefixed = ordered
       .select(col("id"), col("len"),
-        explode(slice(col("toks"), lit(1), prefixLen)).as("token"))
+        posexplode(slice(col("toks"), lit(1), prefixLen)))
+      .select(col("id"), col("len"), (col("pos") + 1).as("pos"),
+        col("col").as("token"))
     val keyed =
       if (maxBucket <= 0) prefixed
       else {
@@ -85,12 +89,22 @@ object SetSim {
           .select("token")
         prefixed.join(ok, "token")
       }
+    // PPJoin positional filter: a shared token at positions (pa, pb)
+    // bounds the overlap by 1 + min(la−pa, lb−pb) (only suffix tokens
+    // can still match); Jaccard ≥ t needs overlap ≥ t·(la+lb)/(1+t).
+    // The ε keeps the double compare conservative — a borderline
+    // candidate goes to the exact verify, never the reverse.
+    val overlapUb = lit(1) +
+      least(col("a.len") - col("a.pos"), col("b.len") - col("b.pos"))
+    val needed = lit(threshold) *
+      (col("a.len") + col("b.len")).cast("double") / lit(1.0 + threshold)
     val cands = keyed.as("a")
       .join(keyed.as("b"),
         col("a.token") === col("b.token") &&
           col("a.id") < col("b.id") &&
           col("b.len") * lit(threshold) <= col("a.len") &&
-          col("a.len") * lit(threshold) <= col("b.len"))
+          col("a.len") * lit(threshold) <= col("b.len") &&
+          overlapUb.cast("double") >= needed - lit(1e-9))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val out = cands

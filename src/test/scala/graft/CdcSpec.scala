@@ -155,4 +155,37 @@ class CdcSpec extends SparkSpec {
       Seq("attr")).collect().map(_.toSeq).toSet
     assert(one == many && one.nonEmpty)
   }
+
+  test("scd2 incremental apply == full-log rebuild (strictly-later batch)") {
+    val full = (1L to 600L).map(i =>
+      (i % 25, i, s"v${(i / 29) % 4}")).toDF("k", "ts", "attr")
+    val oldLog = full.filter($"ts" <= 400)
+    val batch = full.filter($"ts" > 400)
+    val incremental = Cdc.scdType2Apply(
+      Cdc.scdType2(oldLog, Seq("k"), Seq("ts"), Seq("attr")),
+      batch, Seq("k"), "ts", Seq("attr"))
+      .collect().map(_.toSeq).toSet
+    val rebuild = Cdc.scdType2(full, Seq("k"), Seq("ts"), Seq("attr"))
+      .collect().map(_.toSeq).toSet
+    assert(incremental == rebuild && rebuild.nonEmpty)
+  }
+
+  test("scd2 incremental apply: untouched keys pass through, late data " +
+    "fails loudly") {
+    val hist = Cdc.scdType2(
+      Seq((1L, 1L, "a"), (1L, 5L, "b"), (2L, 3L, "x")).toDF("k", "ts", "attr"),
+      Seq("k"), Seq("ts"), Seq("attr"))
+    // batch touches only key 1; key 2's history must come back verbatim
+    val out = Cdc.scdType2Apply(hist,
+      Seq((1L, 9L, "c")).toDF("k", "ts", "attr"), Seq("k"), "ts", Seq("attr"))
+    assert(out.filter($"k" === 2).collect().map(_.toSeq).toSet ==
+      hist.filter($"k" === 2).collect().map(_.toSeq).toSet)
+    assert(out.filter($"k" === 1 && $"is_current").head.getString(1) == "c")
+    // ts=4 is before key 1's last version (ts=5) → reject
+    intercept[IllegalArgumentException] {
+      Cdc.scdType2Apply(hist,
+        Seq((1L, 4L, "z")).toDF("k", "ts", "attr"), Seq("k"), "ts",
+        Seq("attr"))
+    }
+  }
 }
