@@ -176,6 +176,47 @@ object Round6Queries {
           events.filter(col("ts") >= cutoff), Seq("user_id"), "ts",
           Seq("event_type"))
         .orderBy("user_id", "valid_from")
+    },
+
+    // -- point-in-time enrichment (the SCD2 consume side): each event
+    //    looks up the user's state one hour BEFORE it fired — a real
+    //    interval lookup (events in the first hour of a user's life get
+    //    NULL state through the left join). Keyed join + containment
+    //    residual; at most one version matches (intervals are disjoint).
+    dfQ("q229_point_in_time", """
+      WITH v AS (
+        SELECT user_id, event_type, ts,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS prev
+        FROM events),
+      ver AS (
+        SELECT user_id, event_type, ts AS valid_from
+        FROM v WHERE prev IS NULL OR prev <> event_type),
+      hist AS (
+        SELECT user_id, event_type AS state, valid_from,
+          lead(valid_from) OVER (PARTITION BY user_id
+            ORDER BY valid_from) AS valid_to
+        FROM ver)
+      SELECT e.event_id, e.user_id, s.state
+      FROM events e
+      LEFT JOIN hist s
+        ON s.user_id = e.user_id
+        AND e.ts - INTERVAL 1 HOUR >= s.valid_from
+        AND (s.valid_to IS NULL OR e.ts - INTERVAL 1 HOUR < s.valid_to)
+      ORDER BY e.event_id""") { (s, d) =>
+      import graft.operators.Cdc
+      val events = Tables.load(s, d, "events")
+      val hist = Cdc.scdType2(events,
+          keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+          attrCols = Seq("event_type"), validCol = "ts")
+        .withColumnRenamed("event_type", "state")
+        .drop("is_current")
+      Cdc.pointInTimeJoin(
+          events.select(col("event_id"), col("user_id"),
+            (col("ts") - expr("INTERVAL 1 HOUR")).as("probe_ts")),
+          hist, Seq("user_id"), "probe_ts")
+        .select("event_id", "user_id", "state")
+        .orderBy("event_id")
     })
 
   /** Engineered features shared by the Spark side and (textually

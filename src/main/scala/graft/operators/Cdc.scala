@@ -189,4 +189,33 @@ object Cdc {
     val rebuilt = scdType2(replay, keyCols, Seq(orderCol), attrCols)
     untouched.select(outCols: _*).unionByName(rebuilt.select(outCols: _*))
   }
+
+  /** Point-in-time enrichment against an `scdType2` history: each fact
+    * row picks up the version whose `[valid_from, valid_to)` interval
+    * contains `facts(tsCol)` (open-ended current versions match
+    * everything from their `valid_from`). Facts with no active version
+    * (before the key's first change, or unknown key) survive with NULL
+    * attrs under "left".
+    *
+    * Scale shape: the join is KEYED — one hash shuffle on the key for
+    * both sides, interval containment as a residual filter; per-key
+    * fan-out is that key's version count, never table size. No bucket
+    * explosion is needed (that is `RangeJoin.pointInRange`'s job for
+    * UN-keyed interval joins). Version intervals per key are disjoint
+    * by construction, so each fact matches at most one version. */
+  def pointInTimeJoin(
+      facts: DataFrame, history: DataFrame, keyCols: Seq[String],
+      tsCol: String, joinType: String = "left"): DataFrame = {
+    val f = facts.alias("__f")
+    val h = history.alias("__h")
+    val keyEq = keyCols.map(k => col(s"__f.$k") === col(s"__h.$k"))
+      .reduce(_ && _)
+    val contained = col(s"__f.$tsCol") >= col("__h.valid_from") &&
+      (col("__h.valid_to").isNull ||
+        col(s"__f.$tsCol") < col("__h.valid_to"))
+    val histPayload = history.columns.filterNot(keyCols.contains)
+    f.join(h, keyEq && contained, joinType)
+      .select(facts.columns.map(c => col(s"__f.$c")) ++
+        histPayload.map(c => col(s"__h.$c")): _*)
+  }
 }

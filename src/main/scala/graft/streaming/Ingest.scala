@@ -187,6 +187,48 @@ object Ingest {
       }
       .start()
 
+  /** Streaming SCD Type-2 dimension maintenance: each micro-batch of
+    * change rows folds into the stored versioned history with
+    * `Cdc.scdType2Apply` — cost ∝ (keys touched by the batch + batch),
+    * never a history rescan, and the maintained table stays equal to
+    * `Cdc.scdType2` over everything ingested (spec-pinned). Batches
+    * must be strictly later than the stored history per key
+    * (scdType2Apply's contract — late data fails the batch loudly
+    * instead of corrupting version order). `_batch_id` replay guard and
+    * staged overwrite as in `startAggMaintenance`. `orderCol` is both
+    * the batch ordering and the `valid_from` source. */
+  def startScd2Maintenance(
+      stream: DataFrame,
+      ep: Endpoint,
+      keyCols: Seq[String],
+      orderCol: String,
+      attrCols: Seq[String],
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ep.checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.Cdc
+        if (!spark.catalog.tableExists(ep.table)) {
+          Cdc.scdType2(batch, keyCols, Seq(orderCol), attrCols)
+            .withColumn("_batch_id", lit(batchId))
+            .write.saveAsTable(ep.table)
+        } else {
+          val current = spark.table(ep.table)
+          val applied = current.agg(coalesce(max("_batch_id"), lit(-1L)))
+            .collect().head.getLong(0)
+          if (batchId > applied) {
+            val next = Cdc.scdType2Apply(
+              current.drop("_batch_id"), batch, keyCols, orderCol, attrCols)
+            graft.Warehouse.overwriteUnpartitioned(spark, ep.table,
+              next.withColumn("_batch_id", lit(batchId)))
+          }
+        }
+        ()
+      }
+      .start()
+
   /** Streaming maintenance of a per-key count-min sketch table: each
     * micro-batch builds its own sketch (one combinable aggregate over
     * the batch) and folds it into the stored one with `cm_merge` —

@@ -186,6 +186,39 @@ class StreamingSpec extends SparkSpec {
       s"unmatched left row emits null-extended after watermark: ${rows}")
   }
 
+  test("streaming SCD2 maintenance: maintained history equals a full " +
+    "rebuild over everything ingested") {
+    val table = s"scd2_dim_${System.nanoTime()}"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val src = MemoryStream[(Long, Long, String)](spark, 23)
+    val ep = Ingest.Endpoint(table, tmp("scd2m-ckpt"))
+
+    def maintained(): Set[Seq[Any]] = {
+      spark.catalog.refreshTable(table)
+      spark.table(table).drop("_batch_id").collect().map(_.toSeq).toSet
+    }
+    def rebuild(rows: Seq[(Long, Long, String)]): Set[Seq[Any]] = {
+      import graft.operators.Cdc
+      Cdc.scdType2(rows.toDF("k", "ts", "attr"), Seq("k"), Seq("ts"),
+        Seq("attr")).collect().map(_.toSeq).toSet
+    }
+
+    val b1 = Seq((1L, 1L, "a"), (1L, 2L, "a"), (2L, 1L, "x"))
+    src.addData(b1: _*)
+    Ingest.startScd2Maintenance(src.toDF().toDF("k", "ts", "attr"), ep,
+      Seq("k"), "ts", Seq("attr")).awaitTermination()
+    assert(maintained() == rebuild(b1))
+
+    // second batch: key 1 changes state, key 3 appears, key 2 untouched
+    val b2 = Seq((1L, 5L, "b"), (3L, 4L, "z"))
+    src.addData(b2: _*)
+    Ingest.startScd2Maintenance(src.toDF().toDF("k", "ts", "attr"), ep,
+      Seq("k"), "ts", Seq("attr")).awaitTermination()
+    assert(maintained() == rebuild(b1 ++ b2))
+    assert(maintained().exists(r => r.head == 1L && r(1) == "b"))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("streaming aggregate maintenance: snapshot tracks the full " +
     "aggregate across micro-batches") {
     val table = s"agg_snap_${System.nanoTime()}"
