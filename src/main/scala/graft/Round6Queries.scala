@@ -217,6 +217,39 @@ object Round6Queries {
           hist, Seq("user_id"), "probe_ts")
         .select("event_id", "user_id", "state")
         .orderBy("event_id")
+    },
+
+    // -- temperature-scaled source mixing (alpha=0.5 flattens toward
+    //    uniform, boosting small sources): per-source quota =
+    //    target · n^α / Σ n^α, realized as deterministic fractional
+    //    copies (q124's modulo buckets). The oracle replays the whole
+    //    chain — round-6 pow terms, decimal-exact normalizer, the same
+    //    floor/round cutoff arithmetic — and counts rows per source.
+    dfQ("q230_temperature_mix", """
+      WITH c AS (
+        SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source),
+      p AS (SELECT source, n, round(pow(n, 0.5), 6) AS p6 FROM c),
+      ps AS (SELECT sum(p6::DECIMAL(27,12)) AS s FROM p),
+      w AS (
+        SELECT source, n,
+          ((300 * p6) / (SELECT s::DOUBLE FROM ps)) / n AS wt
+        FROM p),
+      r AS (
+        SELECT d.doc_id, d.source,
+          floor(w.wt)::BIGINT +
+            CASE WHEN (d.doc_id % 10) <
+              round((w.wt - floor(w.wt)) * 10) THEN 1 ELSE 0 END AS copies
+        FROM documents d JOIN w USING (source))
+      SELECT source, sum(copies)::BIGINT AS n_rows
+      FROM r GROUP BY source
+      HAVING sum(copies) > 0
+      ORDER BY source""") { (s, d) =>
+      graft.operators.Mix.temperatureMix(
+          Tables.load(s, d, "documents"), "source", "doc_id",
+          alpha = 0.5, targetRows = 300, buckets = 10,
+          bucketExpr = Some(pmod(col("doc_id"), lit(10))))
+        .groupBy("source").agg(count(lit(1)).as("n_rows"))
+        .orderBy("source")
     })
 
   /** Engineered features shared by the Spark side and (textually

@@ -69,4 +69,41 @@ object Mix {
       .filter(col("tokens_before") < col("budget"))
       .drop("__mixkey", "__bs", "budget")
   }
+
+  /** Temperature-scaled source mixing (the multilingual/multi-source
+    * rebalance: sample source s with probability ∝ n_s^alpha, so
+    * alpha = 1 keeps natural proportions, alpha → 0 flattens toward
+    * uniform, boosting small sources). Per-source expected row quota =
+    * targetRows · n_s^alpha / Σ n_t^alpha, realized as a per-row weight
+    * quota/n_s applied through `Sampling.resampleByWeight` — weights > 1
+    * duplicate rows (`copy_id`), weights < 1 downsample, both decided by
+    * the same deterministic id-hash buckets (no rand(), append-stable).
+    *
+    * Scale shape: ONE count aggregate (map-side combinable, #sources
+    * rows to the driver) to learn the mix, then one scan applying
+    * literal cutoffs — no shuffle of the data itself. */
+  def temperatureMix(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      alpha: Double,
+      targetRows: Long,
+      buckets: Int = 10000,
+      bucketExpr: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha out of [0,1]: $alpha")
+    require(targetRows >= 0, s"targetRows must be >= 0: $targetRows")
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // determinism bridge (cross-run AND cross-engine): each n^alpha is
+    // rounded to 6 decimals and the normalizer summed exactly as decimal
+    // — a raw double fold would depend on collect() order
+    def pow6(n: Long): BigDecimal =
+      BigDecimal(math.pow(n.toDouble, alpha))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val powSum = counts.values.map(pow6).sum.toDouble
+    val weights = counts.map { case (s, n) =>
+      s -> targetRows * pow6(n).toDouble / powSum / n }
+    Sampling.resampleByWeight(df, sourceCol, idCol, weights,
+      defaultWeight = 0.0, buckets = buckets, bucketExpr = bucketExpr)
+  }
 }

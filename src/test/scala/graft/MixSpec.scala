@@ -114,4 +114,34 @@ class MixSpec extends SparkSpec {
     assert(a.map(_.toSeq.toList).toList == b.map(_.toSeq.toList).toList)
     assert(a.nonEmpty)
   }
+
+  test("temperatureMix: alpha=0 flattens quotas toward uniform, " +
+    "alpha=1 keeps natural proportions, output is repartition-invariant") {
+    import spark.implicits._
+    // big: 900 rows, small: 100 rows
+    val df = ((1L to 900L).map(i => (i, "big")) ++
+      (901L to 1000L).map(i => (i, "small"))).toDF("id", "src")
+    def quotas(alpha: Double) = Mix.temperatureMix(
+        df, "src", "id", alpha, targetRows = 500, buckets = 1000)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val flat = quotas(0.0)
+    // alpha=0: each source gets ~250 of the 500 target (the fractional
+    // copy is realized by hash buckets — allow ~3σ binomial wobble)
+    assert(math.abs(flat("big") - 250) <= 40 &&
+      math.abs(flat("small") - 250) <= 40, s"flat: $flat")
+    val natural = quotas(1.0)
+    // alpha=1: proportional 450/50
+    assert(math.abs(natural("big") - 450) <= 45 &&
+      math.abs(natural("small") - 50) <= 20, s"natural: $natural")
+    // alpha=0.5 boosts the small source above natural, below uniform
+    val mid = quotas(0.5)
+    assert(mid("small") > natural("small") + 20 && mid("small") < 250,
+      s"mid: $mid")
+    val a = Mix.temperatureMix(df.coalesce(1), "src", "id", 0.5, 500)
+      .collect().map(_.toSeq).toSet
+    val b = Mix.temperatureMix(df.repartition(7), "src", "id", 0.5, 500)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
 }
