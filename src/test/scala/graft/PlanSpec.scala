@@ -311,6 +311,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"offset join must broadcast:\n$p")
   }
 
+  test("scd2 windows ride one key shuffle; point-in-time join is keyed, " +
+    "never a nested loop") {
+    import graft.operators.Cdc
+    val events = Tables.load(spark, dir, "events")
+    val hist = Cdc.scdType2(events, Seq("user_id"), Seq("ts", "event_id"),
+      Seq("event_type"), "ts")
+    val hp = hist.queryExecution.executedPlan.toString
+    // change-detect lag + valid_to lead partition identically: Catalyst
+    // must plan ONE hashpartitioning exchange on user_id, and never a
+    // global (single-partition) window sort
+    assert(hp.sliding("hashpartitioning(user_id".length)
+      .count(_ == "hashpartitioning(user_id") == 1,
+      s"scd2 must shuffle once on the key:\n$hp")
+    assert(!hp.contains("SinglePartition"),
+      s"scd2 must never globally sort:\n$hp")
+    val pit = Cdc.pointInTimeJoin(
+      events.select(col("event_id"), col("user_id"), col("ts")),
+      hist, Seq("user_id"), "ts")
+    pit.collect() // finalize AQE
+    val pp = pit.queryExecution.executedPlan.toString
+    assert(!pp.contains("BroadcastNestedLoopJoin") &&
+      !pp.contains("CartesianProduct"),
+      s"point-in-time join must stay keyed:\n$pp")
+  }
+
   test("setsim exact join: candidate stage is an equi-join on prefix " +
     "tokens, never a nested loop") {
     val (pairs, release) = graft.operators.SetSim.jaccardPipeline(
