@@ -215,9 +215,9 @@ object AnalyticsQueries {
       SELECT l.l_orderkey, l.l_linenumber, st.grp, l.l_extendedprice,
         CASE WHEN (sq::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
                   / n::DOUBLE <= 0 THEN 0.0
-             ELSE (l.l_extendedprice::DOUBLE - s::DOUBLE / n::DOUBLE)
+             ELSE round((l.l_extendedprice::DOUBLE - s::DOUBLE / n::DOUBLE)
                   / sqrt((sq::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
-                         / n::DOUBLE) END AS zscore
+                         / n::DOUBLE), 6) END AS zscore
       FROM lineitem l JOIN st ON st.grp = l.l_returnflag""") { (s, d) =>
       Stats.zscore(
         Tables.load(s, d, "lineitem")

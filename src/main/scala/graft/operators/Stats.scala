@@ -395,10 +395,16 @@ object Stats {
     val mean = s / n
     val variance = (col("__sq").cast("double") - s * s / n) / n
     df.join(broadcast(stats), Seq(groupCol))
+      // round 6 (the repo's order/cast-sensitive-stat convention):
+      // absorbs the 1-ulp double-rounding skew some engines introduce
+      // casting int128-backed decimals to double (observed: DuckDB
+      // DECIMAL(38,4)::DOUBLE at sf0.001; round-12 still left one row
+      // sitting exactly on a half boundary)
       .withColumn("zscore",
         when(col(valCol).isNull, lit(null).cast("double"))
           .when(variance <= 0, lit(0.0))
-          .otherwise((col(valCol).cast("double") - mean) / sqrt(variance)))
+          .otherwise(
+            round((col(valCol).cast("double") - mean) / sqrt(variance), 6)))
       .drop("__n", "__s", "__sq")
   }
 }

@@ -59,9 +59,11 @@ class StatsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
       .toMap
     val sd = math.sqrt((56.0 - 12.0 * 12.0 / 3.0) / 3.0)
-    assert(got(("g1", 2.0)) == (2.0 - 4.0) / sd)
+    def r6(d: Double) =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(("g1", 2.0)) == r6((2.0 - 4.0) / sd))
     assert(got(("g1", 4.0)) == 0.0)
-    assert(got(("g1", 6.0)) == (6.0 - 4.0) / sd)
+    assert(got(("g1", 6.0)) == r6((6.0 - 4.0) / sd))
     assert(got(("g2", 5.0)) == 0.0, "zero-variance group maps to 0")
   }
 

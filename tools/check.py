@@ -70,6 +70,12 @@ def main():
         elif len(a) != len(b):
             print(f"FAIL {name}: rows {len(a)} vs {len(b)}")
             n_fail += 1
+        elif len(a) == 0:
+            # both empty with matching columns: equal (pandas .equals
+            # would compare residual dtypes, which stringification left
+            # as object-vs-original ghosts on empty frames)
+            print(f"PASS {name} (0 rows)")
+            n_pass += 1
         elif not a.equals(b):
             neq = (a != b).any(axis=1)
             print(f"FAIL {name}: {int(neq.sum())}/{len(a)} rows differ; first:")
