@@ -250,6 +250,57 @@ object Round6Queries {
           bucketExpr = Some(pmod(col("doc_id"), lit(10))))
         .groupBy("source").agg(count(lit(1)).as("n_rows"))
         .orderBy("source")
+    },
+
+    // -- token-budgeted temperature mixing (how production mixes are
+    //    specified): 20k chars split across sources ∝ T^0.5, budgets
+    //    floored from the round-6/decimal chain, fill replayed with the
+    //    q165 hash-ordered prefix-sum window.
+    dfQ("q231_temperature_tokens", """
+      WITH t AS (
+        SELECT source, sum(n_chars)::BIGINT AS tt
+        FROM documents GROUP BY source),
+      p AS (SELECT source, tt, round(pow(tt, 0.5), 6) AS p6 FROM t),
+      ps AS (SELECT sum(p6::DECIMAL(27,12)) AS s FROM p),
+      b AS (
+        SELECT source,
+          floor((20000 * p6) / (SELECT s::DOUBLE FROM ps))::BIGINT AS budget
+        FROM p),
+      k AS (
+        SELECT source, n_chars,
+          md5('tmix1:' || doc_id::VARCHAR) AS mk
+        FROM documents),
+      c AS (
+        SELECT source, n_chars,
+          coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY mk
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        FROM k),
+      sel AS (
+        SELECT c.source, c.n_chars, b.budget
+        FROM c JOIN b USING (source) WHERE c.bef < b.budget)
+      SELECT source, count(*) AS n_docs,
+        sum(n_chars)::BIGINT AS chars_taken, budget
+      FROM sel GROUP BY source, budget
+      ORDER BY source""") { (s, d) =>
+      import graft.operators.Mix
+      val docs = Tables.load(s, d, "documents")
+      val out = Mix.temperatureMixByTokens(docs, "source", "doc_id",
+        "n_chars", alpha = 0.5, budgetTokens = 20000L, seed = "tmix1")
+      // recompute the budget table the same way for the evidence column
+      val totals = docs.groupBy("source")
+        .agg(sum(col("n_chars").cast("decimal(38,0)")).as("t"))
+        .collect().map(r => r.getString(0) -> r.getDecimal(1).longValueExact())
+      def p6(t: Long) = BigDecimal(math.pow(t.toDouble, 0.5))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val powSum = totals.map { case (_, t) => p6(t) }.sum.toDouble
+      val sq = s; import sq.implicits._
+      val budgets = totals.map { case (src, t) =>
+        (src, math.floor(20000L * p6(t).toDouble / powSum).toLong)
+      }.toSeq.toDF("source", "budget")
+      out.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars_taken"))
+        .join(budgets, "source")
+        .orderBy("source")
     })
 
   /** Engineered features shared by the Spark side and (textually

@@ -94,16 +94,48 @@ object Mix {
     require(targetRows >= 0, s"targetRows must be >= 0: $targetRows")
     val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // determinism bridge (cross-run AND cross-engine): each n^alpha is
-    // rounded to 6 decimals and the normalizer summed exactly as decimal
-    // — a raw double fold would depend on collect() order
-    def pow6(n: Long): BigDecimal =
-      BigDecimal(math.pow(n.toDouble, alpha))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
-    val powSum = counts.values.map(pow6).sum.toDouble
+    val powSum = counts.values.map(pow6(_, alpha)).sum.toDouble
     val weights = counts.map { case (s, n) =>
-      s -> targetRows * pow6(n).toDouble / powSum / n }
+      s -> targetRows * pow6(n, alpha).toDouble / powSum / n }
     Sampling.resampleByWeight(df, sourceCol, idCol, weights,
       defaultWeight = 0.0, buckets = buckets, bucketExpr = bucketExpr)
+  }
+
+  /** determinism bridge (cross-run AND cross-engine): each n^alpha is
+    * rounded to 6 decimals and the normalizer summed exactly as decimal
+    * — a raw double fold would depend on collect() order */
+  private def pow6(n: Long, alpha: Double): BigDecimal =
+    BigDecimal(math.pow(n.toDouble, alpha))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+
+  /** Token-budgeted temperature mixing — the form production mixes are
+    * specified in (a token budget per source, not a row quota): source
+    * s receives budget · T_s^alpha / Σ T_t^alpha tokens, where T_s is
+    * its total `nCol`, and the budget is filled hash-deterministically
+    * by `takeByTokenBudget` (every run and any partitioning picks the
+    * same documents). Same one-aggregate-then-scan shape as
+    * `temperatureMix`; budgets are floored to whole tokens with the
+    * same round-6/decimal-normalizer bridge, so an external SQL engine
+    * reproduces the budget table bit-for-bit. */
+  def temperatureMixByTokens(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      nCol: String,
+      alpha: Double,
+      budgetTokens: Long,
+      seed: String): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha out of [0,1]: $alpha")
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0: $budgetTokens")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val totals = df.groupBy(sourceCol)
+      .agg(sum(col(nCol).cast("decimal(38,0)")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getDecimal(1).longValueExact())
+    val powSum = totals.map { case (_, t) => pow6(t, alpha) }.sum.toDouble
+    val budgets = totals.map { case (s, t) =>
+      (s, math.floor(budgetTokens * pow6(t, alpha).toDouble / powSum).toLong)
+    }.toSeq.toDF(sourceCol, "budget")
+    takeByTokenBudget(df, sourceCol, idCol, nCol, budgets, seed)
   }
 }
