@@ -173,8 +173,8 @@ object Round6Queries {
         keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
         attrCols = Seq("event_type"), validCol = "ts")
       Cdc.scdType2Apply(history,
-          events.filter(col("ts") >= cutoff), Seq("user_id"), "ts",
-          Seq("event_type"))
+          events.filter(col("ts") >= cutoff), Seq("user_id"),
+          Seq("ts", "event_id"), Seq("event_type"))
         .orderBy("user_id", "valid_from")
     },
 
@@ -287,9 +287,14 @@ object Round6Queries {
       val out = Mix.temperatureMixByTokens(docs, "source", "doc_id",
         "n_chars", alpha = 0.5, budgetTokens = 20000L, seed = "tmix1")
       // recompute the budget table the same way for the evidence column
-      val totals = docs.groupBy("source")
+      // (bounded like Mix.collectSources: LIMIT + loud cardinality check)
+      val totalRows = docs.groupBy("source")
         .agg(sum(col("n_chars").cast("decimal(38,0)")).as("t"))
-        .collect().map(r => r.getString(0) -> r.getDecimal(1).longValueExact())
+        .limit(10001).collect()
+      require(totalRows.length <= 10000,
+        "q231 evidence: > 10000 distinct sources — not a source column")
+      val totals = totalRows
+        .map(r => r.getString(0) -> r.getDecimal(1).longValueExact())
       def p6(t: Long) = BigDecimal(math.pow(t.toDouble, 0.5))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP)
       val powSum = totals.map { case (_, t) => p6(t) }.sum.toDouble

@@ -22,10 +22,16 @@ object Tables {
       // the raw int64 without touching session conf (a global `nanosAsLong`
       // toggle would leak into shared sessions), then truncate to micros
       // (what DuckDB's ts::TIMESTAMP cast does too, so oracles agree).
-      try {
-        import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
-        val df = spark.read.parquet(s"$dir/events.parquet")
-        df.schema("ts").dataType match {
+      import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+      // Only schema INFERENCE failures (the nanos encoding) may fall back;
+      // the dispatch on an inferred-but-unexpected ts type stays outside
+      // the catch so it fails loudly instead of silently reading raw int64
+      // as nanos and dividing a micros value by 1000.
+      val inferred: Option[DataFrame] =
+        try Some(spark.read.parquet(s"$dir/events.parquet"))
+        catch { case scala.util.control.NonFatal(_) => None }
+      inferred match {
+        case Some(df) => df.schema("ts").dataType match {
           case TimestampType => df
           // pandas-written files carry isAdjustedToUTC=false → NTZ; the
           // session runs UTC, so the cast is wall-clock-identity and
@@ -34,15 +40,15 @@ object Tables {
             df.withColumn("ts", df("ts").cast(TimestampType))
           case other => sys.error(s"unexpected events.ts type $other")
         }
-      } catch { case scala.util.control.NonFatal(_) =>
-        import org.apache.spark.sql.types._
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
-        spark.read.schema(schema).parquet(s"$dir/events.parquet")
-          .withColumn("ts", org.apache.spark.sql.functions.expr(
-            "timestamp_micros(ts div 1000)"))
+        case None =>
+          import org.apache.spark.sql.types._
+          val schema = StructType(Seq(
+            StructField("event_id", LongType), StructField("ts", LongType),
+            StructField("user_id", LongType), StructField("event_type", StringType),
+            StructField("value", DoubleType), StructField("props", StringType)))
+          spark.read.schema(schema).parquet(s"$dir/events.parquet")
+            .withColumn("ts", org.apache.spark.sql.functions.expr(
+              "timestamp_micros(ts div 1000)"))
       }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }

@@ -156,15 +156,21 @@ object Cdc {
     * than silently producing a history that a from-scratch rebuild
     * would contradict. Equivalence to the full rebuild is spec-pinned.
     *
-    * `history` must be in scdType2's output shape; `orderCol` is both
-    * the batch's ordering column and the history's `valid_from` ordering
-    * (the common case — for multi-column ordering, rebuild from the
-    * log). */
+    * `history` must be in scdType2's output shape; `orderCols` is the
+    * batch's ordering (first column is the `valid_from` source, the rest
+    * tiebreaks — same contract as `scdType2`). Stored versions replay in
+    * their chain order, reconstructed as (valid_from, valid_to NULLS
+    * LAST): along a key's version chain valid_to is non-decreasing and
+    * only the current version's is NULL, so equal-valid_from versions
+    * (built with a tiebreak column the history does not store) still
+    * replay in build order. */
   def scdType2Apply(
       history: DataFrame, batch: DataFrame, keyCols: Seq[String],
-      orderCol: String, attrCols: Seq[String]): DataFrame = {
-    require(keyCols.nonEmpty && attrCols.nonEmpty,
-      "keyCols and attrCols must be non-empty")
+      orderCols: Seq[String], attrCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty && attrCols.nonEmpty,
+      "keyCols, orderCols and attrCols must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val vc = orderCols.head
     val outCols = (keyCols ++ attrCols).map(col) :+
       col("valid_from") :+ col("valid_to") :+ col("is_current")
     val touched = batch.select(keyCols.map(col): _*).distinct()
@@ -175,18 +181,30 @@ object Cdc {
       .groupBy(keyCols.map(col): _*)
       .agg(max(col("valid_from")).as("__last"))
       .join(batch.groupBy(keyCols.map(col): _*)
-        .agg(min(col(orderCol)).as("__first")), keyCols)
+        .agg(min(col(vc)).as("__first")), keyCols)
       .filter(col("__first") <= col("__last"))
       .count()
     require(lateCount == 0L,
       s"scdType2Apply: $lateCount key(s) have batch rows at or before " +
         "their stored history — late data needs a full-log rebuild")
+    // Per-key replay position: history versions first (chain order), then
+    // batch rows (their own orderCols) — the guard above guarantees every
+    // batch row is strictly later, so (segment, row_number) totally orders
+    // the replay even when the raw order values tie. Both row_numbers
+    // window over the same key partitioning, so this folds into the one
+    // key shuffle the replay needs anyway.
+    val histW = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("valid_from").asc, col("valid_to").asc_nulls_last)
+    val batchW = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).asc): _*)
     val replay = affectedHist
-      .select((keyCols ++ attrCols).map(col) :+
-        col("valid_from").as(orderCol): _*)
+      .select((keyCols ++ attrCols).map(col) :+ col("valid_from").as(vc) :+
+        lit(0).as("__seg") :+ row_number().over(histW).as("__pos"): _*)
       .unionByName(batch.select(
-        (keyCols ++ attrCols).map(col) :+ col(orderCol): _*))
-    val rebuilt = scdType2(replay, keyCols, Seq(orderCol), attrCols)
+        (keyCols ++ attrCols).map(col) :+ col(vc) :+
+          lit(1).as("__seg") :+ row_number().over(batchW).as("__pos"): _*))
+    val rebuilt =
+      scdType2(replay, keyCols, Seq("__seg", "__pos"), attrCols, validCol = vc)
     untouched.select(outCols: _*).unionByName(rebuilt.select(outCols: _*))
   }
 
@@ -206,6 +224,14 @@ object Cdc {
   def pointInTimeJoin(
       facts: DataFrame, history: DataFrame, keyCols: Seq[String],
       tsCol: String, joinType: String = "left"): DataFrame = {
+    // the output is facts.* ++ history-payload.*; a shared name (e.g. a
+    // fact column called valid_from) would silently produce a duplicate
+    // column — fail loudly instead and let the caller rename
+    val histPayloadNames = history.columns.filterNot(keyCols.contains)
+    val clash = facts.columns.intersect(histPayloadNames)
+    require(clash.isEmpty,
+      s"pointInTimeJoin: fact and history column name(s) collide: " +
+        s"${clash.mkString(", ")} — rename before joining")
     val f = facts.alias("__f")
     val h = history.alias("__h")
     val keyEq = keyCols.map(k => col(s"__f.$k") === col(s"__h.$k"))

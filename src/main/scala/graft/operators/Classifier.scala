@@ -49,6 +49,13 @@ object Classifier {
       iters: Int = 5, lr: Double = 0.5): LogisticModel = {
     require(featureCols.nonEmpty, "need at least one feature column")
     require(iters >= 1 && iters <= 1000, s"iters out of range: $iters")
+    // A NULL label or feature would drop out of the decimal gradient sums
+    // while still counting toward n, silently shrinking the mean gradient
+    // (and an all-NULL column would NPE in the update). Train on complete
+    // rows only, explicitly.
+    val complete = (labelCol +: featureCols)
+      .map(c => col(c).isNotNull).reduce(_ && _)
+    val train = df.filter(complete)
     var weights = Seq.fill(featureCols.size)(0.0)
     var bias = 0.0
     for (_ <- 0 until iters) {
@@ -61,8 +68,9 @@ object Classifier {
             .as(s"g_$c")) :+
           sum(resid.cast("decimal(27,12)")).as("g_bias") :+
           count(lit(1)).as("n")
-      val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+      val row = train.agg(aggs.head, aggs.tail: _*).collect().head
       val n = row.getLong(featureCols.size + 1).toDouble
+      require(n > 0, "logisticFit: no complete (non-NULL) training rows")
       def upd(w: Double, g: java.math.BigDecimal): Double =
         BigDecimal(w - lr * g.doubleValue / n)
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

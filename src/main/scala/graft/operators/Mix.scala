@@ -89,16 +89,35 @@ object Mix {
       alpha: Double,
       targetRows: Long,
       buckets: Int = 10000,
-      bucketExpr: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      bucketExpr: Option[org.apache.spark.sql.Column] = None,
+      maxSources: Int = 10000): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha out of [0,1]: $alpha")
     require(targetRows >= 0, s"targetRows must be >= 0: $targetRows")
-    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = collectSources(
+      df.groupBy(sourceCol).agg(count(lit(1)).as("n")), sourceCol, maxSources)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val powSum = counts.values.map(pow6(_, alpha)).sum.toDouble
     val weights = counts.map { case (s, n) =>
       s -> targetRows * pow6(n, alpha).toDouble / powSum / n }
     Sampling.resampleByWeight(df, sourceCol, idCol, weights,
       defaultWeight = 0.0, buckets = buckets, bucketExpr = bucketExpr)
+  }
+
+  /** Bounded driver-side collect of a per-source aggregate: fetch at most
+    * maxSources+1 rows (a LIMIT, never the whole frame) and fail loudly
+    * when the slice column's cardinality exceeds the cap — a caller
+    * passing a high-cardinality column (URL host, doc id) gets an error,
+    * not an unbounded driver collect. Training mixes are legitimately
+    * specified over tens-to-thousands of sources, far below the cap. */
+  private def collectSources(
+      agg: DataFrame, sourceCol: String, maxSources: Int) = {
+    require(maxSources >= 1, s"maxSources must be >= 1: $maxSources")
+    val rows = agg.limit(maxSources + 1).collect()
+    require(rows.length <= maxSources,
+      s"temperature mixing: > $maxSources distinct '$sourceCol' values — " +
+        "that is not a source/slice column; raise maxSources only if the " +
+        "mix is really specified over that many sources")
+    rows
   }
 
   /** determinism bridge (cross-run AND cross-engine): each n^alpha is
@@ -124,14 +143,16 @@ object Mix {
       nCol: String,
       alpha: Double,
       budgetTokens: Long,
-      seed: String): DataFrame = {
+      seed: String,
+      maxSources: Int = 10000): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha out of [0,1]: $alpha")
     require(budgetTokens >= 0, s"budgetTokens must be >= 0: $budgetTokens")
     val spark = df.sparkSession
     import spark.implicits._
-    val totals = df.groupBy(sourceCol)
-      .agg(sum(col(nCol).cast("decimal(38,0)")).as("t"))
-      .collect().map(r => r.getString(0) -> r.getDecimal(1).longValueExact())
+    val totals = collectSources(
+      df.groupBy(sourceCol).agg(sum(col(nCol).cast("decimal(38,0)")).as("t")),
+      sourceCol, maxSources)
+      .map(r => r.getString(0) -> r.getDecimal(1).longValueExact())
     val powSum = totals.map { case (_, t) => pow6(t, alpha) }.sum.toDouble
     val budgets = totals.map { case (s, t) =>
       (s, math.floor(budgetTokens * pow6(t, alpha).toDouble / powSum).toLong)

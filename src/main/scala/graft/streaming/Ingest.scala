@@ -220,7 +220,7 @@ object Ingest {
             .collect().head.getLong(0)
           if (batchId > applied) {
             val next = Cdc.scdType2Apply(
-              current.drop("_batch_id"), batch, keyCols, orderCol, attrCols)
+              current.drop("_batch_id"), batch, keyCols, Seq(orderCol), attrCols)
             graft.Warehouse.overwriteUnpartitioned(spark, ep.table,
               next.withColumn("_batch_id", lit(batchId)))
           }

@@ -163,7 +163,7 @@ class CdcSpec extends SparkSpec {
     val batch = full.filter($"ts" > 400)
     val incremental = Cdc.scdType2Apply(
       Cdc.scdType2(oldLog, Seq("k"), Seq("ts"), Seq("attr")),
-      batch, Seq("k"), "ts", Seq("attr"))
+      batch, Seq("k"), Seq("ts"), Seq("attr"))
       .collect().map(_.toSeq).toSet
     val rebuild = Cdc.scdType2(full, Seq("k"), Seq("ts"), Seq("attr"))
       .collect().map(_.toSeq).toSet
@@ -177,15 +177,47 @@ class CdcSpec extends SparkSpec {
       Seq("k"), Seq("ts"), Seq("attr"))
     // batch touches only key 1; key 2's history must come back verbatim
     val out = Cdc.scdType2Apply(hist,
-      Seq((1L, 9L, "c")).toDF("k", "ts", "attr"), Seq("k"), "ts", Seq("attr"))
+      Seq((1L, 9L, "c")).toDF("k", "ts", "attr"), Seq("k"), Seq("ts"),
+      Seq("attr"))
     assert(out.filter($"k" === 2).collect().map(_.toSeq).toSet ==
       hist.filter($"k" === 2).collect().map(_.toSeq).toSet)
     assert(out.filter($"k" === 1 && $"is_current").head.getString(1) == "c")
     // ts=4 is before key 1's last version (ts=5) → reject
     intercept[IllegalArgumentException] {
       Cdc.scdType2Apply(hist,
-        Seq((1L, 4L, "z")).toDF("k", "ts", "attr"), Seq("k"), "ts",
+        Seq((1L, 4L, "z")).toDF("k", "ts", "attr"), Seq("k"), Seq("ts"),
         Seq("attr"))
     }
+  }
+
+  test("scd2 incremental apply == rebuild under duplicate order values " +
+    "(tiebreak column)") {
+    // duplicate (k, ts) pairs: the tiebreak id orders them; history
+    // replay must preserve the build order of equal-valid_from versions
+    val full = Seq(
+      (1L, 10L, 1L, "a"), (1L, 10L, 2L, "b"), (1L, 20L, 3L, "b"),
+      (1L, 30L, 4L, "c"), (2L, 10L, 5L, "x"), (2L, 30L, 6L, "y"),
+      (2L, 30L, 7L, "z")).toDF("k", "ts", "id", "attr")
+    val oldLog = full.filter($"ts" <= 20)
+    val batch = full.filter($"ts" > 20)
+    val incremental = Cdc.scdType2Apply(
+      Cdc.scdType2(oldLog, Seq("k"), Seq("ts", "id"), Seq("attr")),
+      batch, Seq("k"), Seq("ts", "id"), Seq("attr"))
+      .collect().map(_.toSeq).toSet
+    val rebuild = Cdc.scdType2(full, Seq("k"), Seq("ts", "id"), Seq("attr"))
+      .collect().map(_.toSeq).toSet
+    assert(incremental == rebuild && rebuild.nonEmpty)
+  }
+
+  test("point-in-time join: colliding fact/history column names fail " +
+    "loudly") {
+    val hist = Cdc.scdType2(
+      Seq((1L, 1L, "a"), (1L, 5L, "b")).toDF("k", "ts", "attr"),
+      Seq("k"), Seq("ts"), Seq("attr"))
+    val facts = Seq((1L, 3L, "keep")).toDF("k", "ts", "valid_from")
+    val e = intercept[IllegalArgumentException] {
+      Cdc.pointInTimeJoin(facts, hist, Seq("k"), "ts")
+    }
+    assert(e.getMessage.contains("collide"))
   }
 }

@@ -50,4 +50,26 @@ class ClassifierSpec extends SparkSpec {
     assert(scored.filter(col("prob") < 0 || col("prob") > 1).count() == 0)
     assert(scored.filter(!col("label_pred").isin(0, 1)).count() == 0)
   }
+
+  test("logreg: NULL labels/features are excluded from the fit, " +
+    "all-NULL training fails loudly") {
+    import spark.implicits._
+    val clean = Classifier.logisticFit(
+      train, "y", Seq("f1", "f2"), iters = 3, lr = 0.5)
+    // appending NULL-label and NULL-feature rows must not move the fit
+    val extra = Seq[(Long, Option[Double], Option[Double], Option[Int])](
+      (900L, Some(1.0), Some(2.0), None),      // NULL label
+      (901L, None, Some(3.0), Some(1)))        // NULL feature
+      .toDF("id", "f1", "f2", "y")
+    val withNulls = Classifier.logisticFit(
+      train.unionByName(extra), "y", Seq("f1", "f2"), iters = 3, lr = 0.5)
+    assert(clean.weights == withNulls.weights && clean.bias == withNulls.bias)
+    val allNull = Seq[(Long, Option[Double], Option[Double], Option[Int])](
+      (1L, None, Some(1.0), Some(1)), (2L, None, Some(2.0), Some(0)))
+      .toDF("id", "f1", "f2", "y")
+    val e = intercept[IllegalArgumentException] {
+      Classifier.logisticFit(allNull, "y", Seq("f1", "f2"), iters = 1)
+    }
+    assert(e.getMessage.contains("no complete"))
+  }
 }

@@ -144,4 +144,24 @@ class MixSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("temperature mixing: a high-cardinality slice column fails loudly " +
+    "instead of collecting unbounded rows") {
+    import spark.implicits._
+    // every row its own "source" — not a source column
+    val df = (1L to 50L).map(i => (i, s"host-$i", 10L))
+      .toDF("id", "src", "n")
+    val e1 = intercept[IllegalArgumentException] {
+      Mix.temperatureMix(df, "src", "id", 0.5, 100, maxSources = 20)
+    }
+    assert(e1.getMessage.contains("distinct 'src'"))
+    val e2 = intercept[IllegalArgumentException] {
+      Mix.temperatureMixByTokens(df, "src", "id", "n", 0.5, 100L,
+        seed = "s", maxSources = 20)
+    }
+    assert(e2.getMessage.contains("distinct 'src'"))
+    // at or under the cap, the same frame mixes fine
+    assert(Mix.temperatureMix(df, "src", "id", 0.5, 100,
+      maxSources = 50).count() >= 0)
+  }
 }
