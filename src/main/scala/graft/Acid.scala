@@ -274,6 +274,97 @@ object Acid {
     if (partCols.isEmpty) writeDir(events, path, name, marker)
     else writeDirPartitioned(events, path, partCols, name, marker)
 
+  // -- writer serialization ---------------------------------------------
+  // The reference serializes writers through the metastore transaction
+  // manager (metastore/src/.../txn/TxnHandler.java: enqueueLock /
+  // checkLock over a database row, heartbeat-expired txns aborted by
+  // AcidHouseKeeperService). The engine-owned equivalent is a file lock
+  // under the table directory: atomic createNewFile is the mutex
+  // primitive (works across JVMs on a shared filesystem), the holder id
+  // + acquire time live in the file, and a contender may BREAK a lock
+  // whose heartbeat is older than the TTL by atomically renaming it
+  // aside (the rename is the fence — exactly one contender wins it).
+  // Every *Txn method runs its whole read-modify-publish body under the
+  // lock, so two racing writers serialize and the loser's snapshot
+  // includes the winner's delta. Compaction deliberately does NOT take
+  // this lock (reference compactor runs off the write path; its renames
+  // are atomic and never clobber a live delta).
+  //
+  // Fencing caveat, documented honestly: a holder paused longer than the
+  // TTL mid-publish can still land its staged rename after being broken
+  // — release detects the loss and throws, so the caller knows the table
+  // needs a check, but the rename itself is not blocked. The reference
+  // has the same exposure between heartbeat expiry and writer death; it
+  // hides it by making readers consult the txn table, which is the
+  // metastore-service boundary kept out of scope (SURVEY §2).
+
+  private val LockName = "_txn_lock"
+  private val lockTimeoutMs: Long =
+    sys.props.getOrElse("graft.acid.lock.timeout.ms", "60000").toLong
+  private def lockTtlMs: Long =
+    sys.props.getOrElse("graft.acid.lock.ttl.ms", "600000").toLong
+  // reentrancy: thread id -> canonical paths it holds (mergeTxn inside
+  // a front-door MERGE already under the lock must not self-deadlock)
+  private val heldLocks =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, String)]()
+
+  /** Run `f` as the table's only writer. Blocks up to
+    * `graft.acid.lock.timeout.ms` (default 60 s) for the lock; breaks
+    * stale locks older than `graft.acid.lock.ttl.ms` (default 10 min).
+    * Reentrant within a thread. Throws at release if the lock was lost
+    * (broken as stale) while `f` ran. */
+  def withWriteLock[T](path: String)(f: => T): T = {
+    val key = new File(path).getCanonicalPath
+    val me = (Thread.currentThread().getId, key)
+    if (heldLocks.contains(me)) return f // reentrant
+    val id = java.util.UUID.randomUUID().toString
+    val lf = new File(path, LockName)
+    val deadline = System.nanoTime() + lockTimeoutMs * 1000000L
+    var acquired = false
+    while (!acquired) {
+      new File(path).mkdirs()
+      if (lf.createNewFile()) {
+        val out = new java.io.FileOutputStream(lf)
+        try out.write(s"$id ${System.currentTimeMillis()}".getBytes("UTF-8"))
+        finally out.close()
+        acquired = true
+      } else {
+        val age = System.currentTimeMillis() - lf.lastModified()
+        if (lf.exists() && lf.lastModified() > 0 && age > lockTtlMs) {
+          // stale: fence the dead holder by renaming its lock aside —
+          // ATOMIC_MOVE means exactly one contender succeeds
+          val aside = new File(path, s"_txn_lock_broken_$id")
+          try {
+            Files.move(lf.toPath, aside.toPath,
+              StandardCopyOption.ATOMIC_MOVE)
+            aside.delete()
+          } catch { case _: java.io.IOException => () } // lost the race
+        } else if (System.nanoTime() > deadline) {
+          throw new IllegalStateException(
+            s"ACID write lock on $path not acquired within " +
+              s"$lockTimeoutMs ms (holder: ${holderOf(lf)})")
+        } else Thread.sleep(20)
+      }
+    }
+    heldLocks.add(me)
+    try f
+    finally {
+      heldLocks.remove(me)
+      if (holderOf(lf).contains(id)) lf.delete()
+      else throw new IllegalStateException(
+        s"ACID write lock on $path was broken as stale while held — " +
+          "this txn overran the TTL and may have raced a newer writer")
+    }
+  }
+
+  private def holderOf(lf: File): Option[String] =
+    try {
+      if (!lf.exists()) None
+      else Some(new String(
+        java.nio.file.Files.readAllBytes(lf.toPath), "UTF-8")
+        .split(" ").head)
+    } catch { case _: java.io.IOException => None }
+
   /** Create an empty ACID table directory. Like the reference, a fresh
     * table has no base — the first base appears at major compaction. */
   def create(path: String): Unit = { new File(path).mkdirs() }
@@ -294,7 +385,7 @@ object Acid {
     * partitioning; partition values live in the directory name, not the
     * stored rows). */
   def insertTxn(spark: SparkSession, path: String, df: DataFrame,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil): Long = withWriteLock(path) {
     val partCols = resolvePartCols(path, partitionBy)
     val w = nextWriteId(path)
     if (partCols.isEmpty) writeDir(asInsertEvents(df, w), path, deltaName(w, w))
@@ -502,7 +593,7 @@ object Acid {
     * events that keep the original ROW__ID — O(matched rows), never a
     * table rewrite. */
   def updateTxn(spark: SparkSession, path: String,
-      sets: Map[String, String], where: String): Long = {
+      sets: Map[String, String], where: String): Long = withWriteLock(path) {
     val partCols = partitionColsOf(path)
     val cur = snapshotWithRowId(spark, path)
     val dataCols = cur.columns
@@ -541,7 +632,8 @@ object Acid {
   /** DELETE transaction: delete events carry only the ROW__ID (row is
     * NULL), matching `OrcRecordUpdater.delete`. NULL predicate keeps the
     * row (three-valued logic, as in `Warehouse.delete`). */
-  def deleteTxn(spark: SparkSession, path: String, where: String): Long = {
+  def deleteTxn(spark: SparkSession, path: String, where: String): Long =
+    withWriteLock(path) {
     val partCols = partitionColsOf(path)
     val cur = snapshotWithRowId(spark, path)
     val dataCols = cur.columns
@@ -580,7 +672,7 @@ object Acid {
       on: String,
       matched: Seq[Warehouse.MatchedClause],
       notMatched: Option[Warehouse.NotMatchedInsert],
-      marker: Option[String]): Long = {
+      marker: Option[String]): Long = withWriteLock(path) {
     require(matched.nonEmpty || notMatched.nonEmpty,
       "MERGE needs at least one WHEN clause")
     val partCols = partitionColsOf(path)
@@ -734,17 +826,19 @@ object Acid {
     * Returns the write id, or None for a skipped replay. */
   def streamingInsertTxn(spark: SparkSession, path: String, df: DataFrame,
       batchId: Long, partitionBy: Seq[String] = Nil): Option[Long] =
-    if (batchId <= lastCommittedBatch(path)) None
-    else {
-      val partCols = resolvePartCols(path, partitionBy)
-      val w = nextWriteId(path)
-      val events =
-        if (partCols.isEmpty) asInsertEvents(df, w)
-        else asInsertEventsKeeping(df, w,
-          df.columns.filterNot(partCols.contains).toSeq, partCols)
-      publishEvents(events, path, partCols, deltaName(w, w),
-        marker = Some(s"$BatchMarker$batchId"))
-      Some(w)
+    withWriteLock(path) {
+      if (batchId <= lastCommittedBatch(path)) None
+      else {
+        val partCols = resolvePartCols(path, partitionBy)
+        val w = nextWriteId(path)
+        val events =
+          if (partCols.isEmpty) asInsertEvents(df, w)
+          else asInsertEventsKeeping(df, w,
+            df.columns.filterNot(partCols.contains).toSeq, partCols)
+        publishEvents(events, path, partCols, deltaName(w, w),
+          marker = Some(s"$BatchMarker$batchId"))
+        Some(w)
+      }
     }
 
   /** Keyed upsert as ONE MERGE transaction per micro-batch — the ACID
@@ -762,7 +856,7 @@ object Acid {
     * which is the route later Hive versions took. */
   def streamingUpsertTxn(spark: SparkSession, path: String,
       batch: DataFrame, keyCols: Seq[String], orderCol: String,
-      batchId: Long): Option[Long] =
+      batchId: Long): Option[Long] = withWriteLock(path) {
     if (batchId <= lastCommittedBatch(path)) None
     else {
       val all = struct(batch.columns.map(col): _*)
@@ -800,6 +894,7 @@ object Acid {
           marker = Some(s"$BatchMarker$batchId")))
       }
     }
+  }
 
   /** Continuous ACID upsert sink: one MERGE txn per micro-batch. */
   def startStreamingUpsert(stream: DataFrame, path: String,

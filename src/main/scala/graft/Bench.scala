@@ -25,7 +25,7 @@ object Bench {
     "q176_hashing_tf", "q184_triangles", "q187_containment",
     "q188_gapfill", "q191_zscore", "q195_robust_scale",
     "q196_corr_matrix", "q213_bloom_decontaminate",
-    "q224_scd_type2")
+    "q224_scd_type2", "q228_scd2_incremental", "q229_point_in_time")
   // q226_setsim_exact is deliberately NOT a headline: its OUTPUT is
   // quadratic on this template-cloned corpus (92k pairs at sf0.01 →
   // 8.9M at sf0.1 at t=0.5) — any exact all-pairs-above-threshold
@@ -84,7 +84,27 @@ object Bench {
       "\"" + k + "\":{\"min\":" + mn + ",\"max\":" + mx + ",\"runs\":" + runs + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    // Corpus fingerprint (untimed): per-table row count + an order-
+    // independent content hash (sum of xxhash64 over all columns). The
+    // driver regenerates testdata between rounds; without this, a
+    // per-query delta cannot be attributed between plan change and data
+    // change (VERDICT r06 "what's wrong" #2).
+    val corpus = Tables.names.map { t =>
+      try {
+        val df = Tables.load(spark, sfDir, t)
+        val row = df.select(
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.xxhash64(
+              df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)))
+          .collect().head
+        s""""$t":{"rows":${row.getLong(0)},"hash":"${java.lang.Long.toHexString(row.getLong(1))}"}"""
+      } catch { case e: Throwable =>
+        s""""$t":{"rows":-1,"hash":"${e.getClass.getSimpleName}"}"""
+      }
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"corpus":$corpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

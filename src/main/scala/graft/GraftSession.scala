@@ -213,12 +213,240 @@ object GraftSession {
     pairs.toMap
   }
 
+  // -- HiveQL window-spec synonyms -------------------------------------
+  // Hive's grammar accepts DISTRIBUTE BY / SORT BY / CLUSTER BY inside a
+  // window specification (ref: ql/parse/HiveParser.g window_specification
+  // → partitioningSpec, IdentifiersParser.g partitioningSpec) as synonyms
+  // for PARTITION BY / ORDER BY; Spark's parser only takes the standard
+  // forms. Rewrite the synonyms INSIDE `over (…)` and `WINDOW w AS (…)`
+  // spans only — at statement level DISTRIBUTE/SORT/CLUSTER BY are real
+  // operators Spark already supports and must not be touched.
+
+  private val WindowSynonyms = Seq(
+    ("""(?i)\bdistribute\s+by\b""".r, "partition by"),
+    ("""(?i)\bcluster\s+by\b""".r, "partition by"),
+    ("""(?i)\bsort\s+by\b""".r, "order by"))
+
+  /** Positions i where an identifier-like token starts at i (preceded by
+    * non-word char) and matches `word`, outside string literals. */
+  private def wordToken(s: String, i: Int, word: String): Boolean =
+    i + word.length <= s.length &&
+      s.substring(i, i + word.length).equalsIgnoreCase(word) &&
+      (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)) && s.charAt(i - 1) != '_') &&
+      (i + word.length == s.length ||
+        !Character.isLetterOrDigit(s.charAt(i + word.length)) && s.charAt(i + word.length) != '_')
+
+  private[graft] def hiveWindowCompat(sql: String): String = {
+    // phase 1: collect (open, close) paren spans that are window specs —
+    // a '(' directly after the token OVER, or after WINDOW <ident> AS
+    // (and the AS (…) of each further comma-chained definition)
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def skipWs(j0: Int): Int = {
+      var j = j0; while (j < sql.length && sql.charAt(j).isWhitespace) j += 1; j
+    }
+    def parenAfter(j0: Int): Int = {
+      val j = skipWs(j0); if (j < sql.length && sql.charAt(j) == '(') j else -1
+    }
+    var i = 0
+    var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { inStr = true; i += 1 }
+      else if (wordToken(sql, i, "over")) {
+        val open = parenAfter(i + 4)
+        if (open >= 0) { val close = matchParen(sql, open)
+          spans += ((open, close)); i = close + 1 } else i += 4
+      } else if (wordToken(sql, i, "window")) {
+        // WINDOW w AS ( … ) [, w2 AS ( … )]*
+        var j = i + 6
+        var more = true
+        while (more) {
+          more = false
+          j = skipWs(j)
+          while (j < sql.length &&
+              (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
+          j = skipWs(j)
+          if (j + 2 <= sql.length && sql.substring(j, j + 2).equalsIgnoreCase("as")) {
+            val open = parenAfter(j + 2)
+            if (open >= 0) {
+              val close = matchParen(sql, open)
+              spans += ((open, close))
+              val k = skipWs(close + 1)
+              if (k < sql.length && sql.charAt(k) == ',') { j = k + 1; more = true }
+              else j = k
+            }
+          }
+        }
+        i = j max (i + 6)
+      } else i += 1
+    }
+    // phase 2: rewrite spans right-to-left so indices stay valid
+    val sb = new StringBuilder(sql)
+    spans.sortBy(-_._1).foreach { case (open, close) =>
+      var span = sb.substring(open, close + 1)
+      WindowSynonyms.foreach { case (re, repl) =>
+        span = re.replaceAllIn(span, repl) }
+      sb.replace(open, close + 1, span)
+    }
+    sb.toString
+  }
+
+  /** Hive 1.2 dedups duplicate entries in a GROUPING SETS list
+    * (GROUPING SETS ((a), (a)) groups once — ref ql/parse/
+    * SemanticAnalyzer.java grouping-set bitmask keyed by set id), while
+    * Spark follows the SQL standard and emits duplicate groups. The
+    * front door applies Hive's semantics: literal-duplicate sets are
+    * dropped (whitespace-insensitively), first occurrence wins. */
+  private[graft] def hiveGroupingSetsCompat(sql: String): String = {
+    val re = """(?is)\bGROUPING\s+SETS\s*\(""".r
+    val spans = re.findAllMatchIn(sql).map(m => m.end - 1).toSeq
+    if (spans.isEmpty) return sql
+    val sb = new StringBuilder(sql)
+    spans.sortBy(-_.intValue).foreach { open =>
+      val close = matchParen(sql, open)
+      val body = sql.substring(open + 1, close)
+      val entries = splitTopLevelCommas(body)
+      val seen = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      entries.foreach { e =>
+        val k = e.replaceAll("\\s+", "").toLowerCase
+        if (!seen.contains(k)) seen(k) = e
+      }
+      if (seen.size != entries.size)
+        sb.replace(open + 1, close, seen.values.mkString(", "))
+    }
+    sb.toString
+  }
+
+  /** Hive 1.2's GROUPING__ID virtual column uses the PRE-HIVE-12833
+    * encoding (ref ql/udf/generic/GenericUDFGrouping / SemanticAnalyzer
+    * grouping-set id): bit j (LSB = FIRST grouping column) is 1 when the
+    * column IS part of the grouping set. Spark's grouping_id() is the
+    * SQL-standard complement in reversed bit order (MSB = first column,
+    * 1 = aggregated away). Pinned against groupby_cube1.q golden:
+    * (key,NULL)→1, (NULL,val)→2, full→3, total→0. The rewrite replaces
+    * the token with an explicit bit-twiddle over grouping_id(), sized by
+    * the statement's GROUP BY list; applied only when the statement has
+    * exactly ONE group-by clause (nested different-arity group-bys would
+    * need per-scope analysis). */
+  private[graft] def hiveGroupingIdCompat(sql: String): String = {
+    if ("""(?i)grouping__id""".r.findFirstIn(sql).isEmpty) sql
+    else groupingIdScope(sql)
+  }
+
+  /** Rewrite one query scope: subquery paren-groups (starting with
+    * SELECT/FROM/WITH) recurse as their own scopes and are shielded
+    * behind placeholders; expression parens stay part of this scope.
+    * If THIS scope's GROUP BY carries rollup/cube/grouping-sets, its
+    * unqualified GROUPING__ID tokens become the bit-twiddle over
+    * grouping_id(); bare select-list items keep the column name via
+    * `AS grouping__id` so outer scopes can reference it as Hive's
+    * virtual column flows. Qualified refs (t.GROUPING__ID) and scopes
+    * without grouping analytics are column references and stay put. */
+  private def groupingIdScope(s: String): String = {
+    val store = scala.collection.mutable.ArrayBuffer.empty[String]
+    def shield(x: String): String = {
+      val out = new StringBuilder
+      var i = 0
+      var inStr = false
+      while (i < x.length) {
+        val c = x.charAt(i)
+        if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
+        else if (c == '\'') { out += c; inStr = true; i += 1 }
+        else if (c == '(') {
+          val close = matchParen(x, i)
+          val inner = x.substring(i + 1, close)
+          val t = inner.dropWhile(_.isWhitespace).toUpperCase
+          if (t.startsWith("SELECT") || t.startsWith("FROM") ||
+              t.startsWith("WITH")) {
+            store += groupingIdScope(inner)
+            out.append('(').append('\u0000').append(store.size - 1)
+              .append('\u0000').append(')')
+          } else out.append('(').append(shield(inner)).append(')')
+          i = close + 1
+        } else { out += c; i += 1 }
+      }
+      out.toString
+    }
+    def unshield(x: String): String =
+      """\u0000(\d+)\u0000""".r.replaceAllIn(x, m =>
+        java.util.regex.Matcher.quoteReplacement(store(m.group(1).toInt)))
+
+    val flat = shield(s)
+    // does THIS scope group with rollup/cube/grouping sets?
+    val gb = """(?is)\bgroup\s+by\b""".r.findFirstMatchIn(flat)
+    val rewritten = gb match {
+      case Some(m) =>
+        val tail = flat.substring(m.end)
+        val stops = Seq("having", "order", "limit", "sort",
+          "distribute", "cluster", "window", "union")
+        val cut = stops.flatMap(k => topLevelKeyword(tail, k).headOption)
+          .sorted.headOption.getOrElse(tail.length)
+        val clause = tail.substring(0, cut)
+        val hasAnalytics =
+          """(?is)\bwith\s+(rollup|cube)\b""".r.findFirstIn(clause).isDefined ||
+          """(?is)\bgrouping\s+sets\b""".r.findFirstIn(clause).isDefined
+        if (!hasAnalytics) flat
+        else {
+          // grouping list = clause up to WITH/GROUPING SETS
+          val listEnd = Seq("with", "grouping")
+            .flatMap(k => topLevelKeyword(clause, k).headOption)
+            .sorted.headOption.getOrElse(clause.length)
+          val n = splitTopLevelCommas(clause.substring(0, listEnd)).size
+          if (n < 1 || n > 30) flat
+          else {
+            val expr = (0 until n).map { j =>
+              s"(CASE WHEN (grouping_id() & ${1L << (n - 1 - j)}) = 0 " +
+                s"THEN ${1L << j} ELSE 0 END)"
+            }.mkString("(", " + ", ")")
+            val re = """(?i)(?<![.\w])grouping__id\b""".r
+            val sb = new StringBuilder
+            var last = 0
+            re.findAllMatchIn(flat).foreach { mm =>
+              sb.append(flat.substring(last, mm.start))
+              // bare select-list item keeps Hive's virtual column name
+              val before = flat.substring(0, mm.start).reverse
+                .dropWhile(_.isWhitespace)
+              val after = flat.substring(mm.end).dropWhile(_.isWhitespace)
+              val bareItem =
+                (before.startsWith(",") ||
+                  before.take(7).reverse.equalsIgnoreCase("select ") ||
+                  before.take(6).reverse.toLowerCase.startsWith("select")) &&
+                (after.startsWith(",") ||
+                  after.take(5).equalsIgnoreCase("from ") || after.isEmpty)
+              sb.append(if (bareItem) s"$expr AS grouping__id" else expr)
+              last = mm.end
+            }
+            sb.append(flat.substring(last))
+            sb.toString
+          }
+        }
+      case None => flat
+    }
+    unshield(rewritten)
+  }
+
+  /** Index of the ')' matching the '(' at `open` (quote-aware). */
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0; var i = open; var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    s.length - 1
+  }
+
   /** HiveQL front door: Hive-only statement forms are routed to graft
     * implementations, everything else to `spark.sql`. DDL-style routes
     * return an empty DataFrame (like Hive's no-result statements).
     * Trailing semicolons (standard in HiveQL scripts) are stripped. */
   def sql(spark: SparkSession, stmt: String): DataFrame = {
-    val stripped = stmt.replaceAll(";+\\s*$", "")
+    val stripped = hiveGroupingIdCompat(hiveGroupingSetsCompat(
+      hiveWindowCompat(stmt.replaceAll(";+\\s*$", ""))))
     stripped match {
       case MacroRe() =>
         functions.Macros.sql(spark, stripped)
@@ -318,7 +546,123 @@ object GraftSession {
               on, matched.toSeq, insert)
         }
         spark.emptyDataFrame
+      case other if isMultiInsert(other) => multiInsert(spark, other)
       case other => spark.sql(other)
     }
+  }
+
+  // -- single-statement multi-insert -----------------------------------
+  // Hive's FROM-first form (ref: ql/parse/SemanticAnalyzer.java:6241,
+  // HiveParser.g fromStatement → multi insertClause+): ONE source scan
+  // feeding N sinks. Spark has no native equivalent statement, so the
+  // front door parses it and executes each INSERT over one shared
+  // materialization of the FROM source (persisted before the first
+  // insert, released after the last) — the reference's one-scan-many-
+  // sinks contract, expressed as cache-reuse instead of operator DAG
+  // fan-out. For a FROM source too complex to rebind (a bare multi-table
+  // join), the inserts re-scan; Catalyst's ReuseExchange still shares
+  // what it can.
+
+  private val InsertClauseRe =
+    """(?is)\s*(OVERWRITE|INTO)\s+(?:TABLE\s+)?([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\))?\s*(SELECT\b.+)""".r
+  private val InsertDirClauseRe =
+    """(?is)\s*OVERWRITE\s+(LOCAL\s+)?DIRECTORY\s+'([^']+)'\s*(SELECT\b.+)""".r
+  private val SimpleFromRe = """(?is)\s*([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s*""".r
+  private val SubqueryFromRe = """(?is)\s*(\(.+\))\s+(?:AS\s+)?(\w+)\s*""".r
+
+  private def isMultiInsert(s: String): Boolean = {
+    val t = s.dropWhile(_.isWhitespace)
+    t.length >= 4 && t.substring(0, 4).equalsIgnoreCase("from") &&
+      topLevelKeyword(s, "insert").nonEmpty
+  }
+
+  private def multiInsert(spark: SparkSession, stmt: String): DataFrame = {
+    val cuts = topLevelKeyword(stmt, "insert")
+    val fromKw = stmt.toLowerCase.indexOf("from")
+    val fromPart = stmt.substring(fromKw + 4, cuts.head).trim
+    val clauses = (cuts :+ stmt.length).sliding(2).map {
+      case Seq(a, b) => stmt.substring(a + 6, b).trim
+    }.toSeq
+    // each clause is a table sink or a directory sink (Hive
+    // FileSinkOperator to a path — ref HiveParser.g destination)
+    sealed trait Sink
+    case class TableSink(overwrite: Boolean, table: String,
+        part: Option[String], select: String) extends Sink
+    case class DirSink(path: String, select: String) extends Sink
+    val parsed: Seq[Sink] = clauses.map {
+      case InsertDirClauseRe(_, path, select) => DirSink(path, select)
+      case InsertClauseRe(mode, table, partSpec, select) =>
+        TableSink(mode.equalsIgnoreCase("OVERWRITE"), table,
+          Option(partSpec), select)
+      case other => sys.error(s"unsupported multi-insert clause: INSERT $other")
+    }
+    // rebindable source? (single table/subquery, optionally aliased)
+    val bind: Option[(String, Boolean)] = fromPart match {
+      case SimpleFromRe(tbl, alias) =>
+        Some((Option(alias).getOrElse(tbl.split('.').last), false))
+      case SubqueryFromRe(_, alias) => Some((alias, true))
+      case _ => None
+    }
+    def runInserts(fromText: String): Unit = parsed.foreach {
+      case TableSink(overwrite, table, partSpec, select) =>
+        val part = partSpec.map(p => s" PARTITION ($p)").getOrElse("")
+        val mode = if (overwrite) "OVERWRITE" else "INTO"
+        sql(spark, s"INSERT $mode TABLE $table$part " +
+          spliceFrom(select, fromText))
+      case DirSink(path, select) =>
+        writeDirectory(spark, path,
+          spark.sql(spliceFrom(select, fromText)))
+    }
+    bind match {
+      case Some((name, isSubquery)) =>
+        val tempExists = spark.catalog.tableExists(name) &&
+          spark.catalog.getTable(name).isTemporary
+        if (tempExists && !isSubquery) {
+          // the source IS already a temp view — cache it in place
+          spark.catalog.cacheTable(name)
+          try runInserts(name) finally spark.catalog.uncacheTable(name)
+        } else {
+          val df = spark.sql(s"SELECT * FROM $fromPart")
+          df.persist()
+          try {
+            df.createOrReplaceTempView(name)
+            try runInserts(name)
+            finally spark.catalog.dropTempView(name)
+          } finally df.unpersist()
+        }
+      case None => runInserts(fromPart) // multi-table join source: re-scan
+    }
+    spark.emptyDataFrame
+  }
+
+  /** Insert `FROM x` into a bare Hive multi-insert SELECT clause at the
+    * spot the grammar implies: before the first top-level WHERE / GROUP /
+    * HAVING / ORDER / SORT / DISTRIBUTE / CLUSTER / LIMIT / UNION, or at
+    * the end when the clause is projection-only. */
+  private def spliceFrom(select: String, fromText: String): String = {
+    val tailKws = Seq("where", "group", "having", "order", "sort",
+      "distribute", "cluster", "limit", "union", "window")
+    val cut = tailKws.flatMap(k => topLevelKeyword(select, k).headOption)
+      .sorted.headOption.getOrElse(select.length)
+    s"${select.substring(0, cut)} FROM $fromText ${select.substring(cut)}"
+  }
+
+  /** INSERT OVERWRITE DIRECTORY sink: rows in Hive's default text form
+    * (LazySimpleSerDe — ^A field delimiter, \N nulls), the reference's
+    * FileSinkOperator-to-path behavior. Relative paths land under the
+    * session's warehouse scratch dir, as Hive resolves them against the
+    * warehouse. */
+  private def writeDirectory(spark: SparkSession, path: String,
+      df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, concat_ws, lit}
+    val dest =
+      if (path.startsWith("/")) path
+      else new java.io.File(
+        new java.io.File(spark.conf.get(
+          "spark.sql.warehouse.dir").stripPrefix("file:")),
+        path).getPath
+    val line = concat_ws("\u0001", df.columns.map(c =>
+      coalesce(col(s"`$c`").cast("string"), lit("\\N"))).toIndexedSeq: _*)
+    df.select(line.as("value")).write.mode("overwrite").text(dest)
   }
 }

@@ -146,6 +146,17 @@ object HiveCompat {
       lines.map(l => org.apache.spark.unsafe.types.UTF8String.fromString(l): Any))
   }
 
+
+  /** Hive's hash() — ref ql/udf/generic/GenericUDFHash.java, which
+    * folds ObjectInspectorUtils.hashCode per argument with a 31-mix
+    * (Java hashCode semantics per type), NOT Murmur3 like Spark's
+    * built-in hash. Spark ships the bit-exact implementation as the
+    * catalyst HiveHash expression (used for Hive-bucketed writes);
+    * registered here as hive_hash so HiveQL text relying on Hive's
+    * hash values (the reference qtest suite does, via sum(hash(*)))
+    * can resolve it. */
+  private def hiveHash(children: Seq[Expression]): Expression =
+    org.apache.spark.sql.catalyst.expressions.HiveHash(children)
   val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "mask" -> mask _,
     "mask_first_n" -> maskFirstN _,
@@ -153,6 +164,7 @@ object HiveCompat {
     "mask_show_first_n" -> maskShowFirstN _,
     "mask_show_last_n" -> maskShowLastN _,
     "mask_hash" -> maskHash _,
+    "hive_hash" -> hiveHash _,
     "field" -> field _,
     "create_union" -> createUnion _,
     "in_file" -> inFile _

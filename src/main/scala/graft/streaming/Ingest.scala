@@ -195,13 +195,13 @@ object Ingest {
     * must be strictly later than the stored history per key
     * (scdType2Apply's contract — late data fails the batch loudly
     * instead of corrupting version order). `_batch_id` replay guard and
-    * staged overwrite as in `startAggMaintenance`. `orderCol` is both
-    * the batch ordering and the `valid_from` source. */
+    * staged overwrite as in `startAggMaintenance`. `orderCols` is the
+    * batch ordering (head = the `valid_from` source, rest tiebreaks). */
   def startScd2Maintenance(
       stream: DataFrame,
       ep: Endpoint,
       keyCols: Seq[String],
-      orderCol: String,
+      orderCols: Seq[String],
       attrCols: Seq[String],
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
@@ -211,7 +211,7 @@ object Ingest {
         val spark = batch.sparkSession
         import graft.operators.Cdc
         if (!spark.catalog.tableExists(ep.table)) {
-          Cdc.scdType2(batch, keyCols, Seq(orderCol), attrCols)
+          Cdc.scdType2(batch, keyCols, orderCols, attrCols)
             .withColumn("_batch_id", lit(batchId))
             .write.saveAsTable(ep.table)
         } else {
@@ -220,7 +220,7 @@ object Ingest {
             .collect().head.getLong(0)
           if (batchId > applied) {
             val next = Cdc.scdType2Apply(
-              current.drop("_batch_id"), batch, keyCols, Seq(orderCol), attrCols)
+              current.drop("_batch_id"), batch, keyCols, orderCols, attrCols)
             graft.Warehouse.overwriteUnpartitioned(spark, ep.table,
               next.withColumn("_batch_id", lit(batchId)))
           }

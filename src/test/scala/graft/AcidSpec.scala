@@ -628,4 +628,99 @@ class AcidSpec extends SparkSpec {
     assert(proj(Acid.snapshotAsOf(spark, t, 3)) ==
       proj(Acid.snapshot(spark, t)))
   }
+
+  test("two racing MERGE txns serialize: final snapshot equals " +
+    "sequential application") {
+    val t = tmpTable()
+    Acid.create(t)
+    Acid.insertTxn(spark, t, seed(20))
+    // two writers merge concurrently: one bumps v for k<10 and inserts
+    // k=100, the other bumps v for k>=5 and inserts k=200. Serialized in
+    // either order the result is identical (updates commute here), so
+    // equality with sequential application proves both committed against
+    // a consistent snapshot — without the lock the slower writer would
+    // compute events against the pre-merge snapshot and allocate the
+    // same write id (its delta rename then collides or clobbers).
+    def mergeOne(): Long = Acid.mergeTxn(spark, t,
+      seed(21).filter($"k" < 10 || $"k" === 20)
+        .withColumn("k", when($"k" === 20, 100L).otherwise($"k")),
+      "s", "t", "t.k = s.k",
+      matched = Seq(Warehouse.MatchedUpdate(None, Map("v" -> "t.v + 1000"))),
+      notMatched = Some(Warehouse.NotMatchedInsert(None,
+        Seq("s.k", "s.s", "s.v"))))
+    def mergeTwo(): Long = Acid.mergeTxn(spark, t,
+      seed(21).filter(($"k" >= 5 && $"k" < 20) || $"k" === 20)
+        .withColumn("k", when($"k" === 20, 200L).otherwise($"k")),
+      "s", "t", "t.k = s.k",
+      matched = Seq(Warehouse.MatchedUpdate(None, Map("v" -> "t.v + 50"))),
+      notMatched = Some(Warehouse.NotMatchedInsert(None,
+        Seq("s.k", "s.s", "s.v"))))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f1 = Future(mergeOne())
+    val f2 = Future(mergeTwo())
+    val ids = Seq(Await.result(f1, 120.seconds),
+      Await.result(f2, 120.seconds))
+    assert(ids.toSet == Set(2L, 3L), s"write ids: $ids") // distinct, ordered
+    // sequential oracle on a second table
+    val t2 = tmpTable()
+    Acid.create(t2)
+    Acid.insertTxn(spark, t2, seed(20))
+    Acid.mergeTxn(spark, t2,
+      seed(21).filter($"k" < 10 || $"k" === 20)
+        .withColumn("k", when($"k" === 20, 100L).otherwise($"k")),
+      "s", "t", "t.k = s.k",
+      matched = Seq(Warehouse.MatchedUpdate(None, Map("v" -> "t.v + 1000"))),
+      notMatched = Some(Warehouse.NotMatchedInsert(None,
+        Seq("s.k", "s.s", "s.v"))))
+    Acid.mergeTxn(spark, t2,
+      seed(21).filter(($"k" >= 5 && $"k" < 20) || $"k" === 20)
+        .withColumn("k", when($"k" === 20, 200L).otherwise($"k")),
+      "s", "t", "t.k = s.k",
+      matched = Seq(Warehouse.MatchedUpdate(None, Map("v" -> "t.v + 50"))),
+      notMatched = Some(Warehouse.NotMatchedInsert(None,
+        Seq("s.k", "s.s", "s.v"))))
+    assert(rows(Acid.snapshot(spark, t)) == rows(Acid.snapshot(spark, t2)))
+    // the lock file is gone after both txns release
+    assert(!new File(t, "_txn_lock").exists())
+  }
+
+  test("write lock: stale holder is fenced, contender proceeds, " +
+    "overrunning holder detects the break at release") {
+    val t = tmpTable()
+    Acid.create(t)
+    Acid.insertTxn(spark, t, seed(5))
+    val prevTtl = sys.props.put("graft.acid.lock.ttl.ms", "300")
+    try {
+      // simulate a dead writer: a lock file nobody will release, aged
+      // past the TTL
+      val lf = new File(t, "_txn_lock")
+      assert(lf.createNewFile())
+      lf.setLastModified(System.currentTimeMillis() - 10000)
+      // a new writer breaks the stale lock and commits
+      assert(Acid.insertTxn(spark, t, seed(6).filter($"k" === 5)) == 2L)
+      assert(rows(Acid.snapshot(spark, t)) == rows(seed(6)))
+      // an overrunning holder (sleeps past TTL while a contender breaks
+      // and relocks) fails loudly at release
+      val e = intercept[IllegalStateException] {
+        Acid.withWriteLock(t) {
+          val mine = new File(t, "_txn_lock")
+          mine.setLastModified(System.currentTimeMillis() - 10000)
+          // contender on another thread breaks + takes the lock
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration._
+          import scala.concurrent.ExecutionContext.Implicits.global
+          Await.result(Future {
+            Acid.withWriteLock(t)(()) }, 30.seconds)
+        }
+      }
+      assert(e.getMessage.contains("broken as stale"))
+    } finally {
+      prevTtl match {
+        case Some(v) => sys.props.put("graft.acid.lock.ttl.ms", v)
+        case None => sys.props.remove("graft.acid.lock.ttl.ms")
+      }
+    }
+  }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import graft.qtest.QtestRunner
+
+/** The reference's own acceptance surface, run VERBATIM: every script in
+  * `src/test/resources/qtest_green.txt` (curated from
+  * ql/src/test/queries/clientpositive by the QtestDrive discovery loop)
+  * executes statement-by-statement through `GraftSession.sql` over
+  * fixtures built from the reference's own data files, and every result
+  * set must equal the reference's golden `.q.out` rows (multiset,
+  * Hive-text formatting, Pacific golden timezone — see qtest/Qtest.scala).
+  *
+  * This is the HiveQL-text fidelity gate hand-written queries cannot
+  * provide: implicit casts, GROUPING__ID bit order, Hive hash(),
+  * window-spec synonyms, multi-insert, null sort defaults all surface
+  * here. Scripts needing reference features out of engine scope
+  * (thrift serde fixtures, dfs/add-jar commands, compute_stats sketch
+  * text, bucketed-file physics) are excluded by the curation run, and
+  * the exclusion reasons live in SURVEY.md §5 notes.
+  *
+  * Requires /root/reference checked out (read-only); skips cleanly when
+  * absent so the suite stays green outside the build container.
+  */
+class QtestSpec extends SparkSpec {
+
+  private val refRoot = sys.env.getOrElse("GRAFT_REF_ROOT", "/root/reference")
+
+  private lazy val scripts: Seq[String] = {
+    val res = getClass.getResourceAsStream("/qtest_green.txt")
+    require(res != null, "qtest_green.txt resource missing")
+    val src = scala.io.Source.fromInputStream(res)(scala.io.Codec.UTF8)
+    try src.getLines().map(_.trim)
+      .filterNot(l => l.isEmpty || l.startsWith("#")).toList
+    finally src.close()
+  }
+
+  test("reference qtest scripts run verbatim and match golden outputs") {
+    assume(new java.io.File(refRoot).isDirectory,
+      s"reference checkout not present at $refRoot")
+    val runner = new QtestRunner(spark, refRoot)
+    val results = scripts.map { s =>
+      try runner.run(s)
+      catch { case e: Exception =>
+        runner.ScriptResult(s, 0, Nil, Some(
+          s"harness: ${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").take(300)))
+      }
+    }
+    val failed = results.filterNot(_.ok)
+    val checked = results.map(_.queriesChecked).sum
+    info(s"${results.size} scripts, $checked golden-checked queries, " +
+      s"${failed.size} failing")
+    assert(failed.isEmpty, failed.take(10).map { r =>
+      s"\n${r.script}: " + r.error.getOrElse(
+        r.mismatches.headOption.map(m => s"${m.detail} [${m.stmt.take(120)}]")
+          .getOrElse("no queries checked"))
+    }.mkString)
+    assert(results.size >= 50, "curated list shrank below the round-7 bar")
+  }
+}

@@ -206,14 +206,14 @@ class StreamingSpec extends SparkSpec {
     val b1 = Seq((1L, 1L, "a"), (1L, 2L, "a"), (2L, 1L, "x"))
     src.addData(b1: _*)
     Ingest.startScd2Maintenance(src.toDF().toDF("k", "ts", "attr"), ep,
-      Seq("k"), "ts", Seq("attr")).awaitTermination()
+      Seq("k"), Seq("ts"), Seq("attr")).awaitTermination()
     assert(maintained() == rebuild(b1))
 
     // second batch: key 1 changes state, key 3 appears, key 2 untouched
     val b2 = Seq((1L, 5L, "b"), (3L, 4L, "z"))
     src.addData(b2: _*)
     Ingest.startScd2Maintenance(src.toDF().toDF("k", "ts", "attr"), ep,
-      Seq("k"), "ts", Seq("attr")).awaitTermination()
+      Seq("k"), Seq("ts"), Seq("attr")).awaitTermination()
     assert(maintained() == rebuild(b1 ++ b2))
     assert(maintained().exists(r => r.head == 1L && r(1) == "b"))
     spark.sql(s"DROP TABLE IF EXISTS $table")

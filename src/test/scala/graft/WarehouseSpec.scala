@@ -527,4 +527,61 @@ class WarehouseSpec extends SparkSpec {
       .exists(_.getName.endsWith(".parquet")))
     Warehouse.dropTable(spark, t)
   }
+
+  test("SQL front door: FROM t INSERT ... INSERT ... writes every sink " +
+    "from ONE source materialization") {
+    import org.apache.spark.util.LongAccumulator
+    val acc: LongAccumulator =
+      spark.sparkContext.longAccumulator("q233_src_scans")
+    // a source whose materialization is observable: every partition
+    // computed bumps the accumulator
+    val src = spark.range(0, 100, 1, 4).as[Long].mapPartitions { it =>
+      acc.add(1); it
+    }.toDF("id")
+    src.createOrReplaceTempView("mi_src")
+    val loc = java.nio.file.Files.createTempDirectory("graft-mi").toString
+    spark.sql(s"CREATE TABLE mi_a (id BIGINT) USING parquet LOCATION '$loc/a'")
+    spark.sql(
+      s"CREATE TABLE mi_b (id BIGINT, two BIGINT) USING parquet LOCATION '$loc/b'")
+    try {
+      GraftSession.sql(spark,
+        """FROM mi_src
+          |INSERT OVERWRITE TABLE mi_a SELECT id WHERE id < 10
+          |INSERT INTO TABLE mi_b SELECT id, id * 2 WHERE id >= 95""".stripMargin)
+      assert(spark.table("mi_a").as[Long].collect().sorted.toSeq ==
+        (0L until 10L))
+      assert(spark.table("mi_b").select("two").as[Long].collect().sorted
+        .toSeq == Seq(190L, 192L, 194L, 196L, 198L))
+      // ONE materialization: 4 partitions computed exactly once
+      assert(acc.value == 4L,
+        s"source computed ${acc.value} partition-times, expected 4 (one scan)")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mi_a")
+      spark.sql("DROP TABLE IF EXISTS mi_b")
+      spark.catalog.dropTempView("mi_src")
+    }
+  }
+
+  test("SQL front door: multi-insert with aliased subquery source and " +
+    "static partition sinks") {
+    val loc = java.nio.file.Files.createTempDirectory("graft-mi2").toString
+    spark.sql("DROP TABLE IF EXISTS mi_p")
+    spark.sql(s"CREATE TABLE mi_p (k STRING, n BIGINT) USING parquet " +
+      s"PARTITIONED BY (ds STRING) LOCATION '$loc/p'")
+    try {
+      GraftSession.sql(spark,
+        """FROM (SELECT o_orderpriority p, o_orderkey k FROM orders) o
+          |INSERT OVERWRITE TABLE mi_p PARTITION (ds='d1')
+          |  SELECT p, count(*) GROUP BY p
+          |INSERT INTO TABLE mi_p PARTITION (ds='d2')
+          |  SELECT p, count(*) WHERE k % 2 = 0 GROUP BY p""".stripMargin)
+      val d1 = spark.table("mi_p").where($"ds" === "d1")
+      val d2 = spark.table("mi_p").where($"ds" === "d2")
+      val oracle1 = spark.table("orders").groupBy("o_orderpriority").count()
+      assert(d1.count() == oracle1.count() && d1.count() > 0)
+      assert(d2.count() > 0 &&
+        d2.agg(org.apache.spark.sql.functions.sum("n")).as[Long].head() ==
+          spark.table("orders").where($"o_orderkey" % 2 === 0).count())
+    } finally spark.sql("DROP TABLE IF EXISTS mi_p")
+  }
 }
