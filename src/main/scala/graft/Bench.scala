@@ -85,19 +85,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // Corpus fingerprint (untimed): per-table row count + an order-
-    // independent content hash (sum of xxhash64 over all columns). The
-    // driver regenerates testdata between rounds; without this, a
-    // per-query delta cannot be attributed between plan change and data
-    // change (VERDICT r06 "what's wrong" #2).
+    // independent content hash (bit_xor of xxhash64 over all columns —
+    // commutative, overflow-free under ANSI). The driver regenerates
+    // testdata between rounds; without this, a per-query delta cannot
+    // be attributed between plan change and data change (VERDICT r06
+    // "what's wrong" #2).
     val corpus = Tables.names.map { t =>
       try {
         val df = Tables.load(spark, sfDir, t)
-        val row = df.select(
-          org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)),
-          org.apache.spark.sql.functions.sum(
-            org.apache.spark.sql.functions.xxhash64(
-              df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)))
+        val row = df.selectExpr("count(1)",
+          s"bit_xor(xxhash64(${df.columns.map(c => s"`$c`").mkString(", ")}))")
           .collect().head
         s""""$t":{"rows":${row.getLong(0)},"hash":"${java.lang.Long.toHexString(row.getLong(1))}"}"""
       } catch { case e: Throwable =>

@@ -47,6 +47,13 @@ object Round7Queries {
       val streamDir = s"$tmp/in"
       val table = "q232_scd2_stream"
       s.sql(s"DROP TABLE IF EXISTS $table")
+      // a previous JVM may have left the managed location behind while
+      // this catalog is fresh — saveAsTable would refuse the orphan dir
+      val loc = new java.io.File(
+        new java.io.File(java.net.URI.create(
+          s.conf.get("spark.sql.warehouse.dir")).getPath), table)
+      if (loc.exists())
+        new scala.reflect.io.Directory(loc).deleteRecursively()
       val ep = Ingest.Endpoint(table, s"$tmp/ckpt")
       val cuts = Seq(
         ("1900-01-01", "2024-01-11"),

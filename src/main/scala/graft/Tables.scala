@@ -38,6 +38,11 @@ object Tables {
           // matches DuckDB's naive-timestamp read.
           case TimestampNTZType =>
             df.withColumn("ts", df("ts").cast(TimestampType))
+          // plain INT64 = epoch nanos, the layout tools/make_sf1.py
+          // writes on purpose (epoch_ns) — truncate to micros
+          case org.apache.spark.sql.types.LongType =>
+            df.withColumn("ts", org.apache.spark.sql.functions.expr(
+              "timestamp_micros(ts div 1000)"))
           case other => sys.error(s"unexpected events.ts type $other")
         }
         case None =>

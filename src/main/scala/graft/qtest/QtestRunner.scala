@@ -40,6 +40,18 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       (c: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         org.apache.spark.sql.catalyst.expressions.HiveHash(c),
       "built-in")
+    // Hive 1.2's std/stddev/variance are the POPULATION forms
+    // (FunctionRegistry.java registers them on GenericUDAFStd/
+    // GenericUDAFVariance); Spark's same-named functions are the SAMPLE
+    // forms. Session-local rebind — the engine front door keeps Spark
+    // naming because the oracle suite pins it.
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{StddevPop, VariancePop}
+    Seq("std", "stddev").foreach { n =>
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        n, c => StddevPop(c.head), "built-in")
+    }
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "variance", c => VariancePop(c.head), "built-in")
     s
   }
 
@@ -191,6 +203,41 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     tableMeta(name.toLowerCase) = TableMeta(delim, partNames, clusterCols)
   }
 
+  /** ALTER TABLE CHANGE COLUMN: Hive changes metadata and reinterprets
+    * stored data on read; over the parquet realization that is a
+    * cast-and-rewrite (same values a Hive reinterpret yields, since the
+    * qtest column changes are widenings/renames). */
+  private def changeColumn(table: String, oldCol: String, newCol: String,
+      newType: String): Unit = {
+    val qt = quoteName(table)
+    val df = spark.table(qt)
+    val meta = tableMeta.getOrElse(table.toLowerCase, TableMeta("", Nil))
+    val projected = df.select(df.columns.map { c =>
+      if (c.equalsIgnoreCase(oldCol))
+        col(s"`$c`").cast(newType.trim).as(newCol)
+      else col(s"`$c`")
+    }.toIndexedSeq: _*)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-qtest-change").toString
+    projected.write.mode("overwrite").parquet(tmp)
+    val saved = spark.read.parquet(tmp)
+    spark.sql(s"DROP TABLE $qt")
+    val colDdl = saved.schema.fields
+      .filterNot(f => meta.partCols.exists(_.equalsIgnoreCase(f.name)))
+      .map(f => s"`${f.name}` ${f.dataType.sql}") ++
+      meta.partCols.flatMap(p => saved.schema.fields
+        .find(_.name.equalsIgnoreCase(p))
+        .map(f => s"`${f.name}` ${f.dataType.sql}"))
+    val partClause = if (meta.partCols.isEmpty) ""
+      else s" PARTITIONED BY (${meta.partCols.mkString(", ")})"
+    spark.sql(s"CREATE TABLE $qt (${colDdl.mkString(", ")}) " +
+      s"USING parquet$partClause")
+    // align column order to the recreated table before insert
+    val target = spark.table(qt).columns
+    saved.select(target.map(c => col(s"`$c`")).toIndexedSeq: _*)
+      .write.insertInto(qt)
+  }
+
   private def loadData(path: String, table: String, overwrite: Boolean,
       partition: Seq[(String, String)]): Unit = {
     val resolved =
@@ -222,6 +269,11 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
 
   private val LoadRe =
     """(?is)\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+['"]([^'"]+)['"]\s+(OVERWRITE\s+)?INTO\s+TABLE\s+`?([\w.]+)`?\s*(?:PARTITION\s*\(([^)]*)\))?\s*""".r
+  private val AlterClusteredRe =
+    """(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+(?:NOT\s+CLUSTERED|CLUSTERED\s+BY\s*\(([^)]*)\).*?INTO\s+\d+\s+BUCKETS)\s*""".r
+  private val AlterChangeRe =
+    """(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+CHANGE\s+(?:COLUMN\s+)?`?(\w+)`?\s+`?(\w+)`?\s+([\w()<>, ]+?)\s*(?:COMMENT\s+'[^']*')?\s*(?:FIRST|AFTER\s+\w+)?\s*""".r
+
   private val DropTableRe =
     """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?([\w.]+)`?\s*(?:PURGE\s*)?""".r
   private val CreateViewRe =
@@ -322,6 +374,20 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
           head == "ADD" || head == "DFS" => (NoBlock, None)
       case _ if head == "EXPLAIN" || head == "DESCRIBE" || head == "DESC" ||
           head == "SHOW" => (Ignored, None)
+      case AlterClusteredRe(table, spec) =>
+        // bucketing is metadata here: tables are parquet-backed and
+        // bucket reads go through the TABLESAMPLE hash-filter rewrite
+        val cc = Option(spec).map(_.split(",").map(_.trim).toSeq)
+          .getOrElse(Nil)
+        val old = tableMeta.getOrElse(table.toLowerCase, TableMeta("", Nil))
+        tableMeta(table.toLowerCase) = old.copy(clusterCols = cc)
+        (Effect, None)
+      case AlterChangeRe(table, oldCol, newCol, newType) =>
+        changeColumn(table, oldCol, newCol, newType)
+        (Effect, None)
+      case _ if """(?is)\s*ALTER\s+TABLE\s+\S+(\s+PARTITION\s*\([^)]*\))?\s+(ENABLE|DISABLE)\s+(NO_DROP|OFFLINE)\b.*""".r
+          .matches(body) =>
+        (Effect, None) // protection metadata — no data effect
       case _ if """(?is)\s*ALTER\s+TABLE\s+\S+(\s+PARTITION\s*\([^)]*\))?\s+SET\s+(SERDE|SERDEPROPERTIES|FILEFORMAT)\b.*""".r
           .matches(body) =>
         // serde/fileformat are storage details the parquet realization

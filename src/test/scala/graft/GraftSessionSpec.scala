@@ -192,4 +192,55 @@ class GraftSessionSpec extends SparkSpec {
     Warehouse.dropTable(spark, t)
     Warehouse.dropTable(spark, t2)
   }
+
+  test("window-spec synonym rewrite: DISTRIBUTE/SORT/CLUSTER BY only " +
+    "inside over(...) and WINDOW ... AS (...)") {
+    val in = "SELECT rank() over(distribute by a sort by b), x FROM t " +
+      "DISTRIBUTE BY a SORT BY b"
+    val out = GraftSession.hiveWindowCompat(in)
+    assert(out.contains("over(partition by a order by b)"), out)
+    // statement-level operators untouched
+    assert(out.contains("DISTRIBUTE BY a SORT BY b"), out)
+    val named = GraftSession.hiveWindowCompat(
+      "SELECT sum(s) over w1 FROM t WINDOW w1 AS (distribute by a sort " +
+        "by b rows between 2 preceding and current row), w2 as (sort by c)")
+    assert(named.contains("(partition by a order by b rows between"), named)
+    assert(named.contains("w2 as (order by c)"), named)
+    // string literals survive
+    val lit = GraftSession.hiveWindowCompat(
+      "SELECT 'over (distribute by x)' FROM t")
+    assert(lit.contains("'over (distribute by x)'"), lit)
+  }
+
+  test("GROUPING__ID rewrite: Hive 1.2 encoding, scope-aware") {
+    Tables.register(spark, "/root/testdata/sf0.001")
+    // full set = all bits set (LSB = first column), total row = 0
+    val rows = GraftSession.sql(spark,
+      """SELECT n_regionkey, n_nationkey % 2 AS p, GROUPING__ID, count(*)
+        |FROM nation GROUP BY n_regionkey, n_nationkey % 2 WITH CUBE"""
+        .stripMargin)
+      .collect()
+    val gids = rows.map(_.getInt(2)).toSet
+    assert(gids == Set(0, 1, 2, 3), s"gids: $gids")
+    // (key present, p aggregated) must be gid=1 — LSB is the FIRST col
+    assert(rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+      .forall(_.getInt(2) == 1))
+    // outer scope without grouping analytics: the column flows as data
+    val outer = GraftSession.sql(spark,
+      """SELECT GROUPING__ID, count(*) FROM (
+        |  SELECT n_regionkey, GROUPING__ID FROM nation
+        |  GROUP BY n_regionkey WITH ROLLUP) t
+        |GROUP BY GROUPING__ID""".stripMargin).collect()
+    assert(outer.map(_.get(0).toString.toInt).toSet == Set(0, 1))
+  }
+
+  test("duplicate GROUPING SETS entries dedup like Hive 1.2") {
+    Tables.register(spark, "/root/testdata/sf0.001")
+    val df = GraftSession.sql(spark,
+      "SELECT n_regionkey FROM nation GROUP BY n_regionkey " +
+        "GROUPING SETS ((n_regionkey), (n_regionkey))")
+    val plain = spark.sql(
+      "SELECT n_regionkey FROM nation GROUP BY n_regionkey").count()
+    assert(df.count() == plain)
+  }
 }
