@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Generated query census (VERDICT r06 next-round #8): counts the
+SparkEntry query inventory straight from the sources instead of
+hand-edited doc numbers.
+
+Counts dfQ/dual/sqlQ (oracle-checked) and noOracle entries across the
+graft.*Queries files and cross-checks against a Verify dump's
+oracle_sql.json when one is given.
+
+Usage: python3 tools/census.py [verifyOutDir]
+"""
+import glob
+import json
+import os
+import re
+import sys
+
+SRC = os.path.join(os.path.dirname(__file__), "..", "src", "main", "scala", "graft")
+
+names = {}
+for path in glob.glob(os.path.join(SRC, "*Queries.scala")):
+    text = open(path, encoding="utf-8").read()
+    for kind, name in re.findall(
+            r'\b(dfQ|dual|sqlQ|noOracle|Q)\(\s*"(q[0-9]+[a-z0-9_]*)"', text):
+        if name in names:
+            sys.exit(f"duplicate query name {name} in {path}")
+        names[name] = (kind, os.path.basename(path))
+
+oracled = [n for n, (k, _) in names.items() if k != "noOracle"]
+rows_only = sorted(n for n, (k, _) in names.items() if k == "noOracle")
+print(f"queries: {len(names)}  oracle-checked: {len(oracled)}  "
+      f"rows-only: {len(rows_only)}")
+print("rows-only:", ", ".join(rows_only))
+
+by_file = {}
+for n, (k, f) in names.items():
+    by_file.setdefault(f, [0, 0])
+    by_file[f][0] += 1
+    by_file[f][1] += k != "noOracle"
+for f in sorted(by_file):
+    t, o = by_file[f]
+    print(f"  {f}: {t} ({o} oracled)")
+
+if len(sys.argv) > 1:
+    oracle_json = os.path.join(sys.argv[1], "oracle_sql.json")
+    dumped = set(json.load(open(oracle_json)))
+    missing = sorted(set(oracled) - dumped)
+    extra = sorted(dumped - set(oracled))
+    print(f"verify dump: {len(dumped)} oracles; missing={missing} extra={extra}")
+    sys.exit(1 if missing or extra else 0)
