@@ -452,6 +452,10 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     * result multiset against the golden `.q.out`. */
   def run(script: String): ScriptResult = {
     val text = readFile(s"$queriesDir/$script")
+    // -- SORT_AND_HASH_QUERY_RESULTS (QTestUtil SortAndDigestPrintStream):
+    // each query's golden block is its sorted rows plus ONE trailing
+    // base64(MD5 over the sorted rows' bytes) line
+    val sortAndHash = text.contains("-- SORT_AND_HASH_QUERY_RESULTS")
     val golden = Qtest.parseGolden(readFile(s"$resultsDir/$script.out"))
     val stmts = Qtest.splitStatements(text)
     val db = "qtest_" + script.stripSuffix(".q").replaceAll("[^A-Za-z0-9_]", "_")
@@ -489,16 +493,29 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
                 // subset in ANY engine (the reference harness only pins
                 // it because Hive's scheduling is fixed) — rows are not
                 // comparable, the row COUNT is
+                val (expRows, expDigest) =
+                  if (sortAndHash && exp.nonEmpty)
+                    (exp.dropRight(1), Some(exp.last))
+                  else (exp, None)
+                expDigest.foreach { d =>
+                  val md = java.security.MessageDigest.getInstance("MD5")
+                  got.sorted.foreach(r => md.update(r.getBytes("UTF-8")))
+                  val mine = java.util.Base64.getEncoder
+                    .encodeToString(md.digest())
+                  if (mine != d)
+                    mismatches += Mismatch(stmt.take(200),
+                      s"sorted-digest mismatch: exp=$d got=$mine")
+                }
                 val bodyNorm = Qtest.stripComments(stmt)
                 val arbitrarySubset =
                   """(?is).*\blimit\s+\d+.*""".r.matches(bodyNorm) &&
                     !"""(?is).*\border\s+by\b.*""".r.matches(bodyNorm)
                 if (arbitrarySubset) {
-                  if (got.length != exp.length)
+                  if (got.length != expRows.length)
                     mismatches += Mismatch(stmt.take(200),
-                      s"LIMIT row count exp=${exp.length} got=${got.length}")
-                } else if (got.sorted.toSeq != exp.sorted) {
-                  val d = diff(exp, got.toSeq)
+                      s"LIMIT row count exp=${expRows.length} got=${got.length}")
+                } else if (got.sorted.toSeq != expRows.sorted) {
+                  val d = diff(expRows, got.toSeq)
                   mismatches += Mismatch(stmt.take(200), d)
                 }
               case (Query, _, None) =>
