@@ -58,10 +58,14 @@ import org.apache.spark.sql.types._
   * rewrite; the first major compaction folds the originals into a real
   * base and the Cleaner drops them.
   *
-  * Single-writer assumption: write-id allocation lists the directory
-  * (`nextWriteId`). The reference serializes writers through the
-  * metastore transaction manager (`DbTxnManager`), which is service
-  * infrastructure out of engine scope here, like the HS2 wire protocol.
+  * Writer coordination: write ids come from `allocateWriteId` — a
+  * persistent high-water mark advanced under a SHORT table-root file
+  * lock — so concurrent writers always get disjoint ids. Append-only
+  * txns publish in parallel after allocation; read-modify-write txns
+  * (update/delete/merge) hold the lock for their whole body, standing
+  * in for the reference's metastore transaction manager
+  * (`DbTxnManager`/TxnHandler write-set checks — service
+  * infrastructure out of engine scope, like the HS2 wire protocol).
   */
 object Acid {
 
@@ -323,12 +327,35 @@ object Acid {
     var acquired = false
     while (!acquired) {
       new File(path).mkdirs()
-      if (lf.createNewFile()) {
-        val out = new java.io.FileOutputStream(lf)
-        try out.write(s"$id ${System.currentTimeMillis()}".getBytes("UTF-8"))
-        finally out.close()
+      // atomic create-WITH-content: stage id+time to a private name, then
+      // hard-link it to the lock name — link(2) fails if the target
+      // exists (rename would silently REPLACE it), so exactly one
+      // contender lands it and no reader ever observes an empty lock file
+      val staged = new File(path, s"_txn_lock_staged_$id")
+      val out = new java.io.FileOutputStream(staged)
+      try out.write(s"$id ${System.currentTimeMillis()}".getBytes("UTF-8"))
+      finally out.close()
+      try {
+        try Files.createLink(lf.toPath, staged.toPath)
+        catch { case _: UnsupportedOperationException =>
+          // no hard links on this fs: exclusive-create then write — a
+          // reader may briefly see an empty file; holderOf tolerates it
+          if (!lf.createNewFile()) throw new java.nio.file.
+            FileAlreadyExistsException(lf.getPath)
+          Files.write(lf.toPath,
+            s"$id ${System.currentTimeMillis()}".getBytes("UTF-8"))
+        }
+        staged.delete()
         acquired = true
-      } else {
+      } catch { case _: java.io.IOException => // lock held
+        staged.delete()
+        // deadline first: a persistently-failing stale break (e.g.
+        // ATOMIC_MOVE unsupported) must still honor the timeout, never
+        // busy-spin
+        if (System.nanoTime() > deadline)
+          throw new IllegalStateException(
+            s"ACID write lock on $path not acquired within " +
+              s"$lockTimeoutMs ms (holder: ${holderOf(lf)})")
         val age = System.currentTimeMillis() - lf.lastModified()
         if (lf.exists() && lf.lastModified() > 0 && age > lockTtlMs) {
           // stale: fence the dead holder by renaming its lock aside —
@@ -339,17 +366,28 @@ object Acid {
               StandardCopyOption.ATOMIC_MOVE)
             aside.delete()
           } catch { case _: java.io.IOException => () } // lost the race
-        } else if (System.nanoTime() > deadline) {
-          throw new IllegalStateException(
-            s"ACID write lock on $path not acquired within " +
-              s"$lockTimeoutMs ms (holder: ${holderOf(lf)})")
-        } else Thread.sleep(20)
+        }
+        Thread.sleep(20)
       }
     }
+    // heartbeat: refresh the lock mtime while f runs, so a live txn
+    // longer than the TTL is not broken as stale (only a DEAD holder's
+    // mtime goes stale). Daemon thread; stopped in the release path.
+    val beat = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(math.max(1000L, lockTtlMs / 4))
+          if (holderOf(lf).contains(id)) lf.setLastModified(System.currentTimeMillis())
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"acid-lock-heartbeat-$id")
+    beat.setDaemon(true)
+    beat.start()
     heldLocks.add(me)
     try f
     finally {
       heldLocks.remove(me)
+      beat.interrupt()
       if (holderOf(lf).contains(id)) lf.delete()
       else throw new IllegalStateException(
         s"ACID write lock on $path was broken as stale while held — " +
@@ -364,6 +402,29 @@ object Acid {
         java.nio.file.Files.readAllBytes(lf.toPath), "UTF-8")
         .split(" ").head)
     } catch { case _: java.io.IOException => None }
+
+  /** Allocate the next write id under a SHORT table-root lock. Ids come
+    * from max(published census, persistent high-water mark) + 1 and the
+    * mark advances before release, so two concurrent writers always get
+    * DISJOINT ids even though neither has published yet — which is what
+    * lets append-only txns run their publish phase in parallel instead
+    * of serializing on the table lock (the reference allocates table
+    * write ids the same way, service-side: metastore TxnHandler
+    * NEXT_WRITE_ID row, held only for the allocation statement). A
+    * writer that crashes after allocation leaves an id gap; gaps are
+    * fine — the census reads published directories only. */
+  private def allocateWriteId(path: String): Long = withWriteLock(path) {
+    val hwm = new File(path, "_write_id_hwm")
+    val prev =
+      try {
+        if (hwm.exists)
+          new String(Files.readAllBytes(hwm.toPath), "UTF-8").trim.toLong
+        else 0L
+      } catch { case _: Exception => 0L }
+    val w = math.max(prev + 1, nextWriteId(path))
+    Files.write(hwm.toPath, w.toString.getBytes("UTF-8"))
+    w
+  }
 
   /** Create an empty ACID table directory. Like the reference, a fresh
     * table has no base — the first base appears at major compaction. */
@@ -383,11 +444,21 @@ object Acid {
   /** INSERT transaction: appends one `delta_w_w` of insert events — per
     * touched partition when the table is partitioned (Hive dynamic
     * partitioning; partition values live in the directory name, not the
-    * stored rows). */
+    * stored rows).
+    *
+    * Concurrency: append-only txns never conflict — each publishes a
+    * delta dir named by its own write id and reads nothing — so the
+    * table lock is held only inside `allocateWriteId`, and two inserts
+    * (same or different partitions) run their write jobs in PARALLEL
+    * with disjoint ids. Read-modify-write txns (update/delete/merge)
+    * still hold the lock for their whole body: without row-level
+    * write-set conflict detection (the reference keeps that in the
+    * metastore TxnHandler, out of engine scope) serializing them is
+    * what makes racing writers see each other's deltas. */
   def insertTxn(spark: SparkSession, path: String, df: DataFrame,
-      partitionBy: Seq[String] = Nil): Long = withWriteLock(path) {
+      partitionBy: Seq[String] = Nil): Long = {
     val partCols = resolvePartCols(path, partitionBy)
-    val w = nextWriteId(path)
+    val w = allocateWriteId(path)
     if (partCols.isEmpty) writeDir(asInsertEvents(df, w), path, deltaName(w, w))
     else {
       val missing = partCols.filterNot(df.columns.contains)
@@ -608,7 +679,7 @@ object Acid {
     val unknown = setsLower.keySet.diff(dataCols.map(_.toLowerCase).toSet)
     require(unknown.isEmpty,
       s"UPDATE SET references column(s) ${unknown.mkString(", ")} not in $path")
-    val w = nextWriteId(path)
+    val w = allocateWriteId(path)
     val matched = cur.filter(expr(where))
     val updatedRow = struct(dataCols.map { c =>
       setsLower.get(c.toLowerCase) match {
@@ -638,7 +709,7 @@ object Acid {
     val cur = snapshotWithRowId(spark, path)
     val dataCols = cur.columns
       .filterNot(c => c == "row__id" || partCols.contains(c))
-    val w = nextWriteId(path)
+    val w = allocateWriteId(path)
     val rowType = cur.select(struct(dataCols.map(col): _*)).schema.head.dataType
     publishEvents(cur.filter(coalesce(expr(where), lit(false))).select(Seq(
       lit(DeleteOp).as("operation"),
@@ -690,7 +761,7 @@ object Acid {
           s"MERGE UPDATE cannot set partition column(s) ${p.mkString(", ")}")
       case _ => ()
     }
-    val w = nextWriteId(path)
+    val w = allocateWriteId(path)
     val t = cur.alias(targetAlias)
     val s = source.alias(sourceAlias)
     // persisted: cardinality check + matched events + anti-join inserts
@@ -830,7 +901,7 @@ object Acid {
       if (batchId <= lastCommittedBatch(path)) None
       else {
         val partCols = resolvePartCols(path, partitionBy)
-        val w = nextWriteId(path)
+        val w = allocateWriteId(path)
         val events =
           if (partCols.isEmpty) asInsertEvents(df, w)
           else asInsertEventsKeeping(df, w,
@@ -871,7 +942,7 @@ object Acid {
       val bootstrap = !isPartitioned(path) && s.base.isEmpty &&
         s.deltas.isEmpty && s.originals.isEmpty
       if (bootstrap) { // first batch of a fresh table: plain insert txn
-        val w = nextWriteId(path)
+        val w = allocateWriteId(path)
         publishEvents(asInsertEvents(latest, w), path, Nil,
           deltaName(w, w), Some(s"$BatchMarker$batchId"))
         Some(w)

@@ -32,7 +32,13 @@ object Bench {
   // operator is output-bound there, so benching it measures the
   // corpus's self-similarity, not the engine. See SCALE.md.
 
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split(" ").take(3).mkString(",")
+    catch { case _: Exception => "" }
+
   def main(args: Array[String]): Unit = {
+    val loadBefore = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -84,24 +90,48 @@ object Bench {
       "\"" + k + "\":{\"min\":" + mn + ",\"max\":" + mx + ",\"runs\":" + runs + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // contention self-identification: machine load around the run and the
+    // worst per-query max/min ratio — an idle-box run has spreadMax near
+    // 1; a contended one (VERDICT r07: 3-13x) flags itself
+    val loadAfter = s"$loadBefore|${loadavg()}"
+    val spreadMax = results.collect {
+      case (_, med, mn, mx) if med > 0 && mn > 0 => mx / mn
+    }.foldLeft(1.0)(math.max)
     // Corpus fingerprint (untimed): per-table row count + an order-
     // independent content hash (bit_xor of xxhash64 over all columns —
     // commutative, overflow-free under ANSI). The driver regenerates
     // testdata between rounds; without this, a per-query delta cannot
     // be attributed between plan change and data change (VERDICT r06
     // "what's wrong" #2).
-    val corpus = Tables.names.map { t =>
+    val corpusEntries = Tables.names.map { t =>
       try {
         val df = Tables.load(spark, sfDir, t)
         val row = df.selectExpr("count(1)",
           s"bit_xor(xxhash64(${df.columns.map(c => s"`$c`").mkString(", ")}))")
           .collect().head
-        s""""$t":{"rows":${row.getLong(0)},"hash":"${java.lang.Long.toHexString(row.getLong(1))}"}"""
-      } catch { case e: Throwable =>
-        s""""$t":{"rows":-1,"hash":"${e.getClass.getSimpleName}"}"""
-      }
+        (t, row.getLong(0), row.getLong(1))
+      } catch { case e: Throwable => (t, -1L, 0L) }
+    }
+    val corpus = corpusEntries.map { case (t, n, h) =>
+      s""""$t":{"rows":$n,"hash":"${java.lang.Long.toHexString(h)}"}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"corpus":$corpus,"sf":"$sfDir"}""")
+    // one order-independent fingerprint over all tables, for the compact
+    // stdout line (per-table detail lives in the file artifact)
+    val corpusFp = java.lang.Long.toHexString(
+      corpusEntries.foldLeft(0L) { case (a, (_, n, h)) => a ^ n ^ h })
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"corpus":$corpus,"corpus_fp":"$corpusFp","load":"$loadAfter","spread_max":$spreadMax,"sf":"$sfDir"}"""
+    // full-fidelity artifact on disk — the driver's stdout capture window
+    // is finite, so the printed line is a COMPACT summary (3-decimal
+    // medians, single corpus fingerprint) guaranteed to fit and parse
+    val outFile = new java.io.File("target/bench.json")
+    outFile.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(outFile, "UTF-8")
+    try w.println(full) finally w.close()
+    def r3(x: Double): String = if (x < 0) "-1" else f"$x%.3f"
+    val qs3 = results.map { case (k, med, _, _) => "\"" + k + "\":" + r3(med) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"corpus_fp":"$corpusFp","load":"$loadAfter","spread_max":${f"$spreadMax%.2f"},"detail":"target/bench.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -113,26 +113,49 @@ object GraftSession {
       k -> v.stripPrefix("'").stripSuffix("'")
     }
 
-  /** Scan `s` tracking paren depth and single-quoted SQL string literals
-    * ('' = escaped quote inside a literal), calling `f(char, index,
-    * atTopLevel)` for every character. The shared walker for the SET/
-    * WHERE splits — a comma or WHERE inside a string literal must not
-    * split the statement. */
+  /** code(i) = true when s(i) is SQL code — not inside a string literal
+    * ('…' or "…", with backslash and doubled-quote escapes), a backticked
+    * identifier, or a `-- …` comment. Quote/comment characters themselves
+    * count as non-code. The shared basis for every front-door scanner:
+    * a keyword, paren, or comma inside a literal, identifier, or comment
+    * must never steer a rewrite (statements arriving from qtest scripts
+    * still carry their comments). */
+  private[graft] def codeMask(s: String): Array[Boolean] = {
+    val m = new Array[Boolean](s.length)
+    var i = 0
+    var quote: Char = 0
+    var comment = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (comment) { if (c == '\n') { comment = false; m(i) = true } }
+      else if (quote != 0) {
+        if (c == '\\' && quote != '`' && i + 1 < s.length) i += 1
+        else if (c == quote) {
+          if (quote != '`' && i + 1 < s.length && s.charAt(i + 1) == quote)
+            i += 1 // '' / "" = escaped quote, stay in string
+          else quote = 0
+        }
+      } else if (c == '\'' || c == '"' || c == '`') quote = c
+      else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-')
+        comment = true
+      else m(i) = true
+      i += 1
+    }
+    m
+  }
+
+  /** Scan `s` tracking paren depth over code characters (per codeMask),
+    * calling `f(char, index, atTopLevel)` for every character. The shared
+    * walker for the SET/WHERE splits — a comma or WHERE inside a string
+    * literal or comment must not split the statement. */
   private def scanTopLevel(s: String)(f: (Char, Int, Boolean) => Unit): Unit = {
+    val code = codeMask(s)
     var depth = 0
-    var inStr = false
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inStr) {
-        f(c, i, false)
-        if (c == '\'') {
-          if (i + 1 < s.length && s.charAt(i + 1) == '\'') {
-            i += 1; f('\'', i, false) // '' = escaped quote, stay in string
-          } else inStr = false
-        }
-      } else c match {
-        case '\'' => inStr = true; f(c, i, false)
+      if (!code(i)) f(c, i, false)
+      else c match {
         case '(' | '[' => depth += 1; f(c, i, false)
         case ')' | ']' => depth -= 1; f(c, i, false)
         case _ => f(c, i, depth == 0)
@@ -247,12 +270,10 @@ object GraftSession {
     def parenAfter(j0: Int): Int = {
       val j = skipWs(j0); if (j < sql.length && sql.charAt(j) == '(') j else -1
     }
+    val code = codeMask(sql)
     var i = 0
-    var inStr = false
     while (i < sql.length) {
-      val c = sql.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false; i += 1 }
-      else if (c == '\'') { inStr = true; i += 1 }
+      if (!code(i)) i += 1
       else if (wordToken(sql, i, "over")) {
         val open = parenAfter(i + 4)
         if (open >= 0) { val close = matchParen(sql, open)
@@ -346,13 +367,12 @@ object GraftSession {
   private def groupingIdScope(s: String): String = {
     val store = scala.collection.mutable.ArrayBuffer.empty[String]
     def shield(x: String): String = {
+      val code = codeMask(x)
       val out = new StringBuilder
       var i = 0
-      var inStr = false
       while (i < x.length) {
         val c = x.charAt(i)
-        if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
-        else if (c == '\'') { out += c; inStr = true; i += 1 }
+        if (!code(i)) { out += c; i += 1 }
         else if (c == '(') {
           val close = matchParen(x, i)
           val inner = x.substring(i + 1, close)
@@ -426,15 +446,17 @@ object GraftSession {
     unshield(rewritten)
   }
 
-  /** Index of the ')' matching the '(' at `open` (quote-aware). */
+  /** Index of the ')' matching the '(' at `open` (string-, backtick-,
+    * and comment-aware). */
   private def matchParen(s: String, open: Int): Int = {
-    var depth = 0; var i = open; var inStr = false
+    val code = codeMask(s)
+    var depth = 0; var i = open
     while (i < s.length) {
-      val c = s.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
-      else if (c == '\'') inStr = true
-      else if (c == '(') depth += 1
-      else if (c == ')') { depth -= 1; if (depth == 0) return i }
+      if (code(i)) {
+        val c = s.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth == 0) return i }
+      }
       i += 1
     }
     s.length - 1

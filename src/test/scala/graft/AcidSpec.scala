@@ -9,6 +9,12 @@ import org.apache.spark.sql.functions._
 /** ACID delta-file layout: event-log writes, read-time merge, compactor
   * (initiator/worker/cleaner), crash-safe staging. Layout semantics per
   * the reference's AcidUtils/OrcRecordUpdater (see Acid.scala scaladoc). */
+object AcidSpec {
+  // referenced from a UDF body by object name so the task's deserialized
+  // closure still sees the ONE latch (local mode serializes closures)
+  @volatile var meetLatch: java.util.concurrent.CountDownLatch = _
+}
+
 class AcidSpec extends SparkSpec {
   import spark.implicits._
 
@@ -683,6 +689,47 @@ class AcidSpec extends SparkSpec {
         Seq("s.k", "s.s", "s.v"))))
     assert(rows(Acid.snapshot(spark, t)) == rows(Acid.snapshot(spark, t2)))
     // the lock file is gone after both txns release
+    assert(!new File(t, "_txn_lock").exists())
+  }
+
+  test("append-only txns parallelize: two single-partition inserts " +
+    "overlap in their publish phase and commit disjoint write ids") {
+    val t = tmpTable()
+    Acid.create(t)
+    Acid.insertTxn(spark, t, seed(4).withColumn("p", $"k" % 2), Seq("p"))
+    // writer A allocates its id, then BLOCKS inside its publish job (a
+    // latch in a UDF over its single row). While A is provably mid-
+    // publish, writer B runs a whole insert txn to completion — which is
+    // only possible because the table lock is held for write-id
+    // allocation ONLY, not across the write job (the old whole-body lock
+    // would park B until A's latch releases).
+    AcidSpec.meetLatch = new java.util.concurrent.CountDownLatch(1)
+    val hold = udf { (k: Long) =>
+      AcidSpec.meetLatch.await(120, java.util.concurrent.TimeUnit.SECONDS)
+      k
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fA = Future(Acid.insertTxn(spark,
+      t, seed(1).withColumn("k", hold($"k")).withColumn("p", lit(0)),
+      Seq("p")))
+    // A has allocated once the persistent high-water mark reads 2
+    val hwm = new File(t, "_write_id_hwm")
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while ((!hwm.exists() || new String(Files.readAllBytes(hwm.toPath),
+        "UTF-8").trim != "2") && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    // B commits end-to-end while A is still wedged in its write job
+    val idB = Acid.insertTxn(spark,
+      t, seed(2).filter($"k" === 1).withColumn("p", lit(1)), Seq("p"))
+    assert(idB == 3L, s"B's write id: $idB")
+    assert(!fA.isCompleted, "A finished early — it never overlapped B")
+    AcidSpec.meetLatch.countDown()
+    val idA = Await.result(fA, 90.seconds)
+    assert(idA == 2L, s"A's write id: $idA")
+    assert(rows(Acid.snapshot(spark, t)) ==
+      rows(seed(4)) + ((0L, "s0", 0.0)) + ((1L, "s1", 1.5)))
     assert(!new File(t, "_txn_lock").exists())
   }
 

@@ -234,6 +234,33 @@ class GraftSessionSpec extends SparkSpec {
     assert(outer.map(_.get(0).toString.toInt).toSet == Set(0, 1))
   }
 
+  test("front-door scanners skip -- comments, double quotes, backticks") {
+    // a comment containing window keywords and an unbalanced quote/paren
+    // must not skew the rewrite state (qtest statements keep comments)
+    val c = GraftSession.hiveWindowCompat(
+      "SELECT rank() over(sort by a) -- over(distribute by x ( '\n" +
+        ", b FROM t")
+    assert(c.contains("over(order by a)"), c)
+    assert(c.contains("-- over(distribute by x ( '"), c)
+    // double-quoted string literal with keywords/parens survives verbatim
+    val dq = GraftSession.hiveWindowCompat(
+      "SELECT \"over (distribute by x)\", rank() over(sort by a) FROM t")
+    assert(dq.contains("\"over (distribute by x)\""), dq)
+    assert(dq.contains("over(order by a)"), dq)
+    // backticked identifier containing a quote char
+    val bt = GraftSession.hiveWindowCompat(
+      "SELECT `weird'col`, max(x) over(cluster by k) FROM t")
+    assert(bt.contains("`weird'col`"), bt)
+    assert(bt.contains("over(partition by k)"), bt)
+    // GROUPING__ID rewrite with a comment carrying a stray paren still
+    // resolves the statement's single GROUP BY scope
+    Tables.register(spark, "/root/testdata/sf0.001")
+    val rows = GraftSession.sql(spark,
+      "SELECT n_regionkey, GROUPING__ID -- gid (hive 1.2 bit order\n" +
+        "FROM nation GROUP BY n_regionkey WITH ROLLUP").collect()
+    assert(rows.map(_.getInt(1)).toSet == Set(0, 1))
+  }
+
   test("duplicate GROUPING SETS entries dedup like Hive 1.2") {
     Tables.register(spark, "/root/testdata/sf0.001")
     val df = GraftSession.sql(spark,

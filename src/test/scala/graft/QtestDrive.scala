@@ -14,7 +14,7 @@ object QtestDrive {
       if (args.isEmpty) Seq("join1.q")
       else if (args(0).startsWith("@"))
         scala.io.Source.fromFile(args(0).drop(1)).getLines()
-          .map(_.trim).filter(_.nonEmpty).toSeq
+          .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
       else args.toSeq
     val spark = SparkSpec.session
     val runner = new QtestRunner(spark)

@@ -41,10 +41,30 @@ for f in sorted(by_file):
     t, o = by_file[f]
     print(f"  {f}: {t} ({o} oracled)")
 
+# qtest green-list census vs README (VERDICT r07 "what's wrong" #3: the
+# run-block count drifted two rounds running — now any README number
+# tagged as a qtest script count must equal the green list, or we fail)
+REPO = os.path.join(os.path.dirname(__file__), "..")
+green_path = os.path.join(REPO, "src", "test", "resources", "qtest_green.txt")
+green = [l.strip() for l in open(green_path, encoding="utf-8")
+         if l.strip() and not l.strip().startswith("#")]
+if len(set(green)) != len(green):
+    sys.exit("qtest_green.txt contains duplicates")
+print(f"qtest green list: {len(green)} scripts")
+
+drift = []
+readme = open(os.path.join(REPO, "README.md"), encoding="utf-8").read()
+for m in re.finditer(r"(\d+)(?:-script qtest gate| reference \.q scripts)", readme):
+    if int(m.group(1)) != len(green):
+        drift.append(f"README.md says '{m.group(0)}' but green list has {len(green)}")
+for d in drift:
+    print("DRIFT:", d)
+
 if len(sys.argv) > 1:
     oracle_json = os.path.join(sys.argv[1], "oracle_sql.json")
     dumped = set(json.load(open(oracle_json)))
     missing = sorted(set(oracled) - dumped)
     extra = sorted(dumped - set(oracled))
     print(f"verify dump: {len(dumped)} oracles; missing={missing} extra={extra}")
-    sys.exit(1 if missing or extra else 0)
+    sys.exit(1 if missing or extra or drift else 0)
+sys.exit(1 if drift else 0)
