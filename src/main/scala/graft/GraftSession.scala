@@ -259,11 +259,28 @@ object GraftSession {
       (i + word.length == s.length ||
         !Character.isLetterOrDigit(s.charAt(i + word.length)) && s.charAt(i + word.length) != '_')
 
-  private[graft] def hiveWindowCompat(sql: String): String = {
-    // phase 1: collect (open, close) paren spans that are window specs —
-    // a '(' directly after the token OVER, or after WINDOW <ident> AS
-    // (and the AS (…) of each further comma-chained definition)
-    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+  private[graft] def hiveWindowCompat(sql0: String): String = {
+    val sql = inlineWindowInheritance(sql0)
+    // rewrite spans right-to-left so indices stay valid
+    val sb = new StringBuilder(sql)
+    windowSpans(sql).sortBy(-_._1).foreach { case (open, close) =>
+      var span = sb.substring(open, close + 1)
+      WindowSynonyms.foreach { case (re, repl) =>
+        span = re.replaceAllIn(span, repl) }
+      sb.replace(open, close + 1, fillDefaultWindowOrder(span))
+    }
+    sb.toString
+  }
+
+  /** (open, close) paren spans of every window specification in the
+    * statement — a '(' directly after the token OVER, or after
+    * WINDOW <ident> AS (and the AS (…) of each further comma-chained
+    * definition). */
+  private[graft] def windowSpans(sql: String): Seq[(Int, Int)] =
+    windowSpansNamed(sql).map { case (_, o, c) => (o, c) }
+
+  private def windowSpansNamed(sql: String): Seq[(Option[String], Int, Int)] = {
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Option[String], Int, Int)]
     def skipWs(j0: Int): Int = {
       var j = j0; while (j < sql.length && sql.charAt(j).isWhitespace) j += 1; j
     }
@@ -277,7 +294,7 @@ object GraftSession {
       else if (wordToken(sql, i, "over")) {
         val open = parenAfter(i + 4)
         if (open >= 0) { val close = matchParen(sql, open)
-          spans += ((open, close)); i = close + 1 } else i += 4
+          spans += ((None, open, close)); i = close + 1 } else i += 4
       } else if (wordToken(sql, i, "window")) {
         // WINDOW w AS ( … ) [, w2 AS ( … )]*
         var j = i + 6
@@ -285,14 +302,16 @@ object GraftSession {
         while (more) {
           more = false
           j = skipWs(j)
+          val nameStart = j
           while (j < sql.length &&
               (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
+          val name = sql.substring(nameStart, j)
           j = skipWs(j)
           if (j + 2 <= sql.length && sql.substring(j, j + 2).equalsIgnoreCase("as")) {
             val open = parenAfter(j + 2)
             if (open >= 0) {
               val close = matchParen(sql, open)
-              spans += ((open, close))
+              spans += ((Some(name).filter(_.nonEmpty), open, close))
               val k = skipWs(close + 1)
               if (k < sql.length && sql.charAt(k) == ',') { j = k + 1; more = true }
               else j = k
@@ -302,15 +321,127 @@ object GraftSession {
         i = j max (i + 6)
       } else i += 1
     }
-    // phase 2: rewrite spans right-to-left so indices stay valid
-    val sb = new StringBuilder(sql)
-    spans.sortBy(-_._1).foreach { case (open, close) =>
-      var span = sb.substring(open, close + 1)
-      WindowSynonyms.foreach { case (re, repl) =>
-        span = re.replaceAllIn(span, repl) }
-      sb.replace(open, close + 1, span)
+    spans.toSeq
+  }
+
+  /** First index in `s` where `word` starts as a top-level (depth-0,
+    * outside literals/comments) identifier token, or -1. */
+  private[graft] def firstTopLevelToken(s: String, word: String): Int = {
+    val code = codeMask(s)
+    var depth = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!code(i)) i += 1
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (depth == 0 && wordToken(s, i, word)) return i
+      else i += 1
     }
-    sb.toString
+    -1
+  }
+
+  /** Hive 1.2 makes every window spec effective by filling defaults
+    * (ref ql/parse/WindowingSpec.java validateAndMakeEffective: rule 2
+    * partitions an order-less, partition-less spec on a constant; rule 5
+    * "If there is no Order, then add the Partition expressions as the
+    * Order") — so `rank() over (partition by p)` and
+    * `row_number() over ()` are legal HiveQL. Spark requires an explicit
+    * ORDER BY for ordered window functions, so the front door fills in
+    * Hive's default. Results are unchanged for specs Spark already
+    * accepts: ordering by the partition keys makes every row a peer, so
+    * the default RANGE frame still spans the whole partition. A spec
+    * whose body starts with a window-name reference is left alone (it
+    * inherits its source's ordering). */
+  private def fillDefaultWindowOrder(span: String): String = {
+    val body = span.substring(1, span.length - 1)
+    if (firstTopLevelToken(body, "order") >= 0) return span
+    val frameAt = Seq("rows", "range")
+      .map(firstTopLevelToken(body, _)).filter(_ >= 0)
+      .minOption.getOrElse(body.length)
+    val partAt = firstTopLevelToken(body, "partition")
+    if (partAt >= 0) {
+      val by = firstTopLevelToken(body, "by")
+      if (by < partAt) return span // malformed; leave for Spark's parser
+      val exprs = body.substring(by + 2, frameAt).trim
+      if (exprs.isEmpty) return span
+      "(" + body.substring(0, frameAt) + " order by " + exprs + " " +
+        body.substring(frameAt) + ")"
+    } else if (body.substring(0, frameAt).trim.isEmpty) {
+      // empty spec (or frame-only): Hive's constant partition + order
+      "( order by 1 " + body + ")"
+    } else span // window-name base reference — inherits ordering
+  }
+
+  private val SpecClauseWords =
+    Set("partition", "distribute", "cluster", "order", "sort", "rows",
+      "range", "between", "by")
+
+  /** Hive window inheritance: a window spec may name another window as
+    * its base and override individual clauses — `WINDOW w1 AS (...),
+    * w2 AS (w1 ROWS BETWEEN ...)` or `OVER (w1)` (ref ql/parse/
+    * WindowingSpec.java fillInWindowSpec: partition, order, and frame
+    * each inherit from the source when the referencing spec omits
+    * them). Spark's parser has no window-name base, so the front door
+    * inlines: each spec whose body starts with a defined window's name
+    * is replaced by the source spec merged with the local overriding
+    * clauses, iterating until no references remain (chains resolve one
+    * hop per pass; a cycle stops at the guard and falls through to
+    * Spark's error). */
+  private def inlineWindowInheritance(sql0: String): String = {
+    var sql = sql0
+    var guard = 0
+    var changed = true
+    while (changed && guard < 16) {
+      changed = false
+      guard += 1
+      val defs = windowSpansNamed(sql)
+      val byName = defs.collect { case (Some(n), o, c) =>
+        n.toLowerCase -> sql.substring(o + 1, c) }.toMap
+      if (byName.isEmpty) return sql
+      // rightmost first so earlier offsets stay valid after the splice
+      defs.sortBy(-_._2).foreach { case (_, o, c) =>
+        if (!changed) {
+          val body = sql.substring(o + 1, c).trim
+          val ref = body.takeWhile(ch => ch.isLetterOrDigit || ch == '_')
+          if (ref.nonEmpty && !SpecClauseWords.contains(ref.toLowerCase) &&
+              byName.contains(ref.toLowerCase) &&
+              !body.equalsIgnoreCase(byName(ref.toLowerCase).trim)) {
+            val rest = body.substring(ref.length).trim
+            val merged = mergeWindowSpecs(byName(ref.toLowerCase), rest)
+            sql = sql.substring(0, o + 1) + merged + sql.substring(c)
+            changed = true
+          }
+        }
+      }
+    }
+    sql
+  }
+
+  /** Merge a source window spec with a referencing spec's local clauses
+    * (Hive fillInWindowSpec): the local partition/order/frame win; each
+    * missing clause inherits from the source. */
+  private def mergeWindowSpecs(src: String, local: String): String = {
+    def clauses(s: String): (String, String, String) = {
+      val partAt = Seq("partition", "distribute", "cluster")
+        .map(firstTopLevelToken(s, _)).filter(_ >= 0).minOption
+      val ordAt = Seq("order", "sort")
+        .map(firstTopLevelToken(s, _)).filter(_ >= 0).minOption
+      val frmAt = Seq("rows", "range")
+        .map(firstTopLevelToken(s, _)).filter(_ >= 0).minOption
+      val n = s.length
+      val part = partAt.map(p =>
+        s.substring(p, ordAt.orElse(frmAt).getOrElse(n)).trim).getOrElse("")
+      val ord = ordAt.map(p => s.substring(p, frmAt.getOrElse(n)).trim)
+        .getOrElse("")
+      val frm = frmAt.map(p => s.substring(p).trim).getOrElse("")
+      (part, ord, frm)
+    }
+    val (sp, so, sf) = clauses(src)
+    val (lp, lo, lf) = clauses(local)
+    Seq(if (lp.nonEmpty) lp else sp,
+        if (lo.nonEmpty) lo else so,
+        if (lf.nonEmpty) lf else sf)
+      .filter(_.nonEmpty).mkString(" ")
   }
 
   /** Hive 1.2 dedups duplicate entries in a GROUPING SETS list

@@ -147,21 +147,28 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
   private val CreateTableRe =
     """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?([\w.]+)`?\s*\((.*)""".r
   private val CtasRe =
-    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+(?:STORED\s+AS\s+\w+\s+)?AS\s+(SELECT\b.*|WITH\b.*)""".r
+    ("""(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+""" +
+      """(?:ROW\s+FORMAT\s+DELIMITED\s+(?:FIELDS\s+TERMINATED\s+BY\s+'(?:\\.|[^'])*'\s+)?(?:LINES\s+TERMINATED\s+BY\s+'(?:\\.|[^'])*'\s+)?)?""" +
+      """(?:STORED\s+AS\s+\w+\s+)?(?:TBLPROPERTIES\s*\([^)]*\)\s+)?AS\s+(SELECT\b.*|WITH\b.*)""").r
   private val PartitionedByRe =
     """(?is)PARTITIONED\s+BY\s*\(([^)]*)\)""".r
   private val FieldsTermRe =
     """(?is)FIELDS\s+TERMINATED\s+BY\s+'((?:\\.|[^'])*)'""".r
   private val ClusteredByRe =
     """(?is)CLUSTERED\s+BY\s*\(([^)]*)\)""".r
+  private val StoredAsRe =
+    """(?is)STORED\s+AS\s+(\w+)""".r
 
   private def quoteName(name: String): String =
     name.split('.').map(p => s"`$p`").mkString(".")
 
   /** Per-table serde info the runner needs later (LOAD DATA): text
-    * delimiter and partition column names. */
+    * delimiter, partition column names, and the declared STORED AS
+    * format (LOAD DATA moves files verbatim in Hive, so the runner must
+    * parse RCFILE/SEQUENCEFILE/ORC fixture files with the matching
+    * reader instead of the text serde). */
   private final case class TableMeta(delim: String, partCols: Seq[String],
-      clusterCols: Seq[String] = Nil)
+      clusterCols: Seq[String] = Nil, format: String = "textfile")
   private val tableMeta = scala.collection.mutable.Map.empty[String, TableMeta]
 
   private def unescapeDelim(s: String): String =
@@ -221,7 +228,10 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       if (partNames.isEmpty) "" else s" PARTITIONED BY (${partNames.mkString(", ")})"
     spark.sql(s"CREATE TABLE ${quoteName(name)} ($allCols) " +
       s"USING parquet$partClause")
-    tableMeta(name.toLowerCase) = TableMeta(delim, partNames, clusterCols)
+    val format = StoredAsRe.findFirstMatchIn(tail)
+      .map(_.group(1).toLowerCase).getOrElse("textfile")
+    tableMeta(name.toLowerCase) = TableMeta(delim, partNames, clusterCols,
+      format)
   }
 
   /** ALTER TABLE CHANGE COLUMN: Hive changes metadata and reinterprets
@@ -271,7 +281,21 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     val full = spark.table(quoteName(table)).schema
     val dataCols = full.fields.filterNot(f => meta.partCols.contains(f.name))
     val ddl = dataCols.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-    var df = textTable(Seq(resolved), ddl, meta.delim)
+    val dataSchema = StructType(dataCols.toIndexedSeq)
+    var df = meta.format match {
+      case "rcfile" =>
+        graft.sources.RcFiles.read(spark, resolved, dataSchema)
+      case "sequencefile" =>
+        graft.sources.SequenceFiles.readDelimited(spark, resolved, dataSchema,
+          if (meta.delim.nonEmpty) meta.delim
+          else graft.sources.SequenceFiles.DefaultDelimiter)
+      case "orc" =>
+        // ORC files carry their own schema; bind to the table by position
+        val raw = spark.read.orc(resolved)
+        raw.select(raw.columns.zip(dataCols).map { case (c, f) =>
+          col(s"`$c`").cast(f.dataType).as(f.name) }.toIndexedSeq: _*)
+      case _ => textTable(Seq(resolved), ddl, meta.delim)
+    }
     partition.foreach { case (k, v) =>
       val dt = full.fields.find(_.name.equalsIgnoreCase(k)).get.dataType
       df = df.withColumn(k, lit(v).cast(dt))
@@ -294,6 +318,40 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
 
   private val DropTableRe =
     """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?([\w.]+)`?\s*(?:PURGE\s*)?""".r
+  private val CreateTempFnRe =
+    """(?is)\s*CREATE\s+TEMPORARY\s+FUNCTION\s+`?(\w+)`?\s+AS\s+'([^']+)'\s*""".r
+  private val DropTempFnRe =
+    """(?is)\s*DROP\s+TEMPORARY\s+FUNCTION\s+(?:IF\s+EXISTS\s+)?`?(\w+)`?\s*""".r
+
+  /** Hive built-in implementation classes that qtest scripts re-register
+    * under an alias (CREATE TEMPORARY FUNCTION mysum AS
+    * 'o.a.h.hive.ql.udf.generic.GenericUDAFSum') — each maps to the
+    * engine function with the same semantics; the alias delegates to
+    * that builder. Unknown classes throw (custom test UDF jars are out
+    * of engine scope and their scripts stay excluded). */
+  private val HiveFnClasses: Map[String, String] = Map(
+    "GenericUDAFSum" -> "sum", "GenericUDAFMax" -> "max",
+    "GenericUDAFMin" -> "min", "GenericUDAFAverage" -> "avg",
+    "GenericUDAFCount" -> "count", "GenericUDAFVariance" -> "var_pop",
+    "GenericUDAFStd" -> "stddev_pop", "GenericUDAFRank" -> "rank",
+    "GenericUDAFRowNumber" -> "row_number", "UDFToUpper" -> "upper",
+    "UDFToLower" -> "lower", "GenericUDFAbs" -> "abs",
+    "GenericUDFConcat" -> "concat", "GenericUDFCoalesce" -> "coalesce",
+    "UDFLength" -> "length", "GenericUDFUpper" -> "upper",
+    "GenericUDFLower" -> "lower")
+
+  private def registerTempFunction(alias: String, className: String): Unit = {
+    val simple = className.split('.').last
+    val target = HiveFnClasses.getOrElse(simple,
+      throw new IllegalArgumentException(
+        s"CREATE TEMPORARY FUNCTION: unsupported class $className"))
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val builder = org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+      .builtin.lookupFunctionBuilder(FunctionIdentifier(target))
+      .getOrElse(throw new IllegalStateException(s"no builtin $target"))
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(alias, builder, "hive")
+  }
   private val CreateViewRe =
     """(?is)\s*CREATE\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)(\s*\([^)]*\))?\s+AS\s+(.*)""".r
   private val DropViewRe =
@@ -505,6 +563,13 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       case DropTableRe(name) =>
         spark.sql(s"DROP TABLE IF EXISTS ${quoteName(name)}")
         (Effect, None)
+      case CreateTempFnRe(alias, className) =>
+        registerTempFunction(alias, className)
+        (Effect, None)
+      case DropTempFnRe(alias) =>
+        spark.sessionState.functionRegistry.dropFunction(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(alias))
+        (Effect, None)
       case CreateViewRe(name, colList, select) =>
         // persistent views cannot reference temp-view fixtures; the
         // script's view lives for the script — a temp view matches
@@ -516,11 +581,75 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
         (Effect, None)
       case _ if head == "SELECT" || head == "WITH" || head == "VALUES" ||
           (head == "FROM" && !"""(?is).*\bINSERT\b.*""".r.matches(body)) =>
-        (Query, Some(graft.GraftSession.sql(spark, stmt)))
+        (Query, Some(frontDoorSql(stmt)))
       case _ =>
         // INSERT, FROM…INSERT (multi-insert), ALTER, TRUNCATE, MERGE, …
-        graft.GraftSession.sql(spark, stmt)
+        frontDoorSql(stmt)
         (Effect, None)
+    }
+  }
+
+  /** Front-door SQL with one Hive-1.2 retry: a RANGE frame with a
+    * numeric bound over a non-numeric ORDER BY is legal in Hive — its
+    * StringValueBoundaryScanner (ref ql/udf/ptf/WindowingTableFunction
+    * .java:1245 isGreater/isEqual) ignores the bound amount, so any
+    * value difference exceeds the distance and the frame degenerates to
+    * the current row's PEER GROUP (with unbounded ends kept). Spark
+    * rejects the frame outright, so on that exact analysis error the
+    * numeric bounds are rewritten to CURRENT ROW — Spark's peer-group
+    * frame — and the statement retried. Only a statement Spark already
+    * rejected can be rewritten, and the golden compare still gates the
+    * result. */
+  private def frontDoorSql(stmt: String): DataFrame =
+    try graft.GraftSession.sql(spark, stmt)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("SPECIFIED_WINDOW_FRAME_UNACCEPTED_TYPE") =>
+        graft.GraftSession.sql(spark, rewriteStringRangeFrames(stmt))
+    }
+
+  private val NumericBoundRe =
+    """(?i)\b\d+(?:\.\d+)?\s+(PRECEDING|FOLLOWING)\b""".r
+
+  private[qtest] def rewriteStringRangeFrames(stmt: String): String = {
+    val sb = new StringBuilder(stmt)
+    graft.GraftSession.windowSpans(stmt).sortBy(-_._1).foreach {
+      case (open, close) =>
+        val body = sb.substring(open + 1, close)
+        val frameAt = graft.GraftSession.firstTopLevelToken(body, "range")
+        if (frameAt >= 0 && orderIsString(body, frameAt)) {
+          val frame = body.substring(frameAt)
+          val rewritten = NumericBoundRe.replaceAllIn(frame, "CURRENT ROW")
+          if (rewritten != frame)
+            sb.replace(open + 1 + frameAt, close, rewritten)
+        }
+    }
+    sb.toString
+  }
+
+  /** Best-effort type check of a window spec's first ORDER/SORT BY
+    * expression: a bare column name is resolved against the script's
+    * registered tables and fixtures; true when it is string-typed (or
+    * unresolvable — the statement already failed analysis, and the
+    * golden compare gates the retried result). */
+  private def orderIsString(body: String, frameAt: Int): Boolean = {
+    val G = graft.GraftSession
+    val ord = Seq("order", "sort").map(G.firstTopLevelToken(body, _))
+      .filter(_ >= 0).minOption.getOrElse(return false)
+    val exprs = body.substring(ord, frameAt)
+      .replaceAll("""(?is)^\s*(order|sort)\s+by\s+""", "")
+    val first = exprs.split(",").head.trim
+      .replaceAll("""(?is)\s+(asc|desc)\s*$""", "").stripPrefix("`").stripSuffix("`")
+    if (!first.matches("""\w+""")) return true
+    val names = tableMeta.keys ++ fixtures.keys
+    val hits = names.toSeq.distinct.flatMap { t =>
+      try spark.table(quoteName(t)).schema.fields
+        .find(_.name.equalsIgnoreCase(first)).map(_.dataType)
+      catch { case _: Exception => None }
+    }
+    hits.isEmpty || hits.exists {
+      case _: org.apache.spark.sql.types.StringType => true
+      case _ => false
     }
   }
 

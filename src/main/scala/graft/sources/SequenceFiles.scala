@@ -20,14 +20,24 @@ object SequenceFiles {
   val DefaultDelimiter = "\u0001" // LazySimpleSerDe ctrl-A
   val NullSequence = "\\N"
 
-  /** Read SequenceFile[Text, Text] whose values are delimited rows. */
+  /** Read SequenceFile[*, Text] whose values are delimited rows. The
+    * key is ignored (Hive's sink writes an empty key but other writers
+    * use BytesWritable — e.g. the reference's part.seq fixture), so the
+    * reader accepts any Writable key class: the SequenceFile header
+    * names the real class and the declared `Writable` upper bound never
+    * forces a cast. */
   def readDelimited(
       spark: SparkSession,
       path: String,
       schema: StructType,
       delimiter: String = DefaultDelimiter): DataFrame = {
+    import org.apache.hadoop.io.{Text, Writable}
+    import org.apache.hadoop.mapred.SequenceFileInputFormat
     val values: Dataset[String] = spark.createDataset(
-      spark.sparkContext.sequenceFile[String, String](path).map(_._2))(
+      spark.sparkContext.hadoopFile(path,
+          classOf[SequenceFileInputFormat[Writable, Text]],
+          classOf[Writable], classOf[Text])
+        .map(_._2.toString))(
       Encoders.STRING)
     spark.read
       .schema(schema)
