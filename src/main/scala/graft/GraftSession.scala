@@ -279,7 +279,7 @@ object GraftSession {
   private[graft] def windowSpans(sql: String): Seq[(Int, Int)] =
     windowSpansNamed(sql).map { case (_, o, c) => (o, c) }
 
-  private def windowSpansNamed(sql: String): Seq[(Option[String], Int, Int)] = {
+  private[graft] def windowSpansNamed(sql: String): Seq[(Option[String], Int, Int)] = {
     val spans = scala.collection.mutable.ArrayBuffer.empty[(Option[String], Int, Int)]
     def skipWs(j0: Int): Int = {
       var j = j0; while (j < sql.length && sql.charAt(j).isWhitespace) j += 1; j
@@ -364,8 +364,9 @@ object GraftSession {
       if (by < partAt) return span // malformed; leave for Spark's parser
       val exprs = body.substring(by + 2, frameAt).trim
       if (exprs.isEmpty) return span
-      "(" + body.substring(0, frameAt) + " order by " + exprs + " " +
-        body.substring(frameAt) + ")"
+      val frame = body.substring(frameAt).trim
+      "(" + body.substring(0, frameAt).trim + " order by " + exprs +
+        (if (frame.nonEmpty) " " + frame else "") + ")"
     } else if (body.substring(0, frameAt).trim.isEmpty) {
       // empty spec (or frame-only): Hive's constant partition + order
       "( order by 1 " + body + ")"
@@ -387,17 +388,87 @@ object GraftSession {
     * clauses, iterating until no references remain (chains resolve one
     * hop per pass; a cycle stops at the guard and falls through to
     * Spark's error). */
-  private def inlineWindowInheritance(sql0: String): String = {
-    var sql = sql0
+  /** `WINDOW w2 AS w3` — a bare-name alias definition without parens
+    * (legal HiveQL, windowing.q test 34) — becomes `WINDOW w2 AS (w3)`
+    * so the inheritance inliner sees it as a reference-only spec. */
+  private def parenthesizeWindowAliases(sql: String): String = {
+    val code = codeMask(sql)
+    val sb = new StringBuilder(sql)
+    def skipWs(j0: Int): Int = {
+      var j = j0; while (j < sql.length && sql.charAt(j).isWhitespace) j += 1; j
+    }
+    // right-to-left so earlier offsets stay valid
+    val edits = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = 0
+    while (i < sql.length) {
+      if (!code(i)) i += 1
+      else if (wordToken(sql, i, "window")) {
+        var j = i + 6
+        var more = true
+        while (more) {
+          more = false
+          j = skipWs(j)
+          val nameStart = j
+          while (j < sql.length &&
+              (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
+          if (j > nameStart) {
+            j = skipWs(j)
+            if (j + 2 <= sql.length &&
+                sql.substring(j, j + 2).equalsIgnoreCase("as") &&
+                (j + 2 == sql.length || !sql.charAt(j + 2).isLetterOrDigit)) {
+              val after = skipWs(j + 2)
+              if (after < sql.length && sql.charAt(after) == '(') {
+                val close = matchParen(sql, after)
+                val k = skipWs(close + 1)
+                if (k < sql.length && sql.charAt(k) == ',') { j = k + 1; more = true }
+              } else {
+                // bare-name alias: wrap it
+                var e = after
+                while (e < sql.length &&
+                    (sql.charAt(e).isLetterOrDigit || sql.charAt(e) == '_')) e += 1
+                if (e > after) {
+                  edits += ((after, e))
+                  val k = skipWs(e)
+                  if (k < sql.length && sql.charAt(k) == ',') { j = k + 1; more = true }
+                }
+              }
+            }
+          }
+        }
+        i = j max (i + 6)
+      } else i += 1
+    }
+    edits.sortBy(-_._1).foreach { case (a, e) =>
+      sb.insert(e, ')'); sb.insert(a, '(') }
+    sb.toString
+  }
+
+  private def inlineWindowInheritance(sql0raw: String): String = {
+    var sql = parenthesizeWindowAliases(sql0raw)
     var guard = 0
     var changed = true
     while (changed && guard < 16) {
       changed = false
       guard += 1
       val defs = windowSpansNamed(sql)
-      val byName = defs.collect { case (Some(n), o, c) =>
-        n.toLowerCase -> sql.substring(o + 1, c) }.toMap
+      // Window names are scoped per query block; this front door sees the
+      // whole statement. Only inline names defined exactly once — a name
+      // defined in two subquery scopes is left for Spark to resolve or
+      // reject rather than silently cross-wiring the scopes.
+      val nameCounts = defs.collect { case (Some(n), _, _) => n.toLowerCase }
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val byName = defs.collect {
+        case (Some(n), o, c) if nameCounts(n.toLowerCase) == 1 =>
+          n.toLowerCase -> sql.substring(o + 1, c) }.toMap
       if (byName.isEmpty) return sql
+      // A spec body that itself starts with a window-name reference is
+      // not yet resolved; merging against it would drop the transitive
+      // clauses (w2 AS (w1 …) with w1 AS (w0 …) must wait for w1).
+      def unresolved(b: String): Boolean = {
+        val r = b.trim.takeWhile(ch => ch.isLetterOrDigit || ch == '_')
+        r.nonEmpty && !SpecClauseWords.contains(r.toLowerCase) &&
+          byName.contains(r.toLowerCase)
+      }
       // rightmost first so earlier offsets stay valid after the splice
       defs.sortBy(-_._2).foreach { case (_, o, c) =>
         if (!changed) {
@@ -405,6 +476,7 @@ object GraftSession {
           val ref = body.takeWhile(ch => ch.isLetterOrDigit || ch == '_')
           if (ref.nonEmpty && !SpecClauseWords.contains(ref.toLowerCase) &&
               byName.contains(ref.toLowerCase) &&
+              !unresolved(byName(ref.toLowerCase)) &&
               !body.equalsIgnoreCase(byName(ref.toLowerCase).trim)) {
             val rest = body.substring(ref.length).trim
             val merged = mergeWindowSpecs(byName(ref.toLowerCase), rest)
@@ -442,6 +514,90 @@ object GraftSession {
         if (lo.nonEmpty) lo else so,
         if (lf.nonEmpty) lf else sf)
       .filter(_.nonEmpty).mkString(" ")
+  }
+
+  /** Hive 1.2 allows a CTE to reference another CTE defined LATER in
+    * the same WITH clause (ref ql/parse/SemanticAnalyzer.java
+    * processCTE resolves the full name→query map before any expansion;
+    * cbo_views.q: `with q1 as (select … from q2 …), q2 as (…)` runs).
+    * Spark requires definition-before-use, so the front door reorders a
+    * leading top-level WITH list into dependency order. Already-ordered
+    * lists and cycles pass through untouched (a cycle is illegal in
+    * both engines — Spark's resolver reports it). */
+  private[graft] def hiveCteForwardRefs(sql: String): String = {
+    val code = codeMask(sql)
+    var i = 0
+    while (i < sql.length && (!code(i) || sql.charAt(i).isWhitespace)) i += 1
+    if (i >= sql.length || !wordToken(sql, i, "with")) return sql
+    // parse the top-level definition list: name AS ( … ) [, …]*
+    var j = i + 4
+    def skipWs(k0: Int): Int = {
+      var k = k0
+      while (k < sql.length && (sql.charAt(k).isWhitespace || !code(k))) k += 1
+      k
+    }
+    val defs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var more = true
+    var mainAt = -1
+    while (more) {
+      more = false
+      j = skipWs(j)
+      val nameStart = j
+      while (j < sql.length &&
+          (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
+      val name = sql.substring(nameStart, j)
+      j = skipWs(j)
+      if (name.nonEmpty && j + 2 <= sql.length &&
+          sql.substring(j, j + 2).equalsIgnoreCase("as")) {
+        val open = skipWs(j + 2)
+        if (open < sql.length && sql.charAt(open) == '(') {
+          val close = matchParen(sql, open)
+          defs += ((name, sql.substring(nameStart, close + 1)))
+          val k = skipWs(close + 1)
+          if (k < sql.length && sql.charAt(k) == ',') { j = k + 1; more = true }
+          else { j = k; mainAt = k }
+        } else return sql // malformed; leave for Spark's parser
+      } else return sql
+    }
+    if (defs.length < 2 || mainAt < 0) return sql
+    val names = defs.map(_._1.toLowerCase)
+    def refs(body: String): Set[String] = {
+      val bc = codeMask(body)
+      val out = scala.collection.mutable.Set.empty[String]
+      names.foreach { n =>
+        var k = 0
+        while (k < body.length && !out.contains(n)) {
+          if (bc(k) && wordToken(body, k, n)) out += n
+          k += 1
+        }
+      }
+      out.toSet
+    }
+    val deps = defs.map { case (n, d) => refs(d.substring(n.length)) }
+    val idx = names.zipWithIndex.toMap
+    val forward = deps.zipWithIndex.exists { case (ds, k) =>
+      ds.exists(d => idx(d) > k) }
+    if (!forward) return sql
+    // stable Kahn topo sort: emit the first not-yet-emitted definition
+    // whose dependencies are all emitted
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val done = scala.collection.mutable.Set.empty[Int]
+    var progress = true
+    while (progress && emitted.length < defs.length) {
+      progress = false
+      var k = 0
+      while (k < defs.length && !progress) {
+        if (!done(k) &&
+            deps(k).forall(d => done(idx(d)) || idx(d) == k)) {
+          emitted += k; done += k; progress = true
+        }
+        k += 1
+      }
+    }
+    if (emitted.length < defs.length) return sql // cycle — Spark reports
+    sql.substring(0, i) + "with " +
+      emitted.map(k => defs(k)._2).mkString(", ") + " " +
+      sql.substring(mainAt)
   }
 
   /** Hive 1.2 dedups duplicate entries in a GROUPING SETS list
@@ -593,13 +749,44 @@ object GraftSession {
     s.length - 1
   }
 
+  /** Hive-1.2 semantic rejections Spark does not enforce — kept for
+    * negative-surface parity (ref ql/src/test/queries/clientnegative):
+    * TRANSFORM duplicate output alias (SemanticAnalyzer.java error
+    * 10074, duplicate_alias_in_transform.q) and LINES TERMINATED BY
+    * other than '\n' (ErrorMsg.LINES_TERMINATED_BY_NON_NEWLINE,
+    * line_terminator.q — Hive's LazySimpleSerDe only writes newline
+    * records, so accepting the clause would silently mis-read data). */
+  private def hiveNegativeChecks(stmt: String): Unit = {
+    if ("""(?is).*\bTRANSFORM\s*\(.*""".r.matches(stmt)) {
+      val asRe =
+        """(?is)\bUSING\s+(?:'[^']*'|"[^"]*")\s+AS\s*\(([^)]*)\)""".r
+      asRe.findAllMatchIn(stmt).foreach { m =>
+        val names = m.group(1).split(",")
+          .map(_.trim.split("\\s+").head.toLowerCase).filter(_.nonEmpty)
+        names.groupBy(identity).collectFirst {
+          case (n, v) if v.size > 1 => n
+        }.foreach { d =>
+          throw new IllegalArgumentException(
+            s"Column alias already exists: $d")
+        }
+      }
+    }
+    """(?is)\bLINES\s+TERMINATED\s+BY\s+'((?:\\.|[^'])*)'""".r
+      .findFirstMatchIn(stmt).foreach { m =>
+        if (m.group(1) != "\\n" && m.group(1) != "\n")
+          throw new IllegalArgumentException(
+            "LINES TERMINATED BY only supports newline '\\n' right now")
+      }
+  }
+
   /** HiveQL front door: Hive-only statement forms are routed to graft
     * implementations, everything else to `spark.sql`. DDL-style routes
     * return an empty DataFrame (like Hive's no-result statements).
     * Trailing semicolons (standard in HiveQL scripts) are stripped. */
   def sql(spark: SparkSession, stmt: String): DataFrame = {
     val stripped = hiveGroupingIdCompat(hiveGroupingSetsCompat(
-      hiveWindowCompat(stmt.replaceAll(";+\\s*$", ""))))
+      hiveWindowCompat(hiveCteForwardRefs(stmt.replaceAll(";+\\s*$", "")))))
+    hiveNegativeChecks(stripped)
     stripped match {
       case MacroRe() =>
         functions.Macros.sql(spark, stripped)

@@ -212,6 +212,57 @@ class GraftSessionSpec extends SparkSpec {
     assert(lit.contains("'over (distribute by x)'"), lit)
   }
 
+  test("window inheritance: >=3-hop chains resolve transitively and " +
+    "duplicate names across scopes are not cross-wired") {
+    // w2 must inherit w0's partition THROUGH w1, not merge against the
+    // unresolved body "w0 order by b" (ref ql/parse/WindowingSpec.java
+    // fillInWindowSpec recurses through the chain)
+    val chain = GraftSession.hiveWindowCompat(
+      "SELECT sum(x) over w2 FROM t WINDOW w0 AS (partition by a), " +
+        "w1 AS (w0 order by b), " +
+        "w2 AS (w1 rows between 1 preceding and current row)")
+    assert(chain.contains(
+      "w2 AS (partition by a order by b rows between 1 preceding and " +
+        "current row)"), chain)
+    assert(chain.contains("w1 AS (partition by a order by b)"), chain)
+    // a name defined in two query blocks is ambiguous at the
+    // statement-string level — leave both OVER (w) references untouched
+    val dup = "SELECT * FROM (SELECT rank() over w FROM t " +
+      "WINDOW w AS (partition by a order by a)) s1 JOIN " +
+      "(SELECT rank() over w FROM u WINDOW w AS (partition by b order " +
+      "by b)) s2"
+    val dupOut = GraftSession.hiveWindowCompat(dup)
+    assert(dupOut.contains("WINDOW w AS (partition by a order by a)"), dupOut)
+    assert(dupOut.contains("WINDOW w AS (partition by b order by b)"), dupOut)
+    // self-referential cycle falls through untouched for Spark's error
+    val cyc = GraftSession.hiveWindowCompat(
+      "SELECT sum(x) over w1 FROM t WINDOW w1 AS (w2 order by a), " +
+        "w2 AS (w1 rows unbounded preceding)")
+    assert(cyc.contains("w1 AS (w2 order by a)"), cyc)
+  }
+
+  test("Hive forward CTE references reorder into dependency order") {
+    Tables.register(spark, "/root/testdata/sf0.001")
+    // Hive 1.2 resolves the whole WITH map before expansion, so q1 may
+    // reference the later-defined q2 (cbo_views.q) — Spark needs order
+    val df = GraftSession.sql(spark,
+      """with q1 as (select n_nationkey k from q2 where n_regionkey = 0),
+        |q2 as (select n_nationkey, n_regionkey from nation)
+        |select count(*) c from q1""".stripMargin)
+    assert(df.collect().head.getLong(0) == 5)
+    // already-ordered lists untouched; a WITH in a string literal is not
+    // a CTE clause
+    val plain = GraftSession.sql(spark,
+      "with a as (select 1 x), b as (select x from a) select * from b")
+    assert(plain.collect().head.getInt(0) == 1)
+    // three defs, reversed dependency chain
+    val chain = GraftSession.sql(spark,
+      """with c1 as (select y from c2), c2 as (select y from c3),
+        |c3 as (select 7 y)
+        |select * from c1""".stripMargin)
+    assert(chain.collect().head.getInt(0) == 7)
+  }
+
   test("GROUPING__ID rewrite: Hive 1.2 encoding, scope-aware") {
     Tables.register(spark, "/root/testdata/sf0.001")
     // full set = all bits set (LSB = first column), total row = 0
@@ -251,7 +302,9 @@ class GraftSessionSpec extends SparkSpec {
     val bt = GraftSession.hiveWindowCompat(
       "SELECT `weird'col`, max(x) over(cluster by k) FROM t")
     assert(bt.contains("`weird'col`"), bt)
-    assert(bt.contains("over(partition by k)"), bt)
+    // cluster by → partition by, then Hive's default-order filling
+    // (WindowingSpec rule 5) adds the partition keys as the order
+    assert(bt.contains("over(partition by k order by k)"), bt)
     // GROUPING__ID rewrite with a comment carrying a stray paren still
     // resolves the statement's single GROUP BY scope
     Tables.register(spark, "/root/testdata/sf0.001")

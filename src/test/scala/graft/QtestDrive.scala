@@ -36,6 +36,9 @@ object QtestDrive {
             s"${m.detail}\n  stmt: ${m.stmt}").getOrElse("no queries checked"))
         println(s"QTEST FAIL $s (${r.queriesChecked} checked, " +
           f"${r.mismatches.length} mismatched, $secs%.1f s): $why")
+        if (sys.env.contains("QTEST_VERBOSE"))
+          r.mismatches.drop(1).foreach(m =>
+            println(s"  ALSO: ${m.detail}\n  stmt: ${m.stmt}"))
       }
     }
     println(s"QTEST TOTAL: $pass/${scripts.length} pass")
