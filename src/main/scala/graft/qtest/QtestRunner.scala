@@ -648,7 +648,81 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       case e: org.apache.spark.sql.AnalysisException
           if e.getMessage.contains("SPECIFIED_WINDOW_FRAME_UNACCEPTED_TYPE") =>
         graft.GraftSession.sql(spark, rewriteStringRangeFrames(stmt))
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("WINDOW_FUNCTION_WITHOUT_OVER_CLAUSE") =>
+        // Hive evaluates a navigation fn INSIDE a windowed aggregate
+        // (sum(lag(x,k,def)) over w — windowing_expressions.q); Spark
+        // rejects the nesting, so rewrite it to an explicit fold
+        rewriteNestedWindowAgg(stmt)
+          .map(graft.GraftSession.sql(spark, _)).getOrElse(throw e)
     }
+
+  /** `sum(lag(X, K[, DEF])) over W` (frame-less W): Hive computes, per
+    * row, the sum of the lag-values of the current peer-inclusive prefix
+    * (ref ql/udf/ptf/WindowingTableFunction.java: lead/lag are evaluated
+    * against the partition before the aggregate consumes the frame).
+    * That is a fold over DEF repeated min(K, q) times then the first
+    * q-K partition values, where q is the default-frame row count. */
+  private val SumLagRe = """(?i)\bsum\s*\(\s*lag\s*\(""".r
+
+  private[qtest] def rewriteNestedWindowAgg(stmt0: String): Option[String] = {
+    val G = graft.GraftSession
+    val stmt = stmt0.replaceAll(";+\\s*$", "")
+    val named = G.windowSpansNamed(stmt).collect { case (Some(n), o, c) =>
+      n.toLowerCase -> stmt.substring(o + 1, c) }.toMap
+    final case class Edit(start: Int, end: Int, repl: String)
+    val edits = scala.collection.mutable.ArrayBuffer.empty[Edit]
+    SumLagRe.findAllMatchIn(stmt).foreach { m =>
+      val sumOpen = stmt.indexOf('(', m.start)
+      val lagOpen = m.end - 1
+      val lagClose = parenClose(stmt, lagOpen)
+      val sumClose = parenClose(stmt, sumOpen)
+      val args = splitCols(stmt.substring(lagOpen + 1, lagClose))
+      val tight = stmt.substring(lagClose + 1, sumClose).trim.isEmpty
+      if (tight && (args.length == 2 || args.length == 3) &&
+          args(1).trim.matches("""\d+""")) {
+        val x = args(0).trim
+        val k = args(1).trim.toInt
+        var j = sumClose + 1
+        while (j < stmt.length && stmt.charAt(j).isWhitespace) j += 1
+        if (j + 4 <= stmt.length &&
+            stmt.substring(j, j + 4).equalsIgnoreCase("over")) {
+          var kk = j + 4
+          while (kk < stmt.length && stmt.charAt(kk).isWhitespace) kk += 1
+          val parsed: Option[(String, Int)] =
+            if (kk < stmt.length && stmt.charAt(kk) == '(') {
+              val c2 = parenClose(stmt, kk)
+              Some((stmt.substring(kk + 1, c2), c2 + 1))
+            } else {
+              var e = kk
+              while (e < stmt.length &&
+                  (stmt.charAt(e).isLetterOrDigit || stmt.charAt(e) == '_')) e += 1
+              named.get(stmt.substring(kk, e).toLowerCase).map((_, e))
+            }
+          parsed.foreach { case (spec, endAt) =>
+            if (firstTopLevelWord(spec, Seq("rows", "range")) < 0) {
+              val po = spec.trim
+              val w = s"collect_list($x) over ($po rows between " +
+                "unbounded preceding and unbounded following)"
+              val q = s"count(*) over ($po)"
+              val vals =
+                if (args.length == 3)
+                  s"concat(array_repeat(cast(${args(2).trim} as double), " +
+                  s"cast(least($k, $q) as int)), " +
+                  s"slice($w, 1, cast(greatest($q - $k, 0) as int)))"
+                else s"slice($w, 1, cast(greatest($q - $k, 0) as int))"
+              edits += Edit(m.start, endAt,
+                s"aggregate($vals, cast(0 as double), (a, x) -> a + x)")
+            }
+          }
+        }
+      }
+    }
+    if (edits.isEmpty) return None
+    val sb = new StringBuilder(stmt)
+    edits.sortBy(-_.start).foreach(e => sb.replace(e.start, e.end, e.repl))
+    Some(sb.toString)
+  }
 
   private val NumericBoundRe =
     """(?i)\b\d+(?:\.\d+)?\s+(PRECEDING|FOLLOWING)\b""".r
@@ -727,9 +801,15 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
   // aggregate() fold; the window expressions sit OUTSIDE the lambdas).
   // The golden compare still gates every retried result.
 
+  // Direction words are IGNORED on purpose: Hive 1.2's streaming
+  // evaluator is built from (start.getAmt(), end.getAmt()) only
+  // (WindowingTableFunction.streamingPossible + SumAvgEnhancer), so
+  // `rows between 2 preceding and 1 preceding` actually computes the
+  // frame [i-2, i+1] — bug-for-bug behavior the goldens pin
+  // (windowing_windowspec.q's first query has non-null row-0 sums).
   private val BoundedRowsFrameRe =
-    ("""(?is)^rows\s+between\s+(?:(\d+)\s+preceding|current\s+row)""" +
-      """\s+and\s+(?:(\d+)\s+following|current\s+row)\s*$""").r
+    ("""(?is)^rows\s+between\s+(?:(\d+)\s+(?:preceding|following)|current\s+row)""" +
+      """\s+and\s+(?:(\d+)\s+(?:preceding|following)|current\s+row)\s*$""").r
 
   private val RetryFnRe =
     ("""(?i)\b(sum|avg|variance|var_pop|var_samp|stddev|stddev_pop|""" +
@@ -873,20 +953,29 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
                 s"a -> if(a.c = 0, cast(null as double), " +
                 s"if(a.c = 1, cast(0 as double), $fin)))")
             } else if (fn == "sum" || fn == "avg") {
-              // streaming prefix-difference — only where Hive's double
-              // accumulation can differ (double/float input; integral
-              // and decimal sums are exact either way)
               val frameAt = firstTopLevelWord(spec, Seq("rows", "range"))
-              // double/float input: Hive's streaming accumulation can
-              // differ. Unresolvable (view/subquery/expression input):
-              // attempt anyway — the golden compare gates the retry.
-              val isDouble = resolveColType(x, stmt) match {
+              // Input typing decides the fold: double/float accumulate
+              // like Hive's streaming doubles; integral inputs are exact
+              // but still need the rewrite when Hive's frame itself
+              // differs (direction-ignoring streaming, above) — those
+              // fold in bigint so "42" prints without a ".0".
+              // Unresolvable (view/subquery/expression input): attempt
+              // the double fold — the golden compare gates the retry.
+              val colType = resolveColType(x, stmt)
+              val isDouble = colType match {
                 case Some(org.apache.spark.sql.types.DoubleType) => true
                 case Some(org.apache.spark.sql.types.FloatType) => true
                 case Some(_) => false
                 case None => true
               }
-              if (frameAt >= 0 && isDouble) {
+              val isIntegral = colType match {
+                case Some(org.apache.spark.sql.types.ByteType |
+                    org.apache.spark.sql.types.ShortType |
+                    org.apache.spark.sql.types.IntegerType |
+                    org.apache.spark.sql.types.LongType) => true
+                case _ => false
+              }
+              if (frameAt >= 0 && (isDouble || isIntegral)) {
                 BoundedRowsFrameRe.findFirstMatchIn(spec.substring(frameAt))
                   .foreach { fm =>
                     val a = Option(fm.group(1)).map(_.toInt).getOrElse(0)
@@ -898,16 +987,49 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
                       "unbounded preceding and current row)"
                     val hi = s"least($p + $b, size($w))"
                     val lo = s"($p - ${a + 1})"
+                    val z = if (fn == "sum" && isIntegral) "cast(0 as bigint)"
+                      else "cast(0 as double)"
                     val sumE =
-                      s"(aggregate(slice($w, 1, $hi), cast(0 as double), " +
+                      s"(aggregate(slice($w, 1, $hi), $z, " +
                       s"(a, x) -> a + x) - if($lo >= 1, " +
-                      s"aggregate(slice($w, 1, $lo), cast(0 as double), " +
-                      "(a, x) -> a + x), cast(0 as double)))"
+                      s"aggregate(slice($w, 1, $lo), $z, " +
+                      s"(a, x) -> a + x), $z))"
                     val repl =
                       if (fn == "sum") sumE
                       else s"($sumE / cast($hi - greatest($lo, 0) as double))"
                     edits += Edit(m.start, endAt, repl)
                   }
+              } else if (frameAt < 0) {
+                // Default frame (range unbounded preceding..current row)
+                // ordered by a TIMESTAMP: Hive's value boundary scanner
+                // compares getLong(timestamp) = epoch SECONDS
+                // (WindowingTableFunction LongValueBoundaryScanner via
+                // PrimitiveObjectInspectorUtils.getLong), so the current
+                // row's peer group spans every same-second row. Reorder
+                // the window on the seconds value to reproduce it.
+                val ordAt = Seq("order", "sort")
+                  .map(wd => firstTopLevelWord(spec, Seq(wd))).filter(_ >= 0)
+                  .minOption.getOrElse(-1)
+                if (ordAt >= 0) {
+                  val ordBody = spec.substring(ordAt)
+                    .replaceAll("""(?is)^(order|sort)\s+by\s+""", "")
+                  val dm = """(?is)^([\w.]+)\s*(asc|desc)?\s*$""".r
+                    .findFirstMatchIn(ordBody)
+                  dm.foreach { g =>
+                    val ocol = g.group(1)
+                    val dir = Option(g.group(2)).map(" " + _).getOrElse("")
+                    val isTs = resolveColType(ocol, stmt).exists {
+                      case org.apache.spark.sql.types.TimestampType => true
+                      case _ => false
+                    }
+                    if (isTs) {
+                      val po2 = spec.substring(0, ordAt).trim
+                      edits += Edit(m.start, endAt,
+                        s"$fn($x) over ($po2 order by " +
+                        s"unix_timestamp($ocol)$dir)")
+                    }
+                  }
+                }
               }
             }
           }
@@ -1064,8 +1186,12 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
                 val bodyNorm = Qtest.stripComments(stmt)
                 val limits = """(?is)\blimit\s+(\d+)""".r
                   .findAllMatchIn(bodyNorm).map(_.group(1).toInt).toSeq
+                // only a TOP-LEVEL ORDER BY pins the output order — an
+                // ORDER BY inside a window spec or subquery does not
+                // (HIVE-9228 windowspec query: limit over an unordered
+                // outer select of a windowed subquery)
                 val hasOrder =
-                  """(?is).*\border\s+by\b.*""".r.matches(bodyNorm)
+                  graft.GraftSession.firstTopLevelToken(bodyNorm, "order") >= 0
                 val arbitrarySubset = limits.nonEmpty && !hasOrder &&
                   limits.exists(n => expRows.length >= n)
                 if (arbitrarySubset) {
