@@ -525,8 +525,40 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     out.toString
   }
 
+  // Hive variable substitution (ref ql/parse/VariableSubstitution.java;
+  // QTestUtil seeds system:test.tmp.dir etc. before each run). The
+  // runner maps the harness-seeded system properties to a per-runner
+  // scratch dir and replays `set k=v;` statements into hiveconf.
+  private val hiveconf = scala.collection.mutable.Map.empty[String, String]
+  private lazy val scratchDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-qtest-tmp")
+    d.toString
+  }
+
+  private def substituteVars(stmt: String): String = {
+    if (!stmt.contains("${")) return stmt
+    val re = """\$\{(system|hiveconf|env):([^}]+)\}""".r
+    re.replaceAllIn(stmt, m => {
+      val v = (m.group(1), m.group(2)) match {
+        case ("system", "test.tmp.dir") => scratchDir
+        case ("system", "test.tmp.dir.uri") => "file://" + scratchDir
+        case ("system", "test.warehouse.dir") => scratchDir + "/warehouse"
+        case ("system", "test.dfs.mkdir") => "-mkdir -p"
+        case ("system", "file.separator") => "/"
+        case ("system", "hive.version") => "1.2.1"
+        case ("hiveconf", "hive.metastore.warehouse.dir") =>
+          scratchDir + "/warehouse"
+        case ("hiveconf", k) => hiveconf.getOrElse(k, m.group(0))
+        case ("env", k) => sys.env.getOrElse(k, m.group(0))
+        case _ => m.group(0)
+      }
+      java.util.regex.Matcher.quoteReplacement(v)
+    })
+  }
+
   /** The text-level Hive-fidelity transforms applied before routing. */
-  private def preprocess(stmt0: String): String = {
+  private def preprocess(stmt0raw: String): String = {
+    val stmt0 = substituteVars(stmt0raw)
     val stmt1 = if ("""(?is).*\bTABLESAMPLE\s*\(\s*BUCKET\b.*""".r
         .matches(stmt0)) rewriteTablesample(stmt0) else stmt0
     val stmt2 = if ("""(?is).*\bnoop\w*\s*\(\s*on\b.*""".r.matches(stmt1))
@@ -541,7 +573,12 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     val head = body.split("\\s+", 2).headOption.getOrElse("").toUpperCase
     body match {
       case _ if head == "SET" || head == "USE" || head == "RESET" ||
-          head == "ADD" || head == "DFS" => (NoBlock, None)
+          head == "ADD" || head == "DFS" =>
+        if (head == "SET")
+          """(?is)^\s*set\s+([\w.:]+)\s*=\s*(.*?)\s*$""".r
+            .findFirstMatchIn(body)
+            .foreach(m => hiveconf(m.group(1)) = m.group(2))
+        (NoBlock, None)
       case _ if head == "EXPLAIN" || head == "DESCRIBE" || head == "DESC" ||
           head == "SHOW" => (Ignored, None)
       case AlterClusteredRe(table, spec) =>
@@ -626,7 +663,24 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
         (Query, Some(frontDoorSql(stmt)))
       case _ =>
         // INSERT, FROM…INSERT (multi-insert), ALTER, TRUNCATE, MERGE, …
-        frontDoorSql(stmt)
+        try frontDoorSql(stmt)
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage.contains("UNSUPPORTED_OVERWRITE") =>
+            // Hive allows INSERT OVERWRITE TABLE t ... FROM t (the read
+            // completes before the move — ql/exec/MoveTask); Spark
+            // refuses to overwrite a table it reads. Materialize first.
+            val m = ("""(?is)\s*INSERT\s+OVERWRITE\s+TABLE\s+([\w.]+)""" +
+              """((?:\s+PARTITION\s*\([^)]*\))?)\s+(SELECT\b.*|WITH\b.*)""").r
+              .findFirstMatchIn(body).getOrElse(throw e)
+            val tmp = "graft_self_ovw_" +
+              math.abs(body.hashCode).toString
+            spark.sql(s"DROP TABLE IF EXISTS $tmp")
+            spark.sql(s"CREATE TABLE $tmp USING parquet AS ${m.group(3)}")
+            frontDoorSql(s"INSERT OVERWRITE TABLE ${m.group(1)}" +
+              s"${m.group(2)} SELECT * FROM $tmp")
+            spark.sql(s"DROP TABLE IF EXISTS $tmp")
+        }
         (Effect, None)
     }
   }
@@ -1136,6 +1190,29 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     spark.sql(s"CREATE DATABASE $db")
     spark.catalog.setCurrentDatabase(db)
+    // a script that CREATEs its own databases must start from a clean
+    // catalog (QTestUtil clears the warehouse per test; an earlier
+    // failed script may have left the name behind)
+    val scriptDbs = stmts.flatMap(st =>
+      """(?is)\s*CREATE\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?.*""".r
+        .findFirstMatchIn(st).map(_.group(1))).distinct
+      .filterNot(d => d.equalsIgnoreCase("default") || d.equalsIgnoreCase(db))
+    scriptDbs.foreach { d =>
+      spark.sql(s"DROP DATABASE IF EXISTS `$d` CASCADE")
+      // a killed previous run can leave the db DIRECTORY behind with no
+      // catalog entry; a later managed CREATE TABLE then fails with
+      // LOCATION_ALREADY_EXISTS
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      val dir = new java.io.File(s"$wh/$d.db")
+      if (dir.isDirectory) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(dir)
+      }
+    }
 
     val mismatches = scala.collection.mutable.ArrayBuffer.empty[Mismatch]
     var checked = 0
@@ -1242,6 +1319,9 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     } finally {
       spark.catalog.setCurrentDatabase("default")
       spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      scriptDbs.foreach(d =>
+        try spark.sql(s"DROP DATABASE IF EXISTS `$d` CASCADE")
+        catch { case _: Exception => })
     }
     ScriptResult(script, checked, mismatches.toSeq, error)
   }
