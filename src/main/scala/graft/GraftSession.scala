@@ -777,6 +777,22 @@ object GraftSession {
           throw new IllegalArgumentException(
             "LINES TERMINATED BY only supports newline '\\n' right now")
       }
+    // Hive validates the implementation class at CREATE FUNCTION time
+    // (FunctionTask: must load and extend UDF/GenericUDF/UDAF/UDTF —
+    // clientnegative/create_function_nonudf_class.q); Spark defers to
+    // first use. Validate eagerly: the class must resolve to a Catalyst
+    // expression implementation.
+    """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?FUNCTION\s+[`\w.]+\s+AS\s+'([^']+)'.*$""".r
+      .findFirstMatchIn(stmt).foreach { m =>
+        val cls = m.group(1)
+        val ok =
+          try classOf[org.apache.spark.sql.catalyst.expressions.Expression]
+            .isAssignableFrom(Class.forName(cls))
+          catch { case _: Throwable => false }
+        if (!ok) throw new IllegalArgumentException(
+          s"CREATE FUNCTION: class $cls does not implement a function " +
+            "interface")
+      }
   }
 
   /** HiveQL front door: Hive-only statement forms are routed to graft
