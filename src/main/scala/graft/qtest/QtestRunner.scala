@@ -556,9 +556,61 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     })
   }
 
+  // compute_stats(col, numBitVectors) — Hive's per-column summary UDAF
+  // (ref ql/udf/generic/GenericUDAFComputeStats.java): a type-tagged
+  // struct of min/max/lengths/null counts and an NDV estimate. The
+  // runner expands it to the equivalent aggregate struct; the column's
+  // resolved type picks the field set (the goldens pin both field order
+  // and text: {"columntype":"Long","min":4,...}).
+  private val ComputeStatsRe =
+    """(?i)\bcompute_stats\s*\(\s*`?([\w.]+)`?\s*,\s*\d+\s*\)""".r
+
+  private def rewriteComputeStats(stmt: String): String = {
+    if (!"""(?is).*\bcompute_stats\s*\(.*""".r.matches(stmt)) return stmt
+    import org.apache.spark.sql.types._
+    ComputeStatsRe.replaceAllIn(stmt, m => {
+      val col = m.group(1)
+      val cn = s"(count(*) - count($col))"
+      val ndv = s"count(distinct $col)"
+      val repl = resolveColType(col, stmt) match {
+        case Some(ByteType | ShortType | IntegerType | LongType) =>
+          s"named_struct('columntype', 'Long', 'min', min($col), " +
+          s"'max', max($col), 'countnulls', $cn, 'numdistinctvalues', $ndv)"
+        case Some(FloatType | DoubleType) =>
+          s"named_struct('columntype', 'Double', " +
+          s"'min', min(cast($col as double)), " +
+          s"'max', max(cast($col as double)), " +
+          s"'countnulls', $cn, 'numdistinctvalues', $ndv)"
+        case Some(_: DecimalType) =>
+          s"named_struct('columntype', 'Decimal', 'min', min($col), " +
+          s"'max', max($col), 'countnulls', $cn, 'numdistinctvalues', $ndv)"
+        case Some(StringType) =>
+          s"named_struct('columntype', 'String', " +
+          s"'maxlength', coalesce(max(length($col)), 0), " +
+          s"'avglength', coalesce(avg(length($col)), cast(0 as double)), " +
+          s"'countnulls', $cn, 'numdistinctvalues', $ndv)"
+        case Some(BinaryType) =>
+          s"named_struct('columntype', 'Binary', " +
+          s"'maxlength', coalesce(max(length($col)), 0), " +
+          s"'avglength', coalesce(avg(length($col)), cast(0 as double)), " +
+          s"'countnulls', $cn)"
+        case Some(BooleanType) =>
+          s"named_struct('columntype', 'Boolean', " +
+          s"'counttrues', count(if($col, 1, null)), " +
+          s"'countfalses', count(if(not $col, 1, null)), " +
+          s"'countnulls', $cn)"
+        case Some(DateType) =>
+          s"named_struct('columntype', 'Date', 'min', min($col), " +
+          s"'max', max($col), 'countnulls', $cn, 'numdistinctvalues', $ndv)"
+        case _ => m.group(0)
+      }
+      java.util.regex.Matcher.quoteReplacement(repl)
+    })
+  }
+
   /** The text-level Hive-fidelity transforms applied before routing. */
   private def preprocess(stmt0raw: String): String = {
-    val stmt0 = substituteVars(stmt0raw)
+    val stmt0 = rewriteComputeStats(substituteVars(stmt0raw))
     val stmt1 = if ("""(?is).*\bTABLESAMPLE\s*\(\s*BUCKET\b.*""".r
         .matches(stmt0)) rewriteTablesample(stmt0) else stmt0
     val stmt2 = if ("""(?is).*\bnoop\w*\s*\(\s*on\b.*""".r.matches(stmt1))
