@@ -94,6 +94,8 @@ object GraftSession {
   private val DeleteRe =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+))?\s*""".r
   private val MacroRe = """(?is)\s*(?:CREATE|DROP)\s+TEMPORARY\s+MACRO\b.*""".r
+  private val CreateHiveFnRe =
+    """(?is)\s*CREATE\s+(?:TEMPORARY\s+)?FUNCTION\s+`?([\w.]+)`?\s+AS\s+'([^']+)'\s*""".r
   private val InsertIntoRe =
     """(?is)\s*INSERT\s+INTO\s+(?:TABLE\s+)?([\w.]+)\s+(SELECT\b.+|VALUES\b.+|WITH\b.+|TABLE\b.+)""".r
   private val AlterCompactRe =
@@ -757,10 +759,40 @@ object GraftSession {
     * line_terminator.q — Hive's LazySimpleSerDe only writes newline
     * records, so accepting the clause would silently mis-read data). */
   private def hiveNegativeChecks(stmt: String): Unit = {
-    if ("""(?is).*\bTRANSFORM\s*\(.*""".r.matches(stmt)) {
-      val asRe =
-        """(?is)\bUSING\s+(?:'[^']*'|"[^"]*")\s+AS\s*\(([^)]*)\)""".r
-      asRe.findAllMatchIn(stmt).foreach { m =>
+    // All scanning happens over the code-masked text (literals/comments
+    // blanked to spaces) so a keyword INSIDE a string literal or `--`
+    // comment can never trigger a rejection (ADVICE r09); literal
+    // CONTENT is read back from the original text by position.
+    val mask = codeMask(stmt)
+    val blank = {
+      val sb = new StringBuilder(stmt)
+      var i = 0
+      while (i < stmt.length) {
+        if (!mask(i)) sb.setCharAt(i, ' '); i += 1
+      }
+      sb.toString
+    }
+    /** the single-quoted literal starting at or after `from` in the
+      * original text (the blanked text has only its span of spaces) */
+    def literalAt(from: Int): Option[String] = {
+      var i = from
+      while (i < stmt.length && stmt.charAt(i).isWhitespace) i += 1
+      if (i >= stmt.length || (stmt.charAt(i) != '\'' &&
+          stmt.charAt(i) != '"')) return None
+      val q = stmt.charAt(i)
+      val sb = new StringBuilder; i += 1
+      while (i < stmt.length && stmt.charAt(i) != q) {
+        if (stmt.charAt(i) == '\\' && i + 1 < stmt.length) {
+          sb.append(stmt.charAt(i)); i += 1
+        }
+        sb.append(stmt.charAt(i)); i += 1
+      }
+      Some(sb.toString)
+    }
+    if ("""(?is).*\bTRANSFORM\s*\(.*""".r.matches(blank)) {
+      // in the blanked text the USING program literal is spaces
+      val asRe = """(?is)\bUSING\s+AS\s*\(([^)]*)\)""".r
+      asRe.findAllMatchIn(blank).foreach { m =>
         val names = m.group(1).split(",")
           .map(_.trim.split("\\s+").head.toLowerCase).filter(_.nonEmpty)
         names.groupBy(identity).collectFirst {
@@ -771,24 +803,37 @@ object GraftSession {
         }
       }
     }
-    """(?is)\bLINES\s+TERMINATED\s+BY\s+'((?:\\.|[^'])*)'""".r
-      .findFirstMatchIn(stmt).foreach { m =>
-        if (m.group(1) != "\\n" && m.group(1) != "\n")
-          throw new IllegalArgumentException(
-            "LINES TERMINATED BY only supports newline '\\n' right now")
+    """(?is)\bLINES\s+TERMINATED\s+BY\b""".r
+      .findAllMatchIn(blank).foreach { m =>
+        literalAt(m.end).foreach { lit =>
+          if (lit != "\\n" && lit != "\n")
+            throw new IllegalArgumentException(
+              "LINES TERMINATED BY only supports newline '\\n' right now")
+        }
       }
     // Hive validates the implementation class at CREATE FUNCTION time
-    // (FunctionTask: must load and extend UDF/GenericUDF/UDAF/UDTF —
-    // clientnegative/create_function_nonudf_class.q); Spark defers to
-    // first use. Validate eagerly: the class must resolve to a Catalyst
-    // expression implementation.
-    """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?FUNCTION\s+[`\w.]+\s+AS\s+'([^']+)'.*$""".r
-      .findFirstMatchIn(stmt).foreach { m =>
-        val cls = m.group(1)
-        val ok =
-          try classOf[org.apache.spark.sql.catalyst.expressions.Expression]
-            .isAssignableFrom(Class.forName(cls))
-          catch { case _: Throwable => false }
+    // (FunctionTask: the class must load and be a UDF/GenericUDF/UDAF/
+    // GenericUDTF — clientnegative/create_function_nonudf_class.q);
+    // Spark defers to first use. Validate eagerly: accept Hive builtin
+    // implementation classes (functions.HiveFnAliases — registered by
+    // the route below), Catalyst Expressions, Spark java UDF1..22 and
+    // Aggregators. Class.forName with initialize=false: analysis of
+    // SQL text must never run arbitrary static initializers.
+    """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?FUNCTION\s+[`\w.]+\s+AS\b""".r
+      .findFirstMatchIn(blank).foreach { m =>
+        val cls = literalAt(m.end).getOrElse("")
+        val ok = functions.HiveFnAliases.builtinFor(cls).isDefined || {
+          try {
+            val c = Class.forName(cls, false,
+              Thread.currentThread.getContextClassLoader)
+            classOf[org.apache.spark.sql.catalyst.expressions.Expression]
+              .isAssignableFrom(c) ||
+            classOf[org.apache.spark.sql.expressions.Aggregator[_, _, _]]
+              .isAssignableFrom(c) ||
+            c.getInterfaces.exists(
+              _.getName.startsWith("org.apache.spark.sql.api.java.UDF"))
+          } catch { case _: Throwable => false }
+        }
         if (!ok) throw new IllegalArgumentException(
           s"CREATE FUNCTION: class $cls does not implement a function " +
             "interface")
@@ -806,6 +851,28 @@ object GraftSession {
     stripped match {
       case MacroRe() =>
         functions.Macros.sql(spark, stripped)
+        spark.emptyDataFrame
+      case CreateHiveFnRe(name, cls)
+          if functions.HiveFnAliases.builtinFor(cls).isDefined =>
+        // Hive builtin implementation class re-registered under an
+        // alias — delegate to the engine builtin with the same
+        // semantics (FunctionTask accepts these; VERDICT r09 #3).
+        // Hive's name rules still apply: a TEMPORARY function name
+        // must be unqualified (FunctionSemanticAnalyzer error 10328,
+        // clientnegative/udf_qualified_name.q) and a permanent one
+        // needs an existing database (create_function_nonexistent_db.q)
+        if (name.contains(".")) {
+          if ("""(?is)\s*CREATE\s+TEMPORARY\b.*""".r.matches(stripped))
+            throw new IllegalArgumentException(
+              "Temporary function cannot be created with a qualified " +
+                s"name: $name")
+          val db = name.split('.').head
+          if (!spark.catalog.databaseExists(db))
+            throw new IllegalArgumentException(
+              s"Database does not exist: $db")
+        }
+        functions.HiveFnAliases.register(
+          spark, name.split('.').last, cls)
         spark.emptyDataFrame
       case LoadRe(local, path, overwrite, table, partSpec) =>
         // LOCAL INPATH copies and preserves the user's source files;

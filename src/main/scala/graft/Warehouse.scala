@@ -531,10 +531,29 @@ object Warehouse {
     * (schema / partition columns / bucket spec), the Hive EXPORT layout
     * (ql/parse/ExportSemanticAnalyzer.java: _metadata + data/ subdir).
     * File-level copy; nothing is decoded or rewritten. */
+  /** EXPORT/IMPORT paths may be URIs; only the local filesystem is
+    * backed here. Any other scheme is rejected with Hadoop's own
+    * message — the reference's clientnegative exim fake-URI scripts
+    * (`nosuchschema://nosuchauthority/...`) pin the rejection; treating
+    * such a URI as a relative file path would silently create a
+    * literal `nosuchschema:` directory under the CWD. */
+  private def resolveFsPath(path: String): String = {
+    val uriRe = """^([A-Za-z][A-Za-z0-9+.\-]*)://([^/]*)(/.*)?$""".r
+    path match {
+      case uriRe(scheme, _, rest) =>
+        if (!scheme.equalsIgnoreCase("file"))
+          throw new IllegalArgumentException(
+            s"No FileSystem for scheme: $scheme")
+        Option(rest).getOrElse("/")
+      case p if p.startsWith("file:") => p.stripPrefix("file:")
+      case p => p
+    }
+  }
+
   def exportTable(spark: SparkSession, table: String, path: String): Unit = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
-    val out = new java.io.File(path)
+    val out = new java.io.File(resolveFsPath(path))
     // Hive refuses a non-empty export target; an overwrite-merge would
     // silently union stale part files (different UUID names) into the
     // export, so strictness is the only safe semantics
@@ -569,7 +588,8 @@ object Warehouse {
     * CREATE TABLE from the descriptor, file-copy the data into its
     * location, then MSCK-register any partitions
     * (ql/parse/ImportSemanticAnalyzer.java). */
-  def importTable(spark: SparkSession, table: String, path: String): Unit = {
+  def importTable(spark: SparkSession, table: String, path0: String): Unit = {
+    val path = resolveFsPath(path0)
     val lines = java.nio.file.Files.readAllLines(
       new java.io.File(path, "_metadata").toPath)
     val schema = org.apache.spark.sql.types.DataType.fromJson(lines.get(0))

@@ -323,4 +323,50 @@ class GraftSessionSpec extends SparkSpec {
       "SELECT n_regionkey FROM nation GROUP BY n_regionkey").count()
     assert(df.count() == plain)
   }
+
+  test("CREATE FUNCTION accepts Hive builtin classes and registers " +
+      "the alias; rejects non-function classes (FunctionTask parity)") {
+    Tables.register(spark, "/root/testdata/sf0.001")
+    // a Hive builtin implementation class registers an engine-builtin
+    // alias (VERDICT r09 #3: must work through the bare front door)
+    GraftSession.sql(spark, "CREATE TEMPORARY FUNCTION mysum AS " +
+      "'org.apache.hadoop.hive.ql.udf.generic.GenericUDAFSum'")
+    val s = GraftSession.sql(spark,
+      "SELECT mysum(n_regionkey) AS s FROM nation").collect().head.getLong(0)
+    assert(s == spark.sql(
+      "SELECT sum(n_regionkey) FROM nation").collect().head.getLong(0))
+    spark.sql("DROP TEMPORARY FUNCTION IF EXISTS mysum")
+    // a loadable class that is NOT a function implementation rejects
+    // (clientnegative/create_function_nonudf_class.q)
+    val e = intercept[IllegalArgumentException] {
+      GraftSession.sql(spark,
+        "CREATE TEMPORARY FUNCTION bad AS 'java.lang.String'")
+    }
+    assert(e.getMessage.contains("does not implement a function"))
+    // an unknown/unloadable class rejects like Hive's "Class not found"
+    intercept[IllegalArgumentException] {
+      GraftSession.sql(spark,
+        "CREATE TEMPORARY FUNCTION bad2 AS 'no.such.Clazz'")
+    }
+  }
+
+  test("negative checks scan code only: rejection keywords inside " +
+      "string literals and comments are inert (ADVICE r09)") {
+    Tables.register(spark, "/root/testdata/sf0.001")
+    // LINES TERMINATED BY inside a literal must not reject
+    val rows = GraftSession.sql(spark,
+      "SELECT 'LINES TERMINATED BY ''x''' AS doc, n_name FROM nation " +
+        "-- USING 'cat' AS (a, a)\nWHERE n_regionkey = 0").collect()
+    assert(rows.length == 5)
+    // ... while the real clause with a non-newline terminator rejects
+    intercept[IllegalArgumentException] {
+      GraftSession.sql(spark, "CREATE TABLE t_lt (a int) ROW FORMAT " +
+        "DELIMITED LINES TERMINATED BY 'x'")
+    }
+    // and a real duplicate TRANSFORM alias rejects (Hive error 10074)
+    intercept[IllegalArgumentException] {
+      GraftSession.sql(spark, "SELECT TRANSFORM (n_name) USING 'cat' " +
+        "AS (a, a) FROM nation")
+    }
+  }
 }

@@ -37,18 +37,25 @@ class NegativeQtestSpec extends SparkSpec {
     assume(new java.io.File(refRoot).isDirectory,
       s"reference checkout not present at $refRoot")
     val runner = new QtestRunner(spark, refRoot)
+    // A rejection only counts when it came from STATEMENT EXECUTION
+    // (rejectedAt >= 0): a missing script file or a runner routing
+    // fault reaching this level is a harness error, not evidence the
+    // engine enforces the rule the script pins (ADVICE r09).
+    val harnessErrors = scala.collection.mutable.ListBuffer.empty[String]
     val accepted = scripts.flatMap { s =>
-      val r =
-        try runner.runNegative(s)
-        catch { case e: Exception =>
-          // a harness-level throw is still a rejection of the script
-          runner.NegativeResult(s, 0, Some(-1),
-            Some(e.getClass.getSimpleName),
-            Some(Option(e.getMessage).getOrElse("").take(150)))
-        }
-      if (r.rejected) None else Some(s)
+      try {
+        val r = runner.runNegative(s)
+        if (r.rejected && r.rejectedAt.exists(_ >= 0)) None else Some(s)
+      } catch { case e: Exception =>
+        harnessErrors += s"$s: ${e.getClass.getSimpleName}: " +
+          Option(e.getMessage).getOrElse("").take(150)
+        None
+      }
     }
-    info(s"${scripts.size} negative scripts, ${accepted.size} wrongly accepted")
+    info(s"${scripts.size} negative scripts, ${accepted.size} wrongly " +
+      s"accepted, ${harnessErrors.size} harness errors")
+    assert(harnessErrors.isEmpty,
+      s"harness faults (not rejections): ${harnessErrors.take(10).mkString("; ")}")
     assert(accepted.isEmpty,
       s"scripts ran clean but must be rejected: ${accepted.take(15).mkString(", ")}")
     assert(scripts.size >= 50, "negative list shrank below the round-9 bar")

@@ -25,14 +25,26 @@ class QtestSpec extends SparkSpec {
 
   private val refRoot = sys.env.getOrElse("GRAFT_REF_ROOT", "/root/reference")
 
-  private lazy val scripts: Seq[String] = {
+  private lazy val greenLines: Seq[String] = {
     val res = getClass.getResourceAsStream("/qtest_green.txt")
     require(res != null, "qtest_green.txt resource missing")
     val src = scala.io.Source.fromInputStream(res)(scala.io.Codec.UTF8)
-    try src.getLines().map(_.trim)
-      .filterNot(l => l.isEmpty || l.startsWith("#")).toList
+    try src.getLines().map(_.trim).toList
     finally src.close()
   }
+
+  private lazy val scripts: Seq[String] =
+    greenLines.filterNot(l => l.isEmpty || l.startsWith("#"))
+
+  /** The green list header declares the golden-checked result-set total
+    * ("# result-sets: N"); tools/census.py checks doc numbers against
+    * it, and THIS suite asserts it matches reality — one source of
+    * truth, enforced by one command (VERDICT r09 next-round #1/#3). */
+  private lazy val declaredResultSets: Int =
+    greenLines.collectFirst {
+      case l if l.matches("#\\s*result-sets:\\s*\\d+") =>
+        l.replaceAll("\\D", "").toInt
+    }.getOrElse(sys.error("qtest_green.txt missing '# result-sets: N'"))
 
   test("reference qtest scripts run verbatim and match golden outputs") {
     assume(new java.io.File(refRoot).isDirectory,
@@ -56,5 +68,8 @@ class QtestSpec extends SparkSpec {
           .getOrElse("no queries checked"))
     }.mkString)
     assert(results.size >= 50, "curated list shrank below the round-7 bar")
+    assert(checked == declaredResultSets,
+      s"golden-checked result sets: actual $checked != declared " +
+        s"$declaredResultSets — update '# result-sets:' in qtest_green.txt")
   }
 }

@@ -51,6 +51,37 @@ class StatsSpec extends SparkSpec {
       .collect().forall(_.getDouble(2) == 0.0))
   }
 
+  test("rankQuantiles: distributed selection path (above the sort " +
+      "threshold) is exact — identical to the sort path") {
+    // mixed shape: a big skewed group with heavy ties, a small group,
+    // and NULLs — the cases where bracket/boundary logic can go wrong
+    val rnd = new scala.util.Random(42)
+    val rows =
+      (1 to 40000).map(i => ("big", Some((rnd.nextInt(500) * 0.25)))) ++
+      (1 to 37).map(i => ("small", Some(i * 1.0))) ++
+      Seq(("big", None), ("small", None))
+    val df = rows.toDF("grp", "v")
+    val ps = Seq(
+      ("q05", BigDecimal("0.05")), ("med", BigDecimal("0.5")),
+      ("q99", BigDecimal("0.99")))
+    val sorted = Stats.rankQuantiles(df, "grp", "v", ps)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    spark.conf.set("spark.graft.stats.rankSortThreshold", "100")
+    try {
+      val selected = Stats.rankQuantiles(df, "grp", "v", ps)
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(selected == sorted,
+        s"selection path diverged: $selected vs $sorted")
+      // the full winsorize/robustScale/MAD envelope rides the same
+      // machinery — spot-check one composite on the selection path
+      val w = Stats.robustScale(df.filter(col("v").isNotNull), "grp", "v")
+      assert(w.filter(col("scaled").isNull).count() == 0)
+    } finally
+      spark.conf.unset("spark.graft.stats.rankSortThreshold")
+  }
+
   test("zscore: exact hand-computed standardization; zero variance → 0") {
     // g1: values 2, 4, 6 → mean 4, var = (4+16+36 - 144/3)/3 = 8/3
     val df = Seq(("g1", 2.0), ("g1", 4.0), ("g1", 6.0),

@@ -41,22 +41,49 @@ for f in sorted(by_file):
     t, o = by_file[f]
     print(f"  {f}: {t} ({o} oracled)")
 
-# qtest green-list census vs README (VERDICT r07 "what's wrong" #3: the
-# run-block count drifted two rounds running — now any README number
-# tagged as a qtest script count must equal the green list, or we fail)
+# qtest green-list census vs the docs (VERDICT r07 #3 and r09 #1/#4:
+# the script and result-set counts drifted by hand FOUR times across
+# README/COVERAGE/SURVEY — every doc number tagged as a qtest count
+# must now equal the green list / its declared result-set total).
+# The result-set total is declared in the green list's own header
+# ("# result-sets: N") and QtestSpec asserts the actual golden-checked
+# count equals it, so the suite pins the number census checks.
 REPO = os.path.join(os.path.dirname(__file__), "..")
 green_path = os.path.join(REPO, "src", "test", "resources", "qtest_green.txt")
-green = [l.strip() for l in open(green_path, encoding="utf-8")
+raw = open(green_path, encoding="utf-8").read().splitlines()
+green = [l.strip() for l in raw
          if l.strip() and not l.strip().startswith("#")]
 if len(set(green)) != len(green):
     sys.exit("qtest_green.txt contains duplicates")
-print(f"qtest green list: {len(green)} scripts")
+rs = [re.match(r"#\s*result-sets:\s*(\d+)", l.strip()) for l in raw]
+rs = [m for m in rs if m]
+if len(rs) != 1:
+    sys.exit("qtest_green.txt must declare exactly one '# result-sets: N'")
+result_sets = int(rs[0].group(1))
+neg_path = os.path.join(REPO, "src", "test", "resources", "qtest_negative.txt")
+negative = [l.strip() for l in open(neg_path, encoding="utf-8")
+            if l.strip() and not l.strip().startswith("#")]
+print(f"qtest green list: {len(green)} scripts, {result_sets} result sets; "
+      f"negative list: {len(negative)} scripts")
 
 drift = []
-readme = open(os.path.join(REPO, "README.md"), encoding="utf-8").read()
-for m in re.finditer(r"(\d+)(?:-script qtest gate| reference \.q scripts)", readme):
-    if int(m.group(1)) != len(green):
-        drift.append(f"README.md says '{m.group(0)}' but green list has {len(green)}")
+def check(doc, pattern, expect, what):
+    text = open(os.path.join(REPO, doc), encoding="utf-8").read()
+    for m in re.finditer(pattern, text):
+        if int(m.group(1)) != expect:
+            drift.append(f"{doc} says '{m.group(0)}' but {what} is {expect}")
+
+for doc in ("README.md", "COVERAGE.md", "SURVEY.md"):
+    check(doc, r"(\d+)(?:-script qtest gate| reference \.q scripts"
+               r"| reference qtest scripts)", len(green), "green list")
+    check(doc, r"(\d+) scripts / \d+ golden-checked", len(green), "green list")
+    check(doc, r"\d+ scripts / (\d+) golden-checked", result_sets,
+          "result-set total")
+    check(doc, r"\((\d+) result sets\)", result_sets, "result-set total")
+    check(doc, r"(\d+) (?:reference )?clientnegative scripts", len(negative),
+          "negative list")
+    check(doc, r"(\d+)-script clientnegative gate", len(negative),
+          "negative list")
 for d in drift:
     print("DRIFT:", d)
 
