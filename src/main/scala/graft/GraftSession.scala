@@ -751,6 +751,129 @@ object GraftSession {
     s.length - 1
   }
 
+  /** Hive evaluates navigation functions INSIDE a windowed aggregate —
+    * `sum(lag(x, k[, def])) over w` is legal HiveQL (ref ql/udf/ptf/
+    * WindowingTableFunction.java: lead/lag are evaluated against the
+    * partition BEFORE the aggregate consumes its frame). Spark rejects
+    * the nesting, so the front door restructures the statement into
+    * Hive's own evaluation order: an inner SELECT computes each nav
+    * value as a column, the outer SELECT aggregates it over the same
+    * window. Both windows keep their default frames — two streaming
+    * window passes over one shuffle, never a per-row partition
+    * materialization (the bounded implementation VERDICT r09 #8 asked
+    * for; the qtest runner's golden-gated collect_list fold remains
+    * only as a fallback for shapes this rewrite declines).
+    *
+    * Applies ONLY to the statically-safe shape: one top-level SELECT
+    * (no WITH / set ops / GROUP BY / HAVING / DISTINCT), aggregate in
+    * {sum, avg, min, max, count}, nav fn in {lag, lead}, frame-less
+    * ordered window. Returns None otherwise — the caller retries only
+    * after Spark already rejected, and rethrows the original error if
+    * this declines. */
+  private[graft] def hiveNestedNavFn(stmt0: String): Option[String] = {
+    var stmt = stmt0.replaceAll(";+\\s*$", "")
+    val lead = stmt.dropWhile(_.isWhitespace)
+    if (!lead.take(6).equalsIgnoreCase("select")) return None
+    if ("""(?is)^\s*select\s+distinct\b.*""".r.matches(stmt)) return None
+    if (Seq("union", "intersect", "except", "group", "having")
+        .exists(firstTopLevelToken(stmt, _) >= 0)) return None
+    // inline named windows so the whole statement can be re-scoped
+    val named = windowSpansNamed(stmt).collect { case (Some(n), o, c) =>
+      n -> stmt.substring(o + 1, c) }
+    named.foreach { case (n, spec) =>
+      stmt = stmt.replaceAll(
+        s"(?i)\\bover\\s+`?${java.util.regex.Pattern.quote(n)}`?(?![\\w])",
+        java.util.regex.Matcher.quoteReplacement(s"over ($spec)"))
+    }
+    if (named.nonEmpty) {
+      // the WINDOW clause is now dead — remove it
+      val wIdx = firstTopLevelToken(stmt, "window")
+      if (wIdx >= 0) {
+        var j = wIdx + 6
+        var end = wIdx
+        var more = true
+        while (more) {
+          more = false
+          while (j < stmt.length && stmt.charAt(j).isWhitespace) j += 1
+          while (j < stmt.length &&
+              (stmt.charAt(j).isLetterOrDigit || stmt.charAt(j) == '_')) j += 1
+          while (j < stmt.length && stmt.charAt(j).isWhitespace) j += 1
+          if (j + 2 <= stmt.length &&
+              stmt.substring(j, j + 2).equalsIgnoreCase("as")) {
+            var k = j + 2
+            while (k < stmt.length && stmt.charAt(k).isWhitespace) k += 1
+            if (k < stmt.length && stmt.charAt(k) == '(') {
+              val close = matchParen(stmt, k)
+              end = close + 1
+              var m = close + 1
+              while (m < stmt.length && stmt.charAt(m).isWhitespace) m += 1
+              if (m < stmt.length && stmt.charAt(m) == ',') {
+                j = m + 1; more = true
+              }
+            }
+          }
+        }
+        if (end > wIdx) stmt = stmt.substring(0, wIdx) + stmt.substring(end)
+      }
+    }
+    // find agg(nav(...)) over (spec) occurrences
+    val NestRe = """(?i)\b(sum|avg|min|max|count)\s*\(\s*(lag|lead)\s*\(""".r
+    val code = codeMask(stmt)
+    final case class Hit(start: Int, end: Int, agg: String, navExpr: String,
+      spec: String)
+    val hits = scala.collection.mutable.ArrayBuffer.empty[Hit]
+    NestRe.findAllMatchIn(stmt).foreach { m =>
+      if (code(m.start)) {
+        val aggOpen = stmt.indexOf('(', m.start)
+        val navOpen = m.end - 1
+        val navClose = matchParen(stmt, navOpen)
+        val aggClose = matchParen(stmt, aggOpen)
+        val tight = stmt.substring(navClose + 1, aggClose).trim.isEmpty
+        var j = aggClose + 1
+        while (j < stmt.length && stmt.charAt(j).isWhitespace) j += 1
+        if (tight && j + 4 <= stmt.length &&
+            stmt.substring(j, j + 4).equalsIgnoreCase("over")) {
+          var k = j + 4
+          while (k < stmt.length && stmt.charAt(k).isWhitespace) k += 1
+          if (k < stmt.length && stmt.charAt(k) == '(') {
+            val specClose = matchParen(stmt, k)
+            val spec = stmt.substring(k + 1, specClose)
+            val frameless = Seq("rows", "range")
+              .forall(firstTopLevelToken(spec, _) < 0)
+            val ordered = Seq("order", "sort")
+              .exists(firstTopLevelToken(spec, _) >= 0)
+            if (frameless && ordered)
+              hits += Hit(m.start, specClose + 1, m.group(1),
+                m.group(2) + stmt.substring(navOpen, navClose + 1), spec)
+          }
+        }
+      }
+    }
+    if (hits.isEmpty) return None
+    // split: SELECT <list> FROM <innerTail> [ORDER BY/LIMIT trail]
+    val fromIdx = firstTopLevelToken(stmt, "from")
+    if (fromIdx < 0) return None
+    if (hits.exists(_.end > fromIdx)) return None // nav in WHERE etc.
+    val tail = stmt.substring(fromIdx)
+    val trailIdx = Seq("order", "limit", "sort", "cluster", "distribute")
+      .map(firstTopLevelToken(tail, _)).filter(_ >= 0).minOption
+    val (innerTail, trail) = trailIdx match {
+      case Some(t) => (tail.substring(0, t), tail.substring(t))
+      case None => (tail, "")
+    }
+    val navDefs = hits.zipWithIndex.map { case (h, i) =>
+      s"${h.navExpr} over (${h.spec}) AS __graft_nav$i"
+    }
+    val sb = new StringBuilder(stmt.substring(0, fromIdx))
+    hits.zipWithIndex.sortBy(-_._1.start).foreach { case (h, i) =>
+      sb.replace(h.start, h.end,
+        s"${h.agg}(__graft_nav$i) over (${h.spec})")
+    }
+    val selHead = sb.toString
+    Some(s"$selHead FROM (SELECT *, ${navDefs.mkString(", ")} " +
+      s"$innerTail) __graft_nav_src $trail")
+  }
+
   /** Hive-1.2 semantic rejections Spark does not enforce — kept for
     * negative-surface parity (ref ql/src/test/queries/clientnegative):
     * TRANSFORM duplicate output alias (SemanticAnalyzer.java error
@@ -970,7 +1093,17 @@ object GraftSession {
         }
         spark.emptyDataFrame
       case other if isMultiInsert(other) => multiInsert(spark, other)
-      case other => spark.sql(other)
+      case other =>
+        try spark.sql(other)
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage.contains(
+                "WINDOW_FUNCTION_WITHOUT_OVER_CLAUSE") =>
+            // legal HiveQL: nav fn inside a windowed aggregate —
+            // restructure into Hive's evaluation order (see
+            // hiveNestedNavFn); rethrow Spark's error if declined
+            hiveNestedNavFn(other).map(spark.sql).getOrElse(throw e)
+        }
     }
   }
 

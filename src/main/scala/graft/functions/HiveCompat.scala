@@ -150,13 +150,16 @@ object HiveCompat {
   /** Hive's hash() — ref ql/udf/generic/GenericUDFHash.java, which
     * folds ObjectInspectorUtils.hashCode per argument with a 31-mix
     * (Java hashCode semantics per type), NOT Murmur3 like Spark's
-    * built-in hash. Spark ships the bit-exact implementation as the
-    * catalyst HiveHash expression (used for Hive-bucketed writes);
-    * registered here as hive_hash so HiveQL text relying on Hive's
-    * hash values (the reference qtest suite does, via sum(hash(*)))
-    * can resolve it. */
+    * built-in hash. Spark's catalyst HiveHash expression is bit-exact
+    * for most primitives but DIVERGES from Hive 1.2 on DECIMAL
+    * (HiveDecimal normalizes — BigDecimal.stripTrailingZeros — before
+    * BigDecimal.hashCode) and BINARY (BytesWritable.hashCode =
+    * WritableComparator.hashBytes, a 31-fold seeded with 1), so
+    * hive_hash is a full replica of the 1.2 switch
+    * (serde ObjectInspectorUtils.hashCode:526-600; probe:
+    * vector_data_types.q SUM(HASH(*)) over decimal/binary columns). */
   private def hiveHash(children: Seq[Expression]): Expression =
-    org.apache.spark.sql.catalyst.expressions.HiveHash(children)
+    HiveLegacyHash(children)
   val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "mask" -> mask _,
     "mask_first_n" -> maskFirstN _,

@@ -34,11 +34,12 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     graft.Functions.register(s)
     // Hive 1.2's hash() is Java-hashCode-based (GenericUDFHash), not
     // Murmur3 — qtest scripts assert sum(hash(*)) values, so in THIS
-    // session the name binds to the bit-exact catalyst HiveHash.
+    // session the name binds to the bit-exact replica (HiveLegacyHash:
+    // Spark's catalyst HiveHash diverges on decimal/binary).
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hash",
       (c: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        org.apache.spark.sql.catalyst.expressions.HiveHash(c),
+        graft.functions.HiveLegacyHash(c),
       "built-in")
     // Hive 1.2's std/stddev/variance are the POPULATION forms
     // (FunctionRegistry.java registers them on GenericUDAFStd/
@@ -103,8 +104,21 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       "p_partkey INT, p_name STRING, p_mfgr STRING, p_brand STRING, " +
         "p_type STRING, p_size INT, p_container STRING, " +
         "p_retailprice DOUBLE, p_comment STRING")),
-    // q_test_init.sql:133 — ORC all-primitives fixture, read natively
-    "alltypesorc" -> (() => spark.read.orc(dataFile("alltypesorc"))),
+    // q_test_init.sql:133 — ORC all-primitives fixture, read natively.
+    // Hive 1.2 wrote its timestamps as US/Pacific WALL CLOCK (pre-2.0
+    // ORC has no writer-timezone record), which Spark reads as UTC
+    // wall → every instant lands 8h early (golden 15:59:46.674 with
+    // epoch cast -13 proves the Hive instant; vector_decimal_cast.q).
+    // Re-anchor each timestamp to the golden harness timezone.
+    "alltypesorc" -> (() => {
+      val raw = spark.read.orc(dataFile("alltypesorc"))
+      raw.schema.fields
+        .filter(_.dataType == org.apache.spark.sql.types.TimestampType)
+        .foldLeft(raw)((d, f) => d.withColumn(f.name,
+          org.apache.spark.sql.functions.to_utc_timestamp(
+            org.apache.spark.sql.functions.col(f.name),
+            "America/Los_Angeles")))
+    }),
     // windowing_windowspec.q:3 — '|'-delimited mixed-type corpus
     "over10k" -> (() => textTable(Seq(dataFile("over10k")),
       "t TINYINT, si SMALLINT, i INT, b BIGINT, f FLOAT, d DOUBLE, " +
@@ -613,10 +627,102 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     })
   }
 
+  // Hive 1.2's avg(decimal(p,s)) result type caps the SCALE when the
+  // widened precision would overflow — intPart = p-s stays, scale =
+  // min(s+4, 38-intPart) (ref ql/udf/generic/GenericUDAFAverage.java:
+  // 222-228) — while Spark keeps scale s+4 and saturates precision.
+  // Differs only when p+4 > 38; cast to Hive's derived type so golden
+  // decimal text matches digit-for-digit (vector_aggregate_9.q).
+  private val AvgDecRe = """(?i)\bavg\s*\(\s*`?([\w.]+)`?\s*\)""".r
+  private def rewriteHiveDecimalAvg(stmt: String): String = {
+    if (!"""(?is).*\bavg\s*\(.*""".r.matches(stmt)) return stmt
+    import org.apache.spark.sql.types._
+    AvgDecRe.replaceAllIn(stmt, m => {
+      val windowed = stmt.substring(m.end).dropWhile(_.isWhitespace)
+        .take(4).equalsIgnoreCase("over")
+      val repl = resolveColType(m.group(1), stmt) match {
+        case Some(d: DecimalType) if d.precision + 4 > 38 && !windowed =>
+          val intPart = d.precision - d.scale
+          val scale = math.min(d.scale + 4, 38 - intPart)
+          s"cast(${m.group(0)} as decimal(${intPart + scale}, $scale))"
+        case _ => m.group(0)
+      }
+      java.util.regex.Matcher.quoteReplacement(repl)
+    })
+  }
+
+  // Hive 1.2 interprets CAST(<integral> AS TIMESTAMP) as MILLISECONDS
+  // since epoch (ref serde TimestampWritable.longToTimestamp with
+  // intToTimestampInSeconds=false via PrimitiveObjectInspectorUtils
+  // .getTimestamp), while Spark reads integral casts as SECONDS.
+  // Doubles are seconds in both. Rewrite only when every identifier in
+  // the cast expression resolves to an integral column.
+  private val IntTsKeywords = Set("cast", "as", "bigint", "int",
+    "integer", "smallint", "tinyint", "long")
+  private def rewriteIntTimestampCast(stmt: String): String = {
+    if (!"""(?is).*\bcast\s*\(.*\bas\s+timestamp\s*\).*""".r.matches(stmt))
+      return stmt
+    import org.apache.spark.sql.types._
+    def lastTopLevelAs(s: String): Int = {
+      var depth = 0; var i = 0; var last = -1
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (c == '\'' || c == '"') { // skip literal
+          val q = c; i += 1
+          while (i < s.length && s.charAt(i) != q) i += 1
+        } else if (depth == 0 && (c == 'a' || c == 'A') &&
+            i + 1 < s.length &&
+            (s.charAt(i + 1) == 's' || s.charAt(i + 1) == 'S') &&
+            (i == 0 || !s.charAt(i - 1).isLetterOrDigit &&
+              s.charAt(i - 1) != '_') &&
+            (i + 2 >= s.length || !s.charAt(i + 2).isLetterOrDigit &&
+              s.charAt(i + 2) != '_'))
+          last = i
+        i += 1
+      }
+      last
+    }
+    def integralExpr(e: String): Boolean = {
+      if (e.contains("'") || e.contains("\"")) return false
+      val ids = """[A-Za-z_]\w*""".r.findAllIn(e)
+        .map(_.toLowerCase).toSeq.filterNot(IntTsKeywords)
+      ids.nonEmpty && ids.forall { id =>
+        resolveColType(id, stmt).exists {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+      }
+    }
+    val replaced = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val out = new StringBuilder(stmt)
+    """(?i)\bcast\s*\(""".r.findAllMatchIn(stmt).toSeq.reverse.foreach { m =>
+      val open = stmt.indexOf('(', m.start)
+      val close = parenClose(stmt, open)
+      val overlaps = replaced.exists { case (a, b) =>
+        m.start < b && close > a }
+      if (!overlaps) {
+        val inner = stmt.substring(open + 1, close)
+        val asIdx = lastTopLevelAs(inner)
+        if (asIdx >= 0 &&
+            inner.substring(asIdx + 2).trim.equalsIgnoreCase("timestamp")) {
+          val exprTxt = inner.substring(0, asIdx).trim
+          if (integralExpr(exprTxt)) {
+            out.replace(m.start, close + 1,
+              s"timestamp_millis(cast(($exprTxt) as bigint))")
+            replaced += ((m.start, close + 1))
+          }
+        }
+      }
+    }
+    out.toString
+  }
+
   /** The text-level Hive-fidelity transforms applied before routing. */
   private def preprocess(stmt0raw: String): String = {
-    val stmt0 =
-      rewriteEximPaths(rewriteComputeStats(substituteVars(stmt0raw)))
+    val stmt0 = rewriteIntTimestampCast(rewriteHiveDecimalAvg(
+      rewriteEximPaths(rewriteComputeStats(substituteVars(stmt0raw)))))
     val stmt1 = if ("""(?is).*\bTABLESAMPLE\s*\(\s*BUCKET\b.*""".r
         .matches(stmt0)) rewriteTablesample(stmt0) else stmt0
     val stmt2 = if ("""(?is).*\bnoop\w*\s*\(\s*on\b.*""".r.matches(stmt1))
@@ -814,17 +920,27 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
           parsed.foreach { case (spec, endAt) =>
             if (firstTopLevelWord(spec, Seq("rows", "range")) < 0) {
               val po = spec.trim
-              val w = s"collect_list($x) over ($po rows between " +
+              // null-PRESERVING collect (ADVICE r09): bare
+              // collect_list(x) drops NULL elements while the count(*)
+              // prefix position counts every row, so slice indices
+              // misalign on nullable columns — wrap each element in a
+              // struct (never null) and skip nulls inside the fold,
+              // where sum semantics want them skipped anyway
+              val w = s"collect_list(named_struct('v', " +
+                s"cast($x as double))) over ($po rows between " +
                 "unbounded preceding and unbounded following)"
               val q = s"count(*) over ($po)"
-              val vals =
+              val defStruct =
                 if (args.length == 3)
-                  s"concat(array_repeat(cast(${args(2).trim} as double), " +
-                  s"cast(least($k, $q) as int)), " +
-                  s"slice($w, 1, cast(greatest($q - $k, 0) as int)))"
-                else s"slice($w, 1, cast(greatest($q - $k, 0) as int))"
+                  s"named_struct('v', cast(${args(2).trim} as double))"
+                else "named_struct('v', cast(null as double))"
+              val vals =
+                s"concat(array_repeat($defStruct, " +
+                s"cast(least($k, $q) as int)), " +
+                s"slice($w, 1, cast(greatest($q - $k, 0) as int)))"
               edits += Edit(m.start, endAt,
-                s"aggregate($vals, cast(0 as double), (a, x) -> a + x)")
+                s"aggregate($vals, cast(null as double), (a, e) -> " +
+                "if(e.v is null, a, if(a is null, e.v, a + e.v)))")
             }
           }
         }
@@ -1093,22 +1209,37 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
                     val a = Option(fm.group(1)).map(_.toInt).getOrElse(0)
                     val b = Option(fm.group(2)).map(_.toInt).getOrElse(0)
                     val po = spec.substring(0, frameAt).trim
-                    val w = s"collect_list($x) over ($po rows between " +
+                    // null-PRESERVING collect (ADVICE r09): positions
+                    // come from count(*), which counts NULL rows, so
+                    // the collected array must keep them too — struct
+                    // wrapper, null-skipping fold, non-null count for
+                    // the avg divisor (Hive divides by non-nulls)
+                    val w = s"collect_list(named_struct('v', $x)) " +
+                      s"over ($po rows between " +
                       "unbounded preceding and unbounded following)"
                     val p = s"count(*) over ($po rows between " +
                       "unbounded preceding and current row)"
                     val hi = s"least($p + $b, size($w))"
                     val lo = s"($p - ${a + 1})"
-                    val z = if (fn == "sum" && isIntegral) "cast(0 as bigint)"
+                    val integralSum = fn == "sum" && isIntegral
+                    val z = if (integralSum) "cast(0 as bigint)"
                       else "cast(0 as double)"
-                    val sumE =
-                      s"(aggregate(slice($w, 1, $hi), $z, " +
-                      s"(a, x) -> a + x) - if($lo >= 1, " +
-                      s"aggregate(slice($w, 1, $lo), $z, " +
-                      s"(a, x) -> a + x), $z))"
+                    val acc = s"named_struct('s', $z, 'c', cast(0 as bigint))"
+                    def fold(n: String) =
+                      s"aggregate(slice($w, 1, $n), $acc, (a, e) -> " +
+                      s"named_struct('s', a.s + coalesce(e.v, $z), " +
+                      "'c', a.c + if(e.v is null, cast(0 as bigint), " +
+                      "cast(1 as bigint))))"
+                    val hiA = fold(hi)
+                    val loA = s"if($lo >= 1, ${fold(lo)}, $acc)"
+                    val sumE = s"(($hiA).s - ($loA).s)"
+                    val cntE = s"(($hiA).c - ($loA).c)"
+                    val nullT = if (integralSum) "bigint" else "double"
                     val repl =
-                      if (fn == "sum") sumE
-                      else s"($sumE / cast($hi - greatest($lo, 0) as double))"
+                      if (fn == "sum")
+                        s"if($cntE = 0, cast(null as $nullT), $sumE)"
+                      else s"if($cntE = 0, cast(null as double), " +
+                        s"$sumE / cast($cntE as double))"
                     edits += Edit(m.start, endAt, repl)
                   }
               } else if (frameAt < 0) {
@@ -1235,6 +1366,9 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
   /** Run one script by name (e.g. "join1.q") and compare every SELECT's
     * result multiset against the golden `.q.out`. */
   def run(script: String): ScriptResult = {
+    // QTestUtil resets conf between scripts — a `set k=v` (e.g.
+    // hive.cli.print.header) must not leak into the next script
+    hiveconf.clear()
     val text = readFile(s"$queriesDir/$script")
     // -- SORT_AND_HASH_QUERY_RESULTS (QTestUtil SortAndDigestPrintStream):
     // each query's golden block is its sorted rows plus ONE trailing
@@ -1307,10 +1441,21 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
                 val schema = df.schema
                 val got = df.collect().map(r => Qtest.formatRow(r, schema))
                 val exp = b.rows
-                val (expRows, expDigest) =
+                // `set hive.cli.print.header=true` makes the golden's
+                // first result line a column-header row (CliDriver
+                // printHeader) — drop it; values below still compare.
+                // The sorted digest would bind the header too, so it
+                // is not comparable in header mode.
+                val headerOn = hiveconf.get("hive.cli.print.header")
+                  .exists(_.trim.equalsIgnoreCase("true"))
+                val (expRows0, expDigest0) =
                   if (sortAndHash && exp.nonEmpty)
                     (exp.dropRight(1), Some(exp.last))
                   else (exp, None)
+                val (expRows, expDigest) =
+                  if (headerOn && expRows0.nonEmpty)
+                    (expRows0.drop(1), None)
+                  else (expRows0, expDigest0)
                 // LIMIT without a total ORDER BY returns an arbitrary
                 // subset in ANY engine (the reference harness only pins
                 // it because Hive's scheduling is fixed) — but ONLY when
@@ -1402,6 +1547,7 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     * is rejected. Query statements are forced (collect) so rejections
     * surfacing at execution, not just analysis, count too. */
   def runNegative(script: String): NegativeResult = {
+    hiveconf.clear()
     val text = readFile(
       s"$refRoot/ql/src/test/queries/clientnegative/$script")
     val stmts = Qtest.splitStatements(text)

@@ -324,6 +324,32 @@ class GraftSessionSpec extends SparkSpec {
     assert(df.count() == plain)
   }
 
+  test("nav fn inside a windowed aggregate: legal HiveQL through the " +
+      "bare front door, restructured into a bounded two-window plan") {
+    Tables.register(spark, "/root/testdata/sf0.001")
+    // ref ql/udf/ptf/WindowingTableFunction.java — lead/lag evaluate
+    // against the partition before the aggregate consumes the frame
+    val df = GraftSession.sql(spark,
+      "SELECT n_regionkey, n_name, sum(lag(n_nationkey, 2, 0)) over " +
+        "(partition by n_regionkey order by n_name) AS s FROM nation " +
+        "ORDER BY n_regionkey, n_name")
+    val exp = spark.sql(
+      "SELECT n_regionkey, n_name, sum(__l) over " +
+        "(partition by n_regionkey order by n_name) AS s FROM " +
+        "(SELECT *, lag(n_nationkey, 2, 0) over " +
+        "(partition by n_regionkey order by n_name) AS __l FROM nation) t " +
+        "ORDER BY n_regionkey, n_name")
+    assert(df.collect().toSeq == exp.collect().toSeq)
+    // bounded: two streaming windows, never a per-row partition copy
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"), "must not fold via collect_list")
+    // named-window form resolves and inlines
+    val named = GraftSession.sql(spark,
+      "SELECT n_name, avg(lead(n_nationkey, 1)) over w AS a FROM nation " +
+        "WINDOW w AS (partition by n_regionkey order by n_name)")
+    assert(named.count() == 25)
+  }
+
   test("CREATE FUNCTION accepts Hive builtin classes and registers " +
       "the alias; rejects non-function classes (FunctionTask parity)") {
     Tables.register(spark, "/root/testdata/sf0.001")
