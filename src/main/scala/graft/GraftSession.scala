@@ -934,6 +934,34 @@ object GraftSession {
               "LINES TERMINATED BY only supports newline '\\n' right now")
         }
       }
+    // Hive caps CHAR at 255 and VARCHAR at 65535, minimum 1
+    // (serde typeinfo HiveChar.MAX_CHAR_LENGTH / HiveVarchar
+    // .MAX_VARCHAR_LENGTH; clientnegative invalid_char_length_*,
+    // invalid_varchar_length_*). Spark accepts any length.
+    """(?i)\b(char|varchar)\s*\(\s*(\d+)\s*\)""".r
+      .findAllMatchIn(blank).foreach { m =>
+        val n = m.group(2).toLong
+        val cap = if (m.group(1).equalsIgnoreCase("char")) 255L else 65535L
+        if (n < 1 || n > cap)
+          throw new IllegalArgumentException(
+            s"${m.group(1).toUpperCase} length $n out of allowed " +
+              s"range [1, $cap]")
+      }
+    // Hive only casts STRING/BINARY to BINARY (ErrorMsg
+    // INVALID_CAST_TO_BINARY, clientnegative invalid_cast_to_binary_*);
+    // Spark would happily emit the numeric's byte representation.
+    // Enforce the provable cases: a numeric literal, or a cast to a
+    // numeric type, directly under CAST(... AS BINARY).
+    """(?i)\bcast\s*\(\s*(\d+(?:\.\d+)?|cast\s*\([^()]*\)\s*)\s*as\s+binary\s*\)""".r
+      .findAllMatchIn(blank).foreach { m =>
+        val operand = m.group(1).trim
+        val numericInner = operand.matches("""\d+(\.\d+)?""") ||
+          """(?i)as\s+(tinyint|smallint|int|integer|bigint|float|double|decimal[^)]*)\s*\)\s*$"""
+            .r.findFirstIn(operand).isDefined
+        if (numericInner)
+          throw new IllegalArgumentException(
+            "CAST to BINARY is only allowed from string or binary types")
+      }
     // Hive validates the implementation class at CREATE FUNCTION time
     // (FunctionTask: the class must load and be a UDF/GenericUDF/UDAF/
     // GenericUDTF — clientnegative/create_function_nonudf_class.q);
@@ -1151,6 +1179,22 @@ object GraftSession {
         TableSink(mode.equalsIgnoreCase("OVERWRITE"), table,
           Option(partSpec), select)
       case other => sys.error(s"unsupported multi-insert clause: INSERT $other")
+    }
+    // Hive rejects the same output appearing twice in one multi-insert
+    // (SemanticAnalyzer ErrorMsg.OUTPUT_SPECIFIED_MULTIPLE_TIMES;
+    // clientnegative duplicate_insert1-3) — same (table, partition
+    // spec) or same directory
+    val sinkKeys = parsed.map {
+      case TableSink(_, table, part, _) =>
+        table.toLowerCase + part.map(p =>
+          "/" + p.toLowerCase.replaceAll("\\s+", "")).getOrElse("")
+      case DirSink(path, _) => "dir:" + path
+    }
+    sinkKeys.groupBy(identity).collectFirst {
+      case (k, v) if v.size > 1 => k
+    }.foreach { dup =>
+      throw new IllegalArgumentException(
+        s"The same output cannot be present multiple times: $dup")
     }
     // rebindable source? (single table/subquery, optionally aliased)
     val bind: Option[(String, Boolean)] = fromPart match {

@@ -37,11 +37,18 @@ object HiveCompat {
   }
 
   /** translate()-chain masking every char class: upper→X lower→x digit→n. */
-  private def maskAll(e: Expression, up: String, lo: String, dg: String): Expression = {
+  private def maskAll(e: Expression, up: String, lo: String, dg: String,
+      other: String = null): Expression = {
     def tr(in: Expression, from: String, to: String) =
       if (to == null) in
       else StringTranslate(in, Literal(from), Literal(to.head.toString * from.length))
-    tr(tr(tr(e, UPPER, up), LOWER, lo), DIGIT, dg)
+    val masked = tr(tr(tr(e, UPPER, up), LOWER, lo), DIGIT, dg)
+    // otherChar: every NON-alphanumeric character (ref GenericUDFMask
+    // transformChar default branch). The alnum-class replacements
+    // above emit alnum chars, so applying it afterwards is safe.
+    if (other == null) masked
+    else RegExpReplace(masked, Literal("[^\\p{L}\\p{Nd}]"),
+      Literal(java.util.regex.Matcher.quoteReplacement(other.head.toString)))
   }
 
   private def maskArgs(rest: Seq[Expression]): (String, String, String) = {
@@ -55,53 +62,163 @@ object HiveCompat {
     Substring(e, from, len)
   private val END = Literal(Int.MaxValue)
 
-  /** mask(str[, upper, lower, digit]) — whole-string mask. */
-  def mask(args: Seq[Expression]): Expression = {
-    val (up, lo, dg) = maskArgs(args.tail)
-    maskAll(args.head, up, lo, dg)
+  /** Constant int argument (accepts int literals and digit strings —
+    * Hive's getIntArg does both); `dflt` when absent. */
+  private def constInt(e: Expression, dflt: Int): Int = {
+    require(e.foldable, s"mask argument must be a constant, got $e")
+    val v = e.eval()
+    if (v == null) dflt
+    else
+      try v.toString.toInt
+      catch { case _: NumberFormatException => dflt }
   }
+
+  /** mask(value[, upper, lower, digit, other, number, day, month,
+    * year]) — full GenericUDFMask surface: strings mask by character
+    * class (incl. the non-alnum otherChar), integral types rebuild
+    * the value from `number` digits with the input type's overflow
+    * wrap (the reference accumulates in the narrow type), dates set
+    * day/month(0-based)/year(offset 1900) fields, -1 retaining each.
+    * Out-of-range args fall back to the reference defaults
+    * (GenericUDFMask.init). */
+  def mask(args: Seq[Expression]): Expression = {
+    val value = args.head
+    value.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        var num = if (args.length > 5) constInt(args(5), 1) else 1
+        if (num < 0 || num > 9) num = 1
+        // digits → num, rebuilt with the input type's wraparound
+        Cast(Cast(StringTranslate(Cast(value, StringType),
+          Literal(DIGIT), Literal(num.toString * 10)), LongType),
+          value.dataType)
+      case DateType =>
+        var day = if (args.length > 6) constInt(args(6), 1) else 1
+        if (day != -1 && (day < 1 || day > 31)) day = 1
+        var month = if (args.length > 7) constInt(args(7), 0) else 0
+        if (month != -1 && (month < 0 || month > 11)) month = 0
+        val year = if (args.length > 8) constInt(args(8), 0) else 0
+        def pick(masked: Int, offset: Int, orig: Expression): Expression =
+          if (masked == -1) orig else Literal(masked + offset)
+        MakeDate(
+          pick(year, 1900, Year(value)),
+          pick(month, 1, Month(value)),
+          pick(day, 0, DayOfMonth(value)))
+      case _ =>
+        val (up, lo, dg) = maskArgs(args.tail)
+        val other = if (args.length > 4) constChar(args(4), null) else null
+        maskAll(value, up, lo, dg, other)
+    }
+  }
+
+  private def maskedNumberArg(args: Seq[Expression], idx: Int): Int = {
+    var v = if (args.length > idx) constInt(args(idx), 1) else 1
+    if (v < 0 || v > 9) v = 1
+    v
+  }
+
+  /** Date transform shared by all mask variants (MaskTransformer
+    * .transform(Date)): day/month(0-based)/year(1900-offset) at
+    * `idx..idx+2`, -1 retains, out-of-range falls to defaults 1/0/0. */
+  private def maskDateExpr(value: Expression, args: Seq[Expression],
+      idx: Int): Expression = {
+    var day = if (args.length > idx) constInt(args(idx), 1) else 1
+    if (day != -1 && (day < 1 || day > 31)) day = 1
+    var month = if (args.length > idx + 1) constInt(args(idx + 1), 0) else 0
+    if (month != -1 && (month < 0 || month > 11)) month = 0
+    val year = if (args.length > idx + 2) constInt(args(idx + 2), 0) else 0
+    def pick(masked: Int, offset: Int, orig: Expression): Expression =
+      if (masked == -1) orig else Literal(masked + offset)
+    MakeDate(
+      pick(year, 1900, Year(value)),
+      pick(month, 1, Month(value)),
+      pick(day, 0, DayOfMonth(value)))
+  }
+
+  /** Integral transform for the N-variants: mask `k` digits from the
+    * first or last side with `num`, rebuilt with the input type's
+    * overflow wrap (ref MaskFirstNTransformer etc. accumulate in the
+    * narrow type). `fromShow` flips k to (digitCount - n) — the show
+    * variants mask the complement. */
+  private def maskIntegralDigits(value: Expression, num: Int,
+      firstSide: Boolean, fromShow: Boolean, n0: Expression): Expression = {
+    val n = Cast(n0, IntegerType)
+    val astr = Cast(Abs(Cast(value, LongType)), StringType)
+    val dc = Length(astr)
+    val k0 = if (fromShow) Subtract(dc, n) else n
+    val k = Greatest(Seq(Literal(0), Least(Seq(k0, dc))))
+    val repeatPart = StringRepeat(Literal(num.toString), k)
+    val digits =
+      if (firstSide)
+        Concat(Seq(repeatPart, Substring(astr, Add(k, Literal(1)), END)))
+      else
+        Concat(Seq(Substring(astr, Literal(1), Subtract(dc, k)), repeatPart))
+    val signed = Concat(Seq(
+      If(LessThan(Cast(value, LongType), Literal(0L)),
+        Literal("-"), Literal("")), digits))
+    Cast(Cast(signed, LongType), value.dataType)
+  }
+
+  private def maskN(args: Seq[Expression], firstSide: Boolean,
+      fromShow: Boolean)(stringImpl: => Expression): Expression =
+    args.head.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        maskIntegralDigits(args.head, maskedNumberArg(args, 6),
+          firstSide, fromShow, args(1))
+      case DateType => maskDateExpr(args.head, args, 7)
+      case _ => stringImpl
+    }
 
   /** mask_first_n(str, n, ...) — mask the first n chars, keep the rest. */
-  def maskFirstN(args: Seq[Expression]): Expression = {
-    val (e, n) = (args.head, args(1))
-    val (up, lo, dg) = maskArgs(args.drop(2))
-    Concat(Seq(
-      maskAll(substrTo(e, Literal(1), n), up, lo, dg),
-      substrTo(e, Add(n, Literal(1)), END)))
-  }
+  def maskFirstN(args: Seq[Expression]): Expression =
+    maskN(args, firstSide = true, fromShow = false) {
+      val (e, n) = (args.head, args(1))
+      val (up, lo, dg) = maskArgs(args.drop(2))
+      val other = if (args.length > 5) constChar(args(5), null) else null
+      Concat(Seq(
+        maskAll(substrTo(e, Literal(1), n), up, lo, dg, other),
+        substrTo(e, Add(n, Literal(1)), END)))
+    }
 
   /** mask_last_n(str, n, ...) — mask the last n chars, keep the rest. */
-  def maskLastN(args: Seq[Expression]): Expression = {
-    val (e, n) = (args.head, args(1))
-    val (up, lo, dg) = maskArgs(args.drop(2))
-    val len = Length(e)
-    If(LessThanOrEqual(len, n),
-      maskAll(e, up, lo, dg),
-      Concat(Seq(
-        substrTo(e, Literal(1), Subtract(len, n)),
-        maskAll(substrTo(e, Add(Subtract(len, n), Literal(1)), END), up, lo, dg))))
-  }
+  def maskLastN(args: Seq[Expression]): Expression =
+    maskN(args, firstSide = false, fromShow = false) {
+      val (e, n) = (args.head, args(1))
+      val (up, lo, dg) = maskArgs(args.drop(2))
+      val other = if (args.length > 5) constChar(args(5), null) else null
+      val len = Length(e)
+      If(LessThanOrEqual(len, n),
+        maskAll(e, up, lo, dg, other),
+        Concat(Seq(
+          substrTo(e, Literal(1), Subtract(len, n)),
+          maskAll(substrTo(e, Add(Subtract(len, n), Literal(1)), END),
+            up, lo, dg, other))))
+    }
 
   /** mask_show_first_n(str, n, ...) — keep first n chars, mask the rest. */
-  def maskShowFirstN(args: Seq[Expression]): Expression = {
-    val (e, n) = (args.head, args(1))
-    val (up, lo, dg) = maskArgs(args.drop(2))
-    Concat(Seq(
-      substrTo(e, Literal(1), n),
-      maskAll(substrTo(e, Add(n, Literal(1)), END), up, lo, dg)))
-  }
+  def maskShowFirstN(args: Seq[Expression]): Expression =
+    maskN(args, firstSide = false, fromShow = true) {
+      val (e, n) = (args.head, args(1))
+      val (up, lo, dg) = maskArgs(args.drop(2))
+      val other = if (args.length > 5) constChar(args(5), null) else null
+      Concat(Seq(
+        substrTo(e, Literal(1), n),
+        maskAll(substrTo(e, Add(n, Literal(1)), END), up, lo, dg, other)))
+    }
 
   /** mask_show_last_n(str, n, ...) — keep last n chars, mask the rest. */
-  def maskShowLastN(args: Seq[Expression]): Expression = {
-    val (e, n) = (args.head, args(1))
-    val (up, lo, dg) = maskArgs(args.drop(2))
-    val len = Length(e)
-    If(LessThanOrEqual(len, n),
-      e,
-      Concat(Seq(
-        maskAll(substrTo(e, Literal(1), Subtract(len, n)), up, lo, dg),
-        substrTo(e, Add(Subtract(len, n), Literal(1)), END))))
-  }
+  def maskShowLastN(args: Seq[Expression]): Expression =
+    maskN(args, firstSide = true, fromShow = true) {
+      val (e, n) = (args.head, args(1))
+      val (up, lo, dg) = maskArgs(args.drop(2))
+      val other = if (args.length > 5) constChar(args(5), null) else null
+      val len = Length(e)
+      If(LessThanOrEqual(len, n),
+        e,
+        Concat(Seq(
+          maskAll(substrTo(e, Literal(1), Subtract(len, n)), up, lo, dg,
+            other),
+          substrTo(e, Add(Subtract(len, n), Literal(1)), END))))
+    }
 
   /** mask_hash(str) — md5 hex digest (GenericUDFMaskHash). */
   def maskHash(args: Seq[Expression]): Expression =

@@ -23,18 +23,64 @@ import org.apache.spark.unsafe.types.UTF8String
   * bucket-pruning filters over fixture-sized data, never in the
   * 100 TB hot path (Warehouse bucketed writes use Spark's own layout).
   */
+/** Identity marker: tells HiveLegacyHash the wrapped string column is
+  * a declared CHAR/VARCHAR (Spark erases both to string, and the
+  * read-side padding projection drops the raw-type metadata), so it
+  * must take the Text-fold hash path. */
+case class HiveCharMark(child: Expression, varchar: Boolean)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def eval(input: InternalRow): Any = child.eval(input)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 case class HiveLegacyHash(children: Seq[Expression])
     extends Expression with CodegenFallback {
 
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = false
 
+  // CHAR/VARCHAR survive only as attribute METADATA on the string
+  // column (Spark's __CHAR_VARCHAR_TYPE_STRING): Hive hashes them as
+  // HiveCharWritable/HiveVarcharWritable — the Hadoop Text fold
+  // (seed 1), char on the STRIPPED value — not the string fold (seed 0)
+  private val RawTypeKey = "__CHAR_VARCHAR_TYPE_STRING"
+  private lazy val charKinds: Seq[Option[String]] = children.map {
+    case m: HiveCharMark => Some(if (m.varchar) "varchar" else "char")
+    case a: org.apache.spark.sql.catalyst.expressions.Attribute
+        if a.metadata.contains(RawTypeKey) =>
+      val raw = a.metadata.getString(RawTypeKey).toLowerCase
+      if (raw.startsWith("char")) Some("char")
+      else if (raw.startsWith("varchar")) Some("varchar") else None
+    case _ => None
+  }
+
   override def eval(input: InternalRow): Any = {
     var r = 0
-    children.foreach { c =>
-      r = 31 * r + hashValue(c.eval(input), c.dataType)
+    children.zip(charKinds).foreach { case (c, kind) =>
+      val v = c.eval(input)
+      val h = (v, kind) match {
+        case (null, _) => 0
+        case (s: UTF8String, Some("char")) =>
+          textFold(s.trimRight().getBytes)
+        case (s: UTF8String, Some("varchar")) => textFold(s.getBytes)
+        case _ => hashValue(v, c.dataType)
+      }
+      r = 31 * r + h
     }
     r
+  }
+
+  /** Hadoop Text.hashCode = WritableComparator.hashBytes (seed 1). */
+  private def textFold(bytes: Array[Byte]): Int = {
+    var h = 1
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    h
   }
 
   private def hashValue(v: Any, dt: DataType): Int = {

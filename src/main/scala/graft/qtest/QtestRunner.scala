@@ -41,6 +41,19 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       (c: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.HiveLegacyHash(c),
       "built-in")
+    // CHAR/VARCHAR hash markers (rewriteHashChars): the raw char type
+    // is metadata-only in Spark and the read-side padding projection
+    // drops it before hash() can see it
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "__char_mark",
+      (c: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.HiveCharMark(c.head, varchar = false),
+      "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "__varchar_mark",
+      (c: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.HiveCharMark(c.head, varchar = true),
+      "built-in")
     // Hive 1.2's std/stddev/variance are the POPULATION forms
     // (FunctionRegistry.java registers them on GenericUDAFStd/
     // GenericUDAFVariance); Spark's same-named functions are the SAMPLE
@@ -251,7 +264,21 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     spark.sql(s"CREATE TABLE ${quoteName(name)} ($allCols) " +
       s"USING parquet$partClause")
     val format = StoredAsRe.findFirstMatchIn(tail)
-      .map(_.group(1).toLowerCase).getOrElse("textfile")
+      .map(_.group(1).toLowerCase).getOrElse("textfile") match {
+      // STORED AS INPUTFORMAT '<class>' / ROW FORMAT SERDE '<class>'
+      // spell the format as the implementation class — map the known
+      // container formats back to their names
+      case "inputformat" =>
+        val t = tail.toLowerCase
+        if (t.contains("avrocontainerinputformat") ||
+          t.contains("avroserde")) "avro"
+        else if (t.contains("orcinputformat")) "orc"
+        else if (t.contains("parquet")) "parquet"
+        else if (t.contains("rcfileinputformat")) "rcfile"
+        else if (t.contains("sequencefileinputformat")) "sequencefile"
+        else "textfile"
+      case f => f
+    }
     tableMeta(name.toLowerCase) = TableMeta(delim, partNames, clusterCols,
       format)
   }
@@ -314,6 +341,16 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       case "orc" =>
         // ORC files carry their own schema; bind to the table by position
         val raw = spark.read.orc(resolved)
+        raw.select(raw.columns.zip(dataCols).map { case (c, f) =>
+          col(s"`$c`").cast(f.dataType).as(f.name) }.toIndexedSeq: _*)
+      case "avro" =>
+        // Avro container files also self-describe; bind by position
+        // (the clean-room reader in sources/Avro.scala)
+        val raw = graft.sources.Avro.read(spark, resolved)
+        raw.select(raw.columns.zip(dataCols).map { case (c, f) =>
+          col(s"`$c`").cast(f.dataType).as(f.name) }.toIndexedSeq: _*)
+      case "parquet" =>
+        val raw = spark.read.parquet(resolved)
         raw.select(raw.columns.zip(dataCols).map { case (c, f) =>
           col(s"`$c`").cast(f.dataType).as(f.name) }.toIndexedSeq: _*)
       case _ => textTable(Seq(resolved), ddl, meta.delim)
@@ -616,13 +653,17 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
   // which must reach the engine and be rejected there) pass through.
   private val EximPathRe =
     """(?is)\b(EXPORT\s+TABLE\s+[\w.]+(?:\s+PARTITION\s*\([^)]*\))?\s+TO|IMPORT\s+(?:EXTERNAL\s+)?(?:TABLE\s+[\w.]+(?:\s+PARTITION\s*\([^)]*\))?\s+)?FROM)\s+'([^']+)'""".r
+  // scoped per script: the reference harness wipes its scratch between
+  // scripts, so two scripts exporting to the same relative path must
+  // not see each other's output (EXPORT refuses a non-empty target)
+  private var eximScope: String = "global"
   private def rewriteEximPaths(stmt: String): String = {
     if (!"""(?is).*\b(EXPORT|IMPORT)\b.*""".r.matches(stmt)) return stmt
     EximPathRe.replaceAllIn(stmt, m => {
       val p = m.group(2)
       val q =
         if (p.startsWith("/") || p.contains("://") || p.startsWith("file:")) p
-        else s"$scratchDir/exim/$p"
+        else s"$scratchDir/exim/$eximScope/$p"
       java.util.regex.Matcher.quoteReplacement(s"${m.group(1)} '$q'")
     })
   }
@@ -719,10 +760,185 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     out.toString
   }
 
+  /** The raw char/varchar kind of a bare column, resolved against the
+    * statement's tables (the char type survives only as field
+    * metadata). */
+  private def charKindOf(colName: String, stmt: String): Option[String] = {
+    val all = (tableMeta.keys ++ fixtures.keys ++ viewSql.keys)
+      .toSeq.distinct
+    val inStmt = all.filter { t =>
+      val base = java.util.regex.Pattern.quote(t.split('.').last)
+      s"(?is).*(?<![\\w])$base(?![\\w]).*".r.matches(stmt)
+    }
+    val names = if (inStmt.nonEmpty) inStmt else all
+    names.flatMap { t =>
+      try spark.table(quoteName(t)).schema.fields
+        .find(_.name.equalsIgnoreCase(colName))
+        .flatMap { f =>
+          if (!f.metadata.contains("__CHAR_VARCHAR_TYPE_STRING")) None
+          else {
+            val raw = f.metadata
+              .getString("__CHAR_VARCHAR_TYPE_STRING").toLowerCase
+            if (raw.startsWith("varchar")) Some("varchar")
+            else if (raw.startsWith("char")) Some("char") else None
+          }
+        }
+      catch { case _: Exception => None }
+    }.headOption
+  }
+
+  /** Wrap CHAR/VARCHAR arguments of hash() in their marker functions
+    * (and expand hash(*) over a single-FROM-table statement) so
+    * HiveLegacyHash can take Hive's Text-fold path for them. */
+  private def rewriteHashChars(stmt: String): String = {
+    if (!"""(?is).*\bhash\s*\(.*""".r.matches(stmt)) return stmt
+    val out = new StringBuilder(stmt)
+    """(?i)\bhash\s*\(""".r.findAllMatchIn(stmt).toSeq.reverse.foreach { m =>
+      val open = stmt.indexOf('(', m.start)
+      val close = parenClose(stmt, open)
+      val inner = stmt.substring(open + 1, close).trim
+      val args: Option[Seq[String]] =
+        if (inner == "*") {
+          // expand only when the statement has exactly ONE from-table
+          val froms = """(?is)\bfrom\s+`?([\w.]+)`?""".r
+            .findAllMatchIn(stmt).map(_.group(1)).toSeq
+          if (froms.size != 1) None
+          else
+            try Some(spark.table(quoteName(froms.head))
+              .schema.fields.toSeq.map(f => s"`${f.name}`"))
+            catch { case _: Exception => None }
+        } else Some(splitCols(inner))
+      args.foreach { as =>
+        val wrapped = as.map { a =>
+          val bare = a.trim.replaceAll("^`|`$", "")
+          if (bare.matches("""[\w.]+"""))
+            charKindOf(bare.split('.').last, stmt) match {
+              case Some("char") => s"__char_mark($a)"
+              case Some("varchar") => s"__varchar_mark($a)"
+              case _ => a
+            }
+          else a
+        }
+        if (wrapped != as)
+          out.replace(m.start, close + 1, s"hash(${wrapped.mkString(", ")})")
+      }
+    }
+    out.toString
+  }
+
+  /** Hive 1.2 comparison-typing quirks against typed columns:
+    *  - DECIMAL vs FLOAT/DOUBLE literal: Hive routes the float through
+    *    its STRING form into HiveDecimal (HIVE-8745 era semantics), so
+    *    d = cast('0.22' as float) MATCHES d = 0.22 — Spark promotes
+    *    both to double and 0.22f misses. Rewrite the cast target to
+    *    decimal(38,18).
+    *  - DECIMAL IN ('0.22', ...): string list elements convert to
+    *    decimal in Hive; cast them.
+    *  - DATE vs INVALID date literal ('1970-02-29'): java.sql.Date
+    *    .valueOf is lenient and rolls over; Spark yields NULL. Roll
+    *    the literal. */
+  private def rewriteTypedCompares(stmt: String): String = {
+    import org.apache.spark.sql.types._
+    var out = stmt
+    val cmpFloat =
+      """(?i)([\w.]+)\s*(=|!=|<>|<=|>=|<|>)\s*cast\(\s*('[^']+')\s+as\s+(?:float|double)\s*\)""".r
+    out = cmpFloat.replaceAllIn(out, m => {
+      val repl = resolveColType(m.group(1).split('.').last, stmt) match {
+        case Some(_: DecimalType) =>
+          s"${m.group(1)} ${m.group(2)} cast(${m.group(3)} as decimal(38,18))"
+        case _ => m.group(0)
+      }
+      java.util.regex.Matcher.quoteReplacement(repl)
+    })
+    // IN lists mixing quoted, bare, and cast-float numerics: every
+    // element converts through HiveDecimal when the column is decimal
+    val inOpen = """(?i)\b([\w.]+)\s+in\s*\(""".r
+    val QuotedNum = """'(-?\d+(?:\.\d+)?)'""".r
+    val BareNum = """-?\d+(?:\.\d+)?""".r
+    val CastFloat =
+      """(?i)cast\(\s*('[^']+'|-?\d+(?:\.\d+)?)\s+as\s+(?:float|double)\s*\)""".r
+    val sbIn = new StringBuilder(out)
+    inOpen.findAllMatchIn(out).toSeq.reverse.foreach { m =>
+      val open = out.indexOf('(', m.end - 1)
+      val close = parenClose(out, open)
+      val body = out.substring(open + 1, close)
+      val isDec = resolveColType(m.group(1).split('.').last, stmt)
+        .exists(_.isInstanceOf[DecimalType])
+      if (isDec && !body.toLowerCase.contains("select")) {
+        val items = splitCols(body).map(_.trim)
+        val allNumeric = items.nonEmpty && items.forall {
+          case QuotedNum(_) | BareNum() | CastFloat(_) => true
+          case _ => false
+        }
+        val needs = items.exists {
+          case QuotedNum(_) | CastFloat(_) => true
+          case _ => false
+        }
+        if (allNumeric && needs) {
+          val wrapped = items.map {
+            case QuotedNum(n) => s"cast('$n' as decimal(38,18))"
+            case CastFloat(lit) => s"cast($lit as decimal(38,18))"
+            case other => other
+          }
+          sbIn.replace(m.start, close + 1,
+            s"${m.group(1)} in (${wrapped.mkString(", ")})")
+        }
+      }
+    }
+    out = sbIn.toString
+    val cmpDate =
+      """(?i)([\w.]+)\s*(=|!=|<>|<=|>=|<|>)\s*'(\d{4})-(\d{2})-(\d{2})'""".r
+    out = cmpDate.replaceAllIn(out, m => {
+      val repl = resolveColType(m.group(1).split('.').last, stmt) match {
+        case Some(DateType) =>
+          val (y, mo, d) =
+            (m.group(3).toInt, m.group(4).toInt, m.group(5).toInt)
+          val rolled =
+            try { java.time.LocalDate.of(y, mo, d); None }
+            catch { case _: java.time.DateTimeException =>
+              Some(java.time.LocalDate.of(y, mo, 1).plusDays(d - 1L)) }
+          rolled.map(r =>
+            s"${m.group(1)} ${m.group(2)} '$r'").getOrElse(m.group(0))
+        case _ => m.group(0)
+      }
+      java.util.regex.Matcher.quoteReplacement(repl)
+    })
+    out
+  }
+
+  // mask-family over a CHAR(N) value: Hive masks the PADDED value and
+  // returns char(255) — displayed space-padded to 255 (HiveChar max;
+  // udf_mask*.q goldens pin the width). Spark erases the char cast, so
+  // pad the input to N and the result to 255 explicitly.
+  private val MaskCharRe =
+    """(?i)\b(mask(?:_first_n|_last_n|_show_first_n|_show_last_n)?)\s*\(\s*cast\s*\(""".r
+  private def rewriteMaskChar(stmt: String): String = {
+    if (!"""(?is).*\bmask\w*\s*\(\s*cast\s*\(.*""".r.matches(stmt)) return stmt
+    val out = new StringBuilder(stmt)
+    MaskCharRe.findAllMatchIn(stmt).toSeq.reverse.foreach { m =>
+      val callOpen = stmt.indexOf('(', m.start + m.group(1).length)
+      val callClose = parenClose(stmt, callOpen)
+      val castOpen = stmt.indexOf('(', m.end - 1)
+      val castClose = parenClose(stmt, castOpen)
+      val inner = stmt.substring(castOpen + 1, castClose)
+      val CharTail = """(?is)(.*)\s+as\s+char\s*\(\s*(\d+)\s*\)\s*$""".r
+      inner match {
+        case CharTail(exprTxt, n) =>
+          val newArg = s"rpad(cast(($exprTxt) as string), $n, ' ')"
+          val newCall = stmt.substring(m.start, callOpen + 1) + newArg +
+            stmt.substring(castClose + 1, callClose + 1)
+          out.replace(m.start, callClose + 1, s"rpad($newCall, 255, ' ')")
+        case _ => ()
+      }
+    }
+    out.toString
+  }
+
   /** The text-level Hive-fidelity transforms applied before routing. */
   private def preprocess(stmt0raw: String): String = {
-    val stmt0 = rewriteIntTimestampCast(rewriteHiveDecimalAvg(
-      rewriteEximPaths(rewriteComputeStats(substituteVars(stmt0raw)))))
+    val stmt0 = rewriteTypedCompares(rewriteMaskChar(rewriteHashChars(
+      rewriteIntTimestampCast(rewriteHiveDecimalAvg(
+        rewriteEximPaths(rewriteComputeStats(substituteVars(stmt0raw))))))))
     val stmt1 = if ("""(?is).*\bTABLESAMPLE\s*\(\s*BUCKET\b.*""".r
         .matches(stmt0)) rewriteTablesample(stmt0) else stmt0
     val stmt2 = if ("""(?is).*\bnoop\w*\s*\(\s*on\b.*""".r.matches(stmt1))
@@ -1369,6 +1585,7 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     // QTestUtil resets conf between scripts — a `set k=v` (e.g.
     // hive.cli.print.header) must not leak into the next script
     hiveconf.clear()
+    eximScope = script.stripSuffix(".q").replaceAll("[^A-Za-z0-9_]", "_")
     val text = readFile(s"$queriesDir/$script")
     // -- SORT_AND_HASH_QUERY_RESULTS (QTestUtil SortAndDigestPrintStream):
     // each query's golden block is its sorted rows plus ONE trailing
@@ -1548,6 +1765,7 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     * surfacing at execution, not just analysis, count too. */
   def runNegative(script: String): NegativeResult = {
     hiveconf.clear()
+    eximScope = "neg_" + script.stripSuffix(".q").replaceAll("[^A-Za-z0-9_]", "_")
     val text = readFile(
       s"$refRoot/ql/src/test/queries/clientnegative/$script")
     val stmts = Qtest.splitStatements(text)
@@ -1560,8 +1778,19 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       var i = 0
       while (i < stmts.length) {
         try {
-          val (_, res) = execute(stmts(i))
-          res.foreach(_.collect())
+          // the positive runner IGNORES EXPLAIN/DESCRIBE/SHOW (their
+          // goldens are plan text), but for the negative surface they
+          // are often the rejecting statement (show_tables_bad*,
+          // describe_xpath*, explain-wrapped invalid queries) — run
+          // them for real here
+          val head = Qtest.stripComments(preprocess(stmts(i))).trim
+            .split("\\s+", 2).headOption.getOrElse("").toUpperCase
+          if (Set("EXPLAIN", "DESCRIBE", "DESC", "SHOW").contains(head))
+            graft.GraftSession.sql(spark, preprocess(stmts(i))).collect()
+          else {
+            val (_, res) = execute(stmts(i))
+            res.foreach(_.collect())
+          }
         } catch {
           // the runner's own routing faults (unmapped builtin alias)
           // are harness errors, not engine rejections — letting them

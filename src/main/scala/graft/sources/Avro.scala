@@ -49,7 +49,19 @@ object Avro {
     case Schema.Type.DOUBLE  => (DoubleType, false)
     case Schema.Type.BOOLEAN => (BooleanType, false)
     case Schema.Type.STRING  => (StringType, false)
-    case Schema.Type.BYTES   => (BinaryType, false)
+    case Schema.Type.BYTES   =>
+      // AvroSerDe maps the decimal logical type (bytes carrying the
+      // big-endian unscaled value) to DECIMAL(p,s) — ref serde avro
+      // AvroDeserializer (HIVE-7174 Avro 1.7 era reads the props from
+      // the schema JSON rather than LogicalTypes)
+      (Option(s.getObjectProp("logicalType")) match {
+        case Some("decimal") =>
+          val p = s.getObjectProp("precision").asInstanceOf[Number].intValue
+          val sc = Option(s.getObjectProp("scale"))
+            .map(_.asInstanceOf[Number].intValue).getOrElse(0)
+          DecimalType(p, sc)
+        case _ => BinaryType
+      }, false)
     case Schema.Type.ARRAY =>
       val (et, en) = fieldType(s.getElementType)
       (ArrayType(et, en), false)
@@ -91,6 +103,18 @@ object Avro {
     case x => x
   }
 
+  /** Type-directed variant: decodes decimal-logical bytes into
+    * java.math.BigDecimal for DecimalType targets. */
+  private def fromAvroAs(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (b: ByteBuffer, d: DecimalType) =>
+      val a = new Array[Byte](b.remaining()); b.duplicate().get(a)
+      new java.math.BigDecimal(new java.math.BigInteger(a), d.scale)
+    case (a: Array[Byte], d: DecimalType) =>
+      new java.math.BigDecimal(new java.math.BigInteger(a), d.scale)
+    case _ => fromAvro(v)
+  }
+
   private def toAvro(v: Any): Any = v match {
     case null => null
     case b: Array[Byte] => ByteBuffer.wrap(b)
@@ -120,7 +144,8 @@ object Avro {
         def hasNext: Boolean = it.hasNext
         def next(): Row = {
           val rec = it.next()
-          Row.fromSeq(names.toIndexedSeq.map(n => fromAvro(rec.get(n))))
+          Row.fromSeq(struct.fields.toIndexedSeq.map(f =>
+            fromAvroAs(rec.get(f.name), f.dataType)))
         }
       }
     }
