@@ -195,7 +195,8 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     * parse RCFILE/SEQUENCEFILE/ORC fixture files with the matching
     * reader instead of the text serde). */
   private final case class TableMeta(delim: String, partCols: Seq[String],
-      clusterCols: Seq[String] = Nil, format: String = "textfile")
+      clusterCols: Seq[String] = Nil, format: String = "textfile",
+      storedBy: Boolean = false)
   private val tableMeta = scala.collection.mutable.Map.empty[String, TableMeta]
 
   private def unescapeDelim(s: String): String =
@@ -279,8 +280,12 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
         else "textfile"
       case f => f
     }
+    // STORED BY '<storage handler>' = a NON-NATIVE table (Hive
+    // rejects EXPORT on those — clientnegative exim_12)
+    val storedBy =
+      """(?is)STORED\s+BY\s+['"]""".r.findFirstIn(tail).isDefined
     tableMeta(name.toLowerCase) = TableMeta(delim, partNames, clusterCols,
-      format)
+      format, storedBy)
   }
 
   /** ALTER TABLE CHANGE COLUMN: Hive changes metadata and reinterprets
@@ -946,9 +951,21 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     hiveDoubleLiterals(stmt2)
   }
 
+  private val ExportTableRe =
+    """(?is)\s*EXPORT\s+TABLE\s+`?([\w.]+)`?\s+TO\b.*""".r
+
   /** Execute one statement; return its kind and result (for Query). */
   def execute(stmt0: String): (StmtKind, Option[DataFrame]) = {
     val stmt = preprocess(stmt0)
+    // ref ExportSemanticAnalyzer: a non-native (storage handler) table
+    // cannot be exported
+    stmt match {
+      case ExportTableRe(tbl)
+          if tableMeta.get(tbl.toLowerCase).exists(_.storedBy) =>
+        throw new IllegalArgumentException(
+          s"EXPORT is not supported for a non-native table $tbl")
+      case _ => ()
+    }
     val body = Qtest.stripComments(stmt).trim
     val head = body.split("\\s+", 2).headOption.getOrElse("").toUpperCase
     body match {
