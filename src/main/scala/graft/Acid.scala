@@ -659,12 +659,128 @@ object Acid {
       : DataFrame =
     snapshotWithRowIdAsOf(spark, path, asOf).drop("row__id")
 
+  // -- partition-granular mutation locks (round 10, VERDICT r08 #8) ----
+  // A read-modify-write whose WHERE pins EVERY partition column to a
+  // literal conflicts only with writers of that partition. Hierarchy
+  // (deadlock-free, strictly serializable):
+  //   partition writer: table lock { create intent } → partition lock
+  //     { allocate id + work } → delete intent
+  //   table-level RMW:  loop { table lock { if no live intents → work } }
+  // The table-level writer RELEASES the lock between retries, so a
+  // partition writer's brief table-lock needs (intent creation, write-id
+  // allocation) can always interleave — no deadly embrace. New intents
+  // can't appear during a table-level body (intent creation needs the
+  // table lock it holds). An intent is live while fresh (mtime) or while
+  // its partition's lock file heartbeats; a crashed partition writer's
+  // intent goes stale with its lock and is swept.
+  private val IntentDirName = "_txn_part_intents"
+
+  /** Partition directory (relative) when `where` pins every partition
+    * column with a top-level equality conjunct to a literal. */
+  private[graft] def pinnedPartition(
+      where: String, partCols: Seq[String]): Option[String] = {
+    if (partCols.isEmpty) return None
+    // OR / NOT / parens could widen the partition set — decline
+    if ("""(?is).*(\bor\b|\bnot\b|\(|\)).*""".r.matches(where)) return None
+    val EqRe = """(?i)`?(\w+)`?\s*=\s*(.+)""".r
+    val pins = scala.collection.mutable.Map.empty[String, String]
+    where.split("""(?i)\s+and\s+""").map(_.trim).foreach {
+      case EqRe(c, v) =>
+        partCols.find(_.equalsIgnoreCase(c)).foreach { pc =>
+          val lit = v.trim
+          val value =
+            if (lit.matches("'[^']*'") || lit.matches("\"[^\"]*\""))
+              Some(lit.substring(1, lit.length - 1))
+            else if (lit.matches("""-?\d+(\.\d+)?""")) Some(lit)
+            else None
+          value.foreach(x => pins.getOrElseUpdate(pc, x))
+        }
+      case _ => ()
+    }
+    if (partCols.forall(pins.contains)) {
+      val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName _
+      Some(partCols.map(c => s"${esc(c)}=${esc(pins(c))}").mkString("/"))
+    } else None
+  }
+
+  private def liveIntents(path: String): Seq[File] = {
+    val dir = new File(path, IntentDirName)
+    Option(dir.listFiles()).getOrElse(Array.empty[File]).filter { f =>
+      val age = System.currentTimeMillis() - f.lastModified()
+      if (age <= lockTtlMs) true
+      else {
+        val rel =
+          try new String(Files.readAllBytes(f.toPath), "UTF-8").trim
+          catch { case _: Exception => "" }
+        val plock = new File(new File(path, rel), LockName)
+        val alive = plock.exists() &&
+          System.currentTimeMillis() - plock.lastModified() <= lockTtlMs
+        if (!alive) { f.delete(); false } else true
+      }
+    }.toSeq
+  }
+
+  /** Table-scope read-modify-write: the table lock plus no live
+    * partition intents — released and retried while intents drain. */
+  private def withTableMutationLock[T](path: String)(f: => T): T = {
+    val deadline = System.nanoTime() + lockTimeoutMs * 1000000L
+    var out: Option[T] = None
+    while (out.isEmpty) {
+      out = withWriteLock(path) {
+        if (liveIntents(path).isEmpty) Some(f) else None
+      }
+      if (out.isEmpty) {
+        if (System.nanoTime() > deadline)
+          throw new IllegalStateException(
+            s"table-level ACID mutation on $path blocked by live " +
+              s"partition writer(s) beyond $lockTimeoutMs ms")
+        Thread.sleep(20)
+      }
+    }
+    out.get
+  }
+
+  /** Partition-scope read-modify-write: an intent under the table lock,
+    * then the work under the PARTITION's lock — same-partition writers
+    * serialize; other partitions and append-only txns run concurrently. */
+  private def withPartitionMutationLock[T](path: String, rel: String)
+      (f: => T): T = {
+    val intent = withWriteLock(path) {
+      val dir = new File(path, IntentDirName)
+      dir.mkdirs()
+      val fi = new File(dir, java.util.UUID.randomUUID().toString)
+      Files.write(fi.toPath, rel.getBytes("UTF-8"))
+      fi
+    }
+    try {
+      val partDir = new File(path, rel)
+      partDir.mkdirs()
+      lastMutationScope.set(s"partition:$rel")
+      withWriteLock(partDir.getPath)(f)
+    } finally intent.delete()
+  }
+
+  /** Test observability: scope taken by the most recent mutation on
+    * this thread ("table" or "partition:<rel>"). */
+  private[graft] val lastMutationScope = new ThreadLocal[String]
+
+  private def withMutationLock[T](path: String, where: String)
+      (f: => T): T =
+    pinnedPartition(where, partitionColsOf(path)) match {
+      case Some(rel) => withPartitionMutationLock(path, rel)(f)
+      case None =>
+        lastMutationScope.set("table")
+        withTableMutationLock(path)(f)
+    }
+
   /** UPDATE transaction: SQL simultaneous-assignment semantics (every SET
     * expression and the predicate see the PRE-update row), writing update
     * events that keep the original ROW__ID — O(matched rows), never a
     * table rewrite. */
   def updateTxn(spark: SparkSession, path: String,
-      sets: Map[String, String], where: String): Long = withWriteLock(path) {
+      sets: Map[String, String], where: String): Long =
+    withMutationLock(path, where) {
     val partCols = partitionColsOf(path)
     val cur = snapshotWithRowId(spark, path)
     val dataCols = cur.columns
@@ -704,7 +820,7 @@ object Acid {
     * NULL), matching `OrcRecordUpdater.delete`. NULL predicate keeps the
     * row (three-valued logic, as in `Warehouse.delete`). */
   def deleteTxn(spark: SparkSession, path: String, where: String): Long =
-    withWriteLock(path) {
+    withMutationLock(path, where) {
     val partCols = partitionColsOf(path)
     val cur = snapshotWithRowId(spark, path)
     val dataCols = cur.columns
@@ -743,7 +859,9 @@ object Acid {
       on: String,
       matched: Seq[Warehouse.MatchedClause],
       notMatched: Option[Warehouse.NotMatchedInsert],
-      marker: Option[String]): Long = withWriteLock(path) {
+      marker: Option[String]): Long = {
+    lastMutationScope.set("table")
+    withTableMutationLock(path) {
     require(matched.nonEmpty || notMatched.nonEmpty,
       "MERGE needs at least one WHEN clause")
     val partCols = partitionColsOf(path)
@@ -835,6 +953,7 @@ object Acid {
       publishEvents(events, path, partCols, deltaName(w, w), marker)
       w
     } finally { joined.unpersist(); () }
+  }
   }
 
   // ---- SQL registry (GraftSession.sql front door) ----

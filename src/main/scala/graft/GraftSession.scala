@@ -874,6 +874,27 @@ object GraftSession {
       s"$innerTail) __graft_nav_src $trail")
   }
 
+  /** Hive pipes TRANSFORM scripts TAB-delimited rows (ScriptOperator's
+    * default LazySimpleSerDe wire format); Spark's non-Hive transform
+    * defaults to  — so a script manipulating tabs (`tr \t _`,
+    * `cut -f2`) sees different bytes. Make Hive's default explicit on
+    * both sides unless the statement declares its own ROW FORMAT. */
+  private[graft] def hiveTransformDefaults(stmt: String): String = {
+    if (!"""(?is).*\bTRANSFORM\s*\(.*""".r.matches(stmt)) return stmt
+    if ("""(?is).*\bROW\s+FORMAT\b.*""".r.matches(stmt)) return stmt
+    // only the parenthesized-AS form carries a complete clause shape we
+    // can format on both sides; bare `AS a, b` stays on Spark defaults
+    if (!"""(?is).*\bUSING\s+'(?:\\.|[^'])*'\s+AS\s*\(.*""".r.matches(stmt))
+      return stmt
+    val RF = "ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\t' "
+    var out = """(?i)\bUSING\s+'""".r.replaceAllIn(stmt,
+      m => java.util.regex.Matcher.quoteReplacement(RF + m.group(0)))
+    out = """(?i)(\bUSING\s+'(?:\\.|[^'])*'\s+AS\s*\([^)]*\))""".r
+      .replaceAllIn(out,
+        m => java.util.regex.Matcher.quoteReplacement(m.group(1) + " " + RF))
+    out
+  }
+
   /** Hive-1.2 semantic rejections Spark does not enforce — kept for
     * negative-surface parity (ref ql/src/test/queries/clientnegative):
     * TRANSFORM duplicate output alias (SemanticAnalyzer.java error
@@ -1122,7 +1143,8 @@ object GraftSession {
         spark.emptyDataFrame
       case other if isMultiInsert(other) => multiInsert(spark, other)
       case other =>
-        try spark.sql(other)
+        val stmtT = hiveTransformDefaults(other)
+        try spark.sql(stmtT)
         catch {
           case e: org.apache.spark.sql.AnalysisException
               if e.getMessage.contains(
@@ -1130,7 +1152,7 @@ object GraftSession {
             // legal HiveQL: nav fn inside a windowed aggregate —
             // restructure into Hive's evaluation order (see
             // hiveNestedNavFn); rethrow Spark's error if declined
-            hiveNestedNavFn(other).map(spark.sql).getOrElse(throw e)
+            hiveNestedNavFn(stmtT).map(spark.sql).getOrElse(throw e)
         }
     }
   }
@@ -1164,9 +1186,20 @@ object GraftSession {
     val cuts = topLevelKeyword(stmt, "insert")
     val fromKw = stmt.toLowerCase.indexOf("from")
     val fromPart = stmt.substring(fromKw + 4, cuts.head).trim
+    // MAP/REDUCE clause forms are TRANSFORM synonyms (HiveParser.g
+    // selectClause: KW_MAP/KW_REDUCE selectExpressionList USING ... —
+    // identical semantics, mapreduce*.q)
+    val MapReduceRe =
+      ("""(?is)^((?:OVERWRITE|INTO)\s+TABLE\s+\S+""" +
+        """(?:\s*PARTITION\s*\([^)]*\))?\s+)(?:MAP|REDUCE)\s+(.*?)""" +
+        """\s+(USING\s+'.*)$""").r
     val clauses = (cuts :+ stmt.length).sliding(2).map {
       case Seq(a, b) => stmt.substring(a + 6, b).trim
-    }.toSeq
+    }.toSeq.map {
+      case MapReduceRe(head, exprs, rest) =>
+        s"${head}SELECT TRANSFORM ($exprs) $rest"
+      case c => c
+    }
     // each clause is a table sink or a directory sink (Hive
     // FileSinkOperator to a path — ref HiveParser.g destination)
     sealed trait Sink
@@ -1211,7 +1244,7 @@ object GraftSession {
           spliceFrom(select, fromText))
       case DirSink(path, select) =>
         writeDirectory(spark, path,
-          spark.sql(spliceFrom(select, fromText)))
+          spark.sql(hiveTransformDefaults(spliceFrom(select, fromText))))
     }
     bind match {
       case Some((name, isSubquery)) =>

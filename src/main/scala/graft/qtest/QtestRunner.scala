@@ -173,6 +173,12 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
   // makes for warehouse tables (Warehouse.scala).
   private val CreateTableRe =
     """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?([\w.]+)`?\s*\((.*)""".r
+  private val CreateLikeRe =
+    """(?is)\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?([\w.]+)`?\s+LIKE\s+`?([\w.]+)`?\s*(?:STORED\s+AS\s+\w+\s*)?(?:LOCATION\s+'[^']*'\s*)?(?:TBLPROPERTIES\s*\([^)]*\)\s*)?""".r
+  /** Partition columns of the partitioned FIXTURES (temp views carry no
+    * partitioning metadata of their own). */
+  private val FixturePartCols: Map[String, Seq[String]] =
+    Map("srcpart" -> Seq("ds", "hr"))
   private val CtasRe =
     ("""(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+""" +
       """(?:ROW\s+FORMAT\s+DELIMITED\s+(?:FIELDS\s+TERMINATED\s+BY\s+'(?:\\.|[^'])*'\s+)?(?:LINES\s+TERMINATED\s+BY\s+'(?:\\.|[^'])*'\s+)?)?""" +
@@ -939,11 +945,26 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     out.toString
   }
 
+  // TRANSFORM USING 'tr \t _': Hive splits the command on SPACES only
+  // and passes the (unescaped) TAB as its own argv element
+  // (exec/ScriptOperator splitArgs); Spark runs the command through
+  // bash, whose word splitting eats the bare tab. Quote whitespace
+  // escapes so bash delivers the same argv.
+  private def rewriteTransformTabArg(stmt: String): String =
+    if (!"""(?is).*\busing\s+["'][^"']*\\[tn][^"']*["'].*""".r.matches(stmt))
+      stmt
+    else """(?i)(\busing\s+)(['"])([^'"]*)(['"])""".r.replaceAllIn(stmt, m => {
+      val fixed = m.group(3).replaceAll(
+        """(?<=\s|^)\\([tn])(?=\s|$)""", """\\'\\$1\\'""")
+      java.util.regex.Matcher.quoteReplacement(
+        m.group(1) + m.group(2) + fixed + m.group(4))
+    })
+
   /** The text-level Hive-fidelity transforms applied before routing. */
   private def preprocess(stmt0raw: String): String = {
-    val stmt0 = rewriteTypedCompares(rewriteMaskChar(rewriteHashChars(
-      rewriteIntTimestampCast(rewriteHiveDecimalAvg(
-        rewriteEximPaths(rewriteComputeStats(substituteVars(stmt0raw))))))))
+    val stmt0 = rewriteTypedCompares(rewriteTransformTabArg(rewriteMaskChar(
+      rewriteHashChars(rewriteIntTimestampCast(rewriteHiveDecimalAvg(
+        rewriteEximPaths(rewriteComputeStats(substituteVars(stmt0raw)))))))))
     val stmt1 = if ("""(?is).*\bTABLESAMPLE\s*\(\s*BUCKET\b.*""".r
         .matches(stmt0)) rewriteTablesample(stmt0) else stmt0
     val stmt2 = if ("""(?is).*\bnoop\w*\s*\(\s*on\b.*""".r.matches(stmt1))
@@ -1011,6 +1032,30 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       case LoadRe(path, ovw, table, partSpec) =>
         loadData(path, table, ovw != null,
           Option(partSpec).map(parsePartitionSpec).getOrElse(Nil))
+        (Effect, None)
+      case CreateLikeRe(name, src) =>
+        // CREATE TABLE LIKE must replicate the source's PARTITIONING —
+        // fixtures are temp views, so partition columns come from
+        // runner metadata (load_dyn_part*: like srcpart)
+        val srcMeta = tableMeta.get(src.toLowerCase.split('.').last)
+        val partCols = srcMeta.map(_.partCols).filter(_.nonEmpty)
+          .orElse(FixturePartCols.get(src.toLowerCase.split('.').last))
+          .getOrElse(Nil)
+        if (spark.catalog.tableExists(name) &&
+            spark.catalog.getTable(name).isTemporary)
+          spark.catalog.dropTempView(name)
+        if (!spark.catalog.tableExists(name)) {
+          val schema = spark.table(quoteName(src)).schema
+          val colsDdl = schema.fields
+            .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+          val partClause =
+            if (partCols.isEmpty) ""
+            else s" PARTITIONED BY (${partCols.mkString(", ")})"
+          spark.sql(s"CREATE TABLE ${quoteName(name)} ($colsDdl) " +
+            s"USING parquet$partClause")
+          tableMeta(name.toLowerCase) = srcMeta
+            .getOrElse(TableMeta("", Nil)).copy(partCols = partCols)
+        }
         (Effect, None)
       case CtasRe(name, select) =>
         if (spark.catalog.tableExists(name) &&

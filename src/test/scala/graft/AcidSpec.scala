@@ -770,4 +770,51 @@ class AcidSpec extends SparkSpec {
       }
     }
   }
+
+  test("partition-granular mutation locks: disjoint-partition UPDATEs " +
+    "overlap; same-partition and table-level writers serialize") {
+    val t = tmpTable()
+    Acid.create(t)
+    Acid.insertTxn(spark, t, seed(8).withColumn("p", ($"k" % 2).cast("string")),
+      Seq("p"))
+    // a partition-pinning WHERE routes through the PARTITION lock
+    Acid.updateTxn(spark, t, Map("v" -> "v + 100"), "p = '0' and k < 100")
+    assert(Acid.lastMutationScope.get() == "partition:p=0",
+      s"scope: ${Acid.lastMutationScope.get()}")
+    // an unpinned WHERE stays on the table lock
+    Acid.updateTxn(spark, t, Map("v" -> "v + 1000"), "k >= 100")
+    assert(Acid.lastMutationScope.get() == "table")
+    // a pin hidden behind OR must NOT narrow the lock
+    Acid.deleteTxn(spark, t, "p = '1' or k > 1000")
+    assert(Acid.lastMutationScope.get() == "table")
+    // genuine overlap: hold partition p=0's lock on another thread; an
+    // update pinned to p=1 commits while p=0 is held — the old
+    // whole-table lock would park it for the full timeout
+    import scala.concurrent.{Await, Future, Promise}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val entered = Promise[Unit]()
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = Future(Acid.withWriteLock(new File(t, "p=0").getPath) {
+      entered.success(())
+      release.await(60, java.util.concurrent.TimeUnit.SECONDS)
+    })
+    Await.result(entered.future, 30.seconds)
+    val w = Acid.updateTxn(spark, t,
+      Map("s" -> "'updated'"), "p = '1' and k >= 0")
+    assert(Acid.lastMutationScope.get() == "partition:p=1")
+    assert(w > 0, "p=1 update must commit while p=0's lock is held")
+    release.countDown()
+    Await.result(holder, 60.seconds)
+    val snap = Acid.snapshot(spark, t)
+    assert(snap.filter($"p" === "1" && $"s" =!= "updated").count() == 0)
+    // pinnedPartition parsing unit surface
+    assert(Acid.pinnedPartition("p = '3' and k > 0", Seq("p"))
+      .contains("p=3"))
+    assert(Acid.pinnedPartition("ds = '2024-01-01' and hr = 11",
+      Seq("ds", "hr")).contains("ds=2024-01-01/hr=11"))
+    assert(Acid.pinnedPartition("k > 0", Seq("p")).isEmpty)
+    assert(Acid.pinnedPartition("p = '3' or k > 0", Seq("p")).isEmpty)
+    assert(Acid.pinnedPartition("p = k2", Seq("p")).isEmpty)
+  }
 }
