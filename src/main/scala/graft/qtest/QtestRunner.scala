@@ -41,6 +41,19 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       (c: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.HiveLegacyHash(c),
       "built-in")
+    // Hive's map_keys/map_values return an EMPTY list for a NULL map
+    // (GenericUDFMapKeys.evaluate clears the ret array first; nullMap.q)
+    Seq("map_keys", "map_values").foreach { fn =>
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        fn,
+        (c: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          import org.apache.spark.sql.catalyst.expressions._
+          val inner: Expression =
+            if (fn == "map_keys") MapKeys(c.head) else MapValues(c.head)
+          Coalesce(Seq(inner, CreateArray(Nil)))
+        },
+        "built-in")
+    }
     // CHAR/VARCHAR hash markers (rewriteHashChars): the raw char type
     // is metadata-only in Spark and the read-side padding projection
     // drops it before hash() can see it
@@ -79,16 +92,79 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     * on the serde delimiter (LazySimpleSerDe, default ^A), map Hive's
     * \N null marker, cast every field to the declared column type with
     * Hive's cast-failure→NULL semantics (ansi off). */
-  def textTable(paths: Seq[String], ddl: String, delim: String = ""): DataFrame = {
+  def textTable(paths: Seq[String], ddl: String, delim: String = "",
+      collDelim: String = "", mapDelim: String = ""): DataFrame = {
     val schema = StructType.fromDDL(ddl)
     val raw = spark.read.text(paths: _*)
     val d = java.util.regex.Pattern.quote(delim)
+    val ladder = sepLadder(collDelim, mapDelim)
     val cols = schema.fields.zipWithIndex.map { case (f, i) =>
       val s = element_at(split(col("value"), d, -1), i + 1)
-      when(s === "\\N", lit(null)).otherwise(s)
-        .cast(f.dataType).as(f.name)
+      parseTextField(s, f.dataType, 1, ladder).as(f.name)
     }
     raw.select(cols.toIndexedSeq: _*)
+  }
+
+  /** LazySimpleSerDe separator ladder beyond the field delimiter:
+    * collection delim (default ^B), map-key delim (default ^C), then
+    * bytes 4..8, 11, 14..26, 28..31 - skipping tab/newline/FF/CR/ESC
+    * (ref serde lazy LazySerDeParameters.collectSeparators). */
+  private def sepLadder(collDelim: String,
+      mapDelim: String): IndexedSeq[String] =
+    IndexedSeq(
+      if (collDelim.nonEmpty) collDelim else "\u0002",
+      if (mapDelim.nonEmpty) mapDelim else "\u0003") ++
+      (4 to 8).map(_.toChar.toString) ++ Seq(11.toChar.toString) ++
+      (14 to 26).map(_.toChar.toString) ++
+      (28 to 31).map(_.toChar.toString)
+
+  /** LazySimpleSerDe nested-type text parsing: collection items at
+    * nesting level L split on the ladder's L-th separator
+    * (create_nested_type.q, join_array.q, orc_create.q fixtures; maps
+    * consume two ladder slots — entries and key/value). */
+  private def parseTextField(s: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType, level: Int,
+      ladder: IndexedSeq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    def sep(l: Int) =
+      java.util.regex.Pattern.quote(ladder(math.min(l - 1, ladder.size - 1)))
+    dt match {
+      case ArrayType(et, _) =>
+        // \N = null at any nesting level; EMPTY text = zero elements
+        // (LazyArray; nullMap.q + create_nested_type.q pin both)
+        when(s.isNull || s === "\\N", lit(null))
+          .when(s === "", array().cast(ArrayType(et)))
+          .otherwise(transform(split(s, sep(level), -1),
+            x => parseTextField(x, et, level + 1, ladder)))
+      case MapType(kt, vt, _) =>
+        val entries = split(s, sep(level), -1)
+        when(s.isNull || s === "\\N", lit(null))
+          .when(s === "", map_from_arrays(
+            array().cast(org.apache.spark.sql.types.ArrayType(kt)),
+            array().cast(org.apache.spark.sql.types.ArrayType(vt))))
+          .otherwise(
+          map_from_entries(transform(entries, e => {
+            val kv = split(e, sep(level + 1), 2)
+            struct(
+              parseTextField(element_at(kv, 1), kt, level + 2, ladder)
+                .as("key"),
+              parseTextField(
+                when(size(kv) >= 2, element_at(kv, 2))
+                  .otherwise(lit(null)), vt, level + 2, ladder).as("value"))
+          })))
+      case StructType(fields) =>
+        // LazySimpleSerDe metadata lowercases struct field names
+        // (orc_create.q golden: textfile staging shows "a","b" for a
+        // STRUCT<A,B> declaration)
+        val parts = split(s, sep(level), -1)
+        when(s === "\\N" || s.isNull, lit(null)).otherwise(
+          struct(fields.zipWithIndex.map { case (f, i) =>
+            parseTextField(element_at(parts, i + 1), f.dataType,
+              level + 1, ladder).as(f.name.toLowerCase)
+          }.toIndexedSeq: _*))
+      case _ =>
+        when(s === "\\N", lit(null)).otherwise(s).cast(dt)
+    }
   }
 
   private val fixtures: Map[String, () => DataFrame] = Map(
@@ -187,6 +263,10 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     """(?is)PARTITIONED\s+BY\s*\(([^)]*)\)""".r
   private val FieldsTermRe =
     """(?is)FIELDS\s+TERMINATED\s+BY\s+'((?:\\.|[^'])*)'""".r
+  private val CollItemsRe =
+    """(?is)COLLECTION\s+ITEMS\s+TERMINATED\s+BY\s+'((?:\\.|[^'])*)'""".r
+  private val MapKeysRe =
+    """(?is)MAP\s+KEYS\s+TERMINATED\s+BY\s+'((?:\\.|[^'])*)'""".r
   private val ClusteredByRe =
     """(?is)CLUSTERED\s+BY\s*\(([^)]*)\)""".r
   private val StoredAsRe =
@@ -202,7 +282,8 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     * reader instead of the text serde). */
   private final case class TableMeta(delim: String, partCols: Seq[String],
       clusterCols: Seq[String] = Nil, format: String = "textfile",
-      storedBy: Boolean = false)
+      storedBy: Boolean = false, collDelim: String = "",
+      mapDelim: String = "")
   private val tableMeta = scala.collection.mutable.Map.empty[String, TableMeta]
 
   private def unescapeDelim(s: String): String =
@@ -291,7 +372,11 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     val storedBy =
       """(?is)STORED\s+BY\s+['"]""".r.findFirstIn(tail).isDefined
     tableMeta(name.toLowerCase) = TableMeta(delim, partNames, clusterCols,
-      format, storedBy)
+      format, storedBy,
+      CollItemsRe.findFirstMatchIn(tail)
+        .map(m => unescapeDelim(m.group(1))).getOrElse(""),
+      MapKeysRe.findFirstMatchIn(tail)
+        .map(m => unescapeDelim(m.group(1))).getOrElse(""))
   }
 
   /** ALTER TABLE CHANGE COLUMN: Hive changes metadata and reinterprets
@@ -364,7 +449,9 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
         val raw = spark.read.parquet(resolved)
         raw.select(raw.columns.zip(dataCols).map { case (c, f) =>
           col(s"`$c`").cast(f.dataType).as(f.name) }.toIndexedSeq: _*)
-      case _ => textTable(Seq(resolved), ddl, meta.delim)
+      case _ =>
+        textTable(Seq(resolved), ddl, meta.delim, meta.collDelim,
+          meta.mapDelim)
     }
     partition.foreach { case (k, v) =>
       val dt = full.fields.find(_.name.equalsIgnoreCase(k)).get.dataType
