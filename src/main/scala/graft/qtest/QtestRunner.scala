@@ -92,7 +92,7 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     * on the serde delimiter (LazySimpleSerDe, default ^A), map Hive's
     * \N null marker, cast every field to the declared column type with
     * Hive's cast-failure→NULL semantics (ansi off). */
-  def textTable(paths: Seq[String], ddl: String, delim: String = "",
+  def textTable(paths: Seq[String], ddl: String, delim: String = "\u0001",
       collDelim: String = "", mapDelim: String = ""): DataFrame = {
     val schema = StructType.fromDDL(ddl)
     val raw = spark.read.text(paths: _*)
@@ -257,8 +257,13 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     Map("srcpart" -> Seq("ds", "hr"))
   private val CtasRe =
     ("""(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+""" +
-      """(?:ROW\s+FORMAT\s+DELIMITED\s+(?:FIELDS\s+TERMINATED\s+BY\s+'(?:\\.|[^'])*'\s+)?(?:LINES\s+TERMINATED\s+BY\s+'(?:\\.|[^'])*'\s+)?)?""" +
-      """(?:STORED\s+AS\s+\w+\s+)?(?:TBLPROPERTIES\s*\([^)]*\)\s+)?AS\s+(SELECT\b.*|WITH\b.*)""").r
+      """(?:ROW\s+FORMAT\s+(?:DELIMITED\s+(?:FIELDS\s+TERMINATED\s+BY\s+'(?:\\.|[^'])*'\s+)?(?:LINES\s+TERMINATED\s+BY\s+'(?:\\.|[^'])*'\s+)?|SERDE\s+["'][^"']+["']\s+(?:WITH\s+SERDEPROPERTIES\s*\([^)]*\)\s+)?))?""" +
+      """(?:STORED\s+AS\s+(?:INPUTFORMAT\s+["'][^"']+["']\s+OUTPUTFORMAT\s+["'][^"']+["']|\w+)\s+)?""" +
+      """(?:LOCATION\s+'[^']*'\s+)?(?:TBLPROPERTIES\s*\([^)]*\)\s+)?AS\s+(SELECT\b.*|WITH\b.*)""").r
+  // CREATE TABLE whose schema comes from an avro.schema.literal
+  // TBLPROPERTY (AvroSerDe without a column list)
+  private val CreateAvroLiteralRe =
+    """(?is)\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?([\w.]+)`?\s+(?![\(]).*avro\.schema\.literal.*""".r
   private val PartitionedByRe =
     """(?is)PARTITIONED\s+BY\s*\(([^)]*)\)""".r
   private val FieldsTermRe =
@@ -283,7 +288,7 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
   private final case class TableMeta(delim: String, partCols: Seq[String],
       clusterCols: Seq[String] = Nil, format: String = "textfile",
       storedBy: Boolean = false, collDelim: String = "",
-      mapDelim: String = "")
+      mapDelim: String = "", fieldDefaults: Map[String, String] = Map.empty)
   private val tableMeta = scala.collection.mutable.Map.empty[String, TableMeta]
 
   private def unescapeDelim(s: String): String =
@@ -440,11 +445,32 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
         raw.select(raw.columns.zip(dataCols).map { case (c, f) =>
           col(s"`$c`").cast(f.dataType).as(f.name) }.toIndexedSeq: _*)
       case "avro" =>
-        // Avro container files also self-describe; bind by position
-        // (the clean-room reader in sources/Avro.scala)
+        // Avro container files self-describe. Bind by NAME when every
+        // file column matches a table column (schema evolution keeps
+        // names; new fields fill from reader-schema defaults —
+        // avro_partitioned/evolved_schemas), else by position.
         val raw = graft.sources.Avro.read(spark, resolved)
-        raw.select(raw.columns.zip(dataCols).map { case (c, f) =>
-          col(s"`$c`").cast(f.dataType).as(f.name) }.toIndexedSeq: _*)
+        val byName = raw.columns.forall(c =>
+          dataCols.exists(_.name.equalsIgnoreCase(c)))
+        def dflt(f: org.apache.spark.sql.types.StructField) =
+          (meta.fieldDefaults.get(f.name), f.dataType) match {
+            case (Some("[]"), at: org.apache.spark.sql.types.ArrayType) =>
+              array().cast(at).as(f.name)
+            case (d, _) => lit(d.orNull).cast(f.dataType).as(f.name)
+          }
+        if (byName)
+          raw.select(dataCols.map { f =>
+            raw.columns.find(_.equalsIgnoreCase(f.name)) match {
+              case Some(c) => col(s"`$c`").cast(f.dataType).as(f.name)
+              case None => dflt(f)
+            }
+          }.toIndexedSeq: _*)
+        else {
+          val bound = raw.columns.zip(dataCols).map { case (c, f) =>
+            col(s"`$c`").cast(f.dataType).as(f.name) }
+          val padded = dataCols.drop(raw.columns.length).map(dflt)
+          raw.select((bound ++ padded).toIndexedSeq: _*)
+        }
       case "parquet" =>
         val raw = spark.read.parquet(resolved)
         raw.select(raw.columns.zip(dataCols).map { case (c, f) =>
@@ -470,6 +496,8 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     """(?is)\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+['"]([^'"]+)['"]\s+(OVERWRITE\s+)?INTO\s+TABLE\s+`?([\w.]+)`?\s*(?:PARTITION\s*\(([^)]*)\))?\s*""".r
   private val AlterClusteredRe =
     """(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+(?:NOT\s+CLUSTERED|CLUSTERED\s+BY\s*\(([^)]*)\).*?INTO\s+\d+\s+BUCKETS)\s*""".r
+  private val AlterAvroSchemaRe =
+    """(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+SET\s+(?:TBLPROPERTIES|SERDE)\b.*""".r
   private val AlterFileFormatRe =
     """(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?(?:\s+PARTITION\s*\([^)]*\))?\s+SET\s+FILEFORMAT\s+(\w+)\s*""".r
   private val AlterChangeRe =
@@ -669,6 +697,7 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     re.replaceAllIn(stmt, m => {
       val v = (m.group(1), m.group(2)) match {
         case ("system", "test.tmp.dir") => scratchDir
+        case ("system", "hive.root") => scratchDir + "/"
         case ("system", "test.tmp.dir.uri") => "file://" + scratchDir
         case ("system", "test.warehouse.dir") => scratchDir + "/warehouse"
         case ("system", "test.dfs.mkdir") => "-mkdir -p"
@@ -1107,6 +1136,53 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
           TableMeta("", Nil))
         tableMeta(table.toLowerCase) = prev.copy(format = fmt.toLowerCase)
         (Effect, None)
+      case AlterAvroSchemaRe(table)
+          if body.contains("avro.schema.literal") =>
+        // schema EVOLUTION via a new reader schema: reshape the table
+        // to the new field list, filling added fields with their
+        // declared defaults for existing rows (AvroSerDe reader-schema
+        // semantics; avro_partitioned.q / avro_schema_evolution_native)
+        val lit2 = """(?is)avro\.schema\.literal'\s*=\s*'((?:\\.|[^'])*)'""".r
+          .findFirstMatchIn(body).map(_.group(1))
+          .getOrElse(sys.error("no avro.schema.literal"))
+        val avroSchema2 = new org.apache.avro.Schema.Parser().parse(lit2)
+        val newStruct = graft.sources.Avro.toStructType(avroSchema2)
+        import scala.jdk.CollectionConverters._
+        val defaults2: Map[String, String] =
+          avroSchema2.getFields.asScala.flatMap { f =>
+            Option(f.defaultVal()).collect {
+              case s: String => f.name -> s
+              case n: Number => f.name -> n.toString
+              case l: java.util.List[_] if l.isEmpty => f.name -> "[]"
+            }
+          }.toMap
+        val meta2 = tableMeta.getOrElse(table.toLowerCase,
+          TableMeta("", Nil))
+        val old2 = spark.table(quoteName(table))
+        val reshaped = old2.select((newStruct.fields.map { f =>
+          if (old2.columns.exists(_.equalsIgnoreCase(f.name)))
+            col(f.name).cast(f.dataType).as(f.name)
+          else (defaults2.get(f.name), f.dataType) match {
+            case (Some("[]"), at: ArrayType) => array().cast(at).as(f.name)
+            case (d, _) => lit(d.orNull).cast(f.dataType).as(f.name)
+          }
+        } ++ meta2.partCols.map(col)).toIndexedSeq: _*)
+        val rows2 = reshaped.collect()
+        spark.sql(s"DROP TABLE ${quoteName(table)}")
+        val ddl2 = (newStruct.fields.map(f =>
+          s"`${f.name}` ${f.dataType.sql}") ++
+          meta2.partCols.map(c => s"`$c` STRING")).mkString(", ")
+        val pc2 = if (meta2.partCols.isEmpty) ""
+          else s" PARTITIONED BY (${meta2.partCols.mkString(", ")})"
+        spark.sql(s"CREATE TABLE ${quoteName(table)} ($ddl2) " +
+          s"USING parquet$pc2")
+        if (rows2.nonEmpty)
+          spark.createDataFrame(
+            java.util.Arrays.asList(rows2: _*), reshaped.schema)
+            .write.insertInto(quoteName(table))
+        tableMeta(table.toLowerCase) =
+          meta2.copy(format = "avro", fieldDefaults = defaults2)
+        (Effect, None)
       case _ if """(?is)\s*ALTER\s+TABLE\s+\S+(\s+PARTITION\s*\([^)]*\))?\s+SET\s+(SERDE|SERDEPROPERTIES|FILEFORMAT)\b.*""".r
           .matches(body) =>
         // serde/fileformat are storage details the parquet realization
@@ -1119,6 +1195,42 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       case LoadRe(path, ovw, table, partSpec) =>
         loadData(path, table, ovw != null,
           Option(partSpec).map(parsePartitionSpec).getOrElse(Nil))
+        (Effect, None)
+      case CreateAvroLiteralRe(name)
+          if !"""(?is).*\bAS\s+SELECT\b.*""".r.matches(body) =>
+        val lit = """(?is)avro\.schema\.literal'\s*=\s*'((?:\\.|[^'])*)'""".r
+          .findFirstMatchIn(body).map(_.group(1))
+          .getOrElse(sys.error("avro.schema.literal not found"))
+        val avroSchema = new org.apache.avro.Schema.Parser().parse(lit)
+        val schema = graft.sources.Avro.toStructType(avroSchema)
+        // reader-schema defaults: old container files lacking a field
+        // take it from here (avro_evolved_schemas.q)
+        import scala.jdk.CollectionConverters._
+        val defaults: Map[String, String] =
+          avroSchema.getFields.asScala.flatMap { f =>
+            Option(f.defaultVal()).collect {
+              case s: String => f.name -> s
+              case n: Number => f.name -> n.toString
+              case l: java.util.List[_] if l.isEmpty => f.name -> "[]"
+            }
+          }.toMap
+        val partDefs = PartitionedByRe.findFirstMatchIn(body)
+          .map(m => splitCols(m.group(1))).getOrElse(Nil)
+        val partNames2 = partDefs.map(_.trim.split("\\s+").head)
+        if (spark.catalog.tableExists(name) &&
+            spark.catalog.getTable(name).isTemporary)
+          spark.catalog.dropTempView(name)
+        val colsDdl = (schema.fields
+          .map(f => s"`${f.name}` ${f.dataType.sql}") ++
+          partDefs.map(_.trim)).mkString(", ")
+        val partClause2 =
+          if (partNames2.isEmpty) ""
+          else s" PARTITIONED BY (${partNames2.mkString(", ")})"
+        spark.sql(s"CREATE TABLE IF NOT EXISTS ${quoteName(name)} " +
+          s"($colsDdl) USING parquet$partClause2")
+        tableMeta(name.toLowerCase) =
+          TableMeta("", partNames2, Nil, "avro",
+            fieldDefaults = defaults)
         (Effect, None)
       case CreateLikeRe(name, src) =>
         // CREATE TABLE LIKE must replicate the source's PARTITIONING —
@@ -1148,7 +1260,15 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
         if (spark.catalog.tableExists(name) &&
             spark.catalog.getTable(name).isTemporary)
           spark.catalog.dropTempView(name)
-        spark.sql(s"CREATE TABLE $name USING parquet AS $select")
+        val headEnd = body.toLowerCase.indexOf(" as ") match {
+          case -1 => body.length
+          case i => i
+        }
+        val ine =
+          if ("""(?is).*\bIF\s+NOT\s+EXISTS\b.*""".r
+              .matches(body.substring(0, headEnd))) "IF NOT EXISTS "
+          else ""
+        spark.sql(s"CREATE TABLE $ine$name USING parquet AS $select")
         // keep the declared serde details -- a later LOAD DATA into this
         // table must parse its fixture file with the matching reader
         val ctasHead = body.substring(0, body.length - select.length)

@@ -65,6 +65,12 @@ object Avro {
     case Schema.Type.ARRAY =>
       val (et, en) = fieldType(s.getElementType)
       (ArrayType(et, en), false)
+    case Schema.Type.MAP =>
+      val (vt, vn) = fieldType(s.getValueType)
+      (MapType(StringType, vt, vn), false)
+    case Schema.Type.RECORD => (toStructType(s), false)
+    case Schema.Type.ENUM => (StringType, false)
+    case Schema.Type.FIXED => (BinaryType, false)
     case other =>
       throw new IllegalArgumentException(s"unsupported avro type: $other")
   }
