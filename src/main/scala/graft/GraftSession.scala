@@ -1230,10 +1230,17 @@ object GraftSession {
         s"The same output cannot be present multiple times: $dup")
     }
     // rebindable source? (single table/subquery, optionally aliased)
-    val bind: Option[(String, Boolean)] = fromPart match {
+    // (bind name, is-subquery, alias-shadows-another-relation): an
+    // ALIAS equal to some existing temp view must NOT be mistaken for
+    // that view (FROM srcpart src — groupby_ppr.q: "src" is also a
+    // fixture view)
+    val bind: Option[(String, Boolean, Boolean)] = fromPart match {
       case SimpleFromRe(tbl, alias) =>
-        Some((Option(alias).getOrElse(tbl.split('.').last), false))
-      case SubqueryFromRe(_, alias) => Some((alias, true))
+        val name = Option(alias).getOrElse(tbl.split('.').last)
+        val aliased = Option(alias)
+          .exists(a => !a.equalsIgnoreCase(tbl.split('.').last))
+        Some((name, false, aliased))
+      case SubqueryFromRe(_, alias) => Some((alias, true, false))
       case _ => None
     }
     def runInserts(fromText: String): Unit = parsed.foreach {
@@ -1247,8 +1254,8 @@ object GraftSession {
           spark.sql(hiveTransformDefaults(spliceFrom(select, fromText))))
     }
     bind match {
-      case Some((name, isSubquery)) =>
-        val tempExists = spark.catalog.tableExists(name) &&
+      case Some((name, isSubquery, aliased)) =>
+        val tempExists = !aliased && spark.catalog.tableExists(name) &&
           spark.catalog.getTable(name).isTemporary
         if (tempExists && !isSubquery) {
           // the source IS already a temp view — cache it in place

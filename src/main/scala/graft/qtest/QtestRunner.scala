@@ -331,7 +331,8 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     (rest.substring(0, i - 1), rest.substring(i))
   }
 
-  private def createTable(name: String, colBody: String, tail: String): Unit = {
+  private def createTable(name: String, colBody: String, tail: String,
+      ifNotExists: Boolean = false): Unit = {
     // Hive rejects any line terminator except '\n' (ErrorMsg
     // .LINES_TERMINATED_BY_NON_NEWLINE; clientnegative/line_terminator.q)
     """(?is)\bLINES\s+TERMINATED\s+BY\s+'((?:\\.|[^'])*)'""".r
@@ -354,7 +355,8 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       spark.catalog.dropTempView(name)
     val partClause =
       if (partNames.isEmpty) "" else s" PARTITIONED BY (${partNames.mkString(", ")})"
-    spark.sql(s"CREATE TABLE ${quoteName(name)} ($allCols) " +
+    val ine2 = if (ifNotExists) "IF NOT EXISTS " else ""
+    spark.sql(s"CREATE TABLE $ine2${quoteName(name)} ($allCols) " +
       s"USING parquet$partClause")
     val format = StoredAsRe.findFirstMatchIn(tail)
       .map(_.group(1).toLowerCase).getOrElse("textfile") match {
@@ -1112,6 +1114,15 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
           """(?is)^\s*set\s+([\w.:]+)\s*=\s*(.*?)\s*$""".r
             .findFirstMatchIn(body)
             .foreach(m => hiveconf(m.group(1)) = m.group(2))
+        // USE actually switches the session database (show_tables.q
+        // creates same-named tables in two databases); cleanup is the
+        // run()-level scriptDbs sweep + default reset
+        if (head == "USE")
+          """(?is)^\s*use\s+`?([\w]+)`?\s*$""".r.findFirstMatchIn(body)
+            .foreach { m =>
+              try spark.catalog.setCurrentDatabase(m.group(1))
+              catch { case _: Exception => () }
+            }
         (NoBlock, None)
       case _ if head == "EXPLAIN" || head == "DESCRIBE" || head == "DESC" ||
           head == "SHOW" => (Ignored, None)
@@ -1281,7 +1292,8 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
         (Effect, None)
       case CreateTableRe(name, rest) =>
         val (colBody, tail) = splitAtMatchingParen(rest)
-        createTable(name, colBody, tail)
+        createTable(name, colBody, tail,
+          ifNotExists = """(?is)\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+IF\s+NOT\s+EXISTS\b.*""".r.matches(body))
         (Effect, None)
       case DropTableRe(name) =>
         spark.sql(s"DROP TABLE IF EXISTS ${quoteName(name)}")
