@@ -48,6 +48,11 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
         fn,
         (c: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
           import org.apache.spark.sql.catalyst.expressions._
+          // GenericUDFMapKeys/MapValues: exactly one argument
+          // (clientnegative/udf_map_keys_arg_num.q)
+          if (c.size != 1)
+            throw new IllegalArgumentException(
+              s"The function ${fn.toUpperCase} only accepts 1 argument.")
           val inner: Expression =
             if (fn == "map_keys") MapKeys(c.head) else MapValues(c.head)
           Coalesce(Seq(inner, CreateArray(Nil)))
@@ -349,15 +354,6 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     val clusterCols = ClusteredByRe.findFirstMatchIn(tail)
       .map(m => m.group(1).split(",").map(_.trim).toSeq).getOrElse(Nil)
     val allCols = (splitCols(colBody) ++ partColDefs).mkString(", ")
-    // a fixture temp view with this name would shadow the new table
-    if (spark.catalog.tableExists(name) &&
-        spark.catalog.getTable(name).isTemporary)
-      spark.catalog.dropTempView(name)
-    val partClause =
-      if (partNames.isEmpty) "" else s" PARTITIONED BY (${partNames.mkString(", ")})"
-    val ine2 = if (ifNotExists) "IF NOT EXISTS " else ""
-    spark.sql(s"CREATE TABLE $ine2${quoteName(name)} ($allCols) " +
-      s"USING parquet$partClause")
     val format = StoredAsRe.findFirstMatchIn(tail)
       .map(_.group(1).toLowerCase).getOrElse("textfile") match {
       // STORED AS INPUTFORMAT '<class>' / ROW FORMAT SERDE '<class>'
@@ -378,6 +374,43 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     // rejects EXPORT on those — clientnegative exim_12)
     val storedBy =
       """(?is)STORED\s+BY\s+['"]""".r.findFirstIn(tail).isDefined
+    // LazySimpleSerDe caps complex-type nesting at 7 levels — 24 only
+    // with the extend-nesting serde property (serde2/lazy/
+    // LazySimpleSerDe initSerdeParams separator array;
+    // clientnegative/nested_complex_neg.q rejects at CREATE TABLE,
+    // clientpositive/nested_complex.q passes with the property)
+    if (format == "textfile" && !storedBy) {
+      def typeDepth(colDef: String): Int = {
+        var d = 0; var maxd = 0
+        colDef.foreach {
+          case '<' => d += 1; maxd = math.max(maxd, d)
+          case '>' => d -= 1
+          case _ => ()
+        }
+        maxd
+      }
+      val extended =
+        """(?is)hive\.serialization\.extend\.nesting\.levels['"]?\s*=\s*['"]?true""".r
+          .findFirstIn(tail).isDefined
+      val nestCap = if (extended) 23 else 7
+      val maxNest =
+        (splitCols(colBody) ++ partColDefs).map(typeDepth).foldLeft(0)(math.max)
+      if (maxNest > nestCap)
+        throw new IllegalArgumentException(
+          s"Number of levels of nesting supported for LazySimpleSerde is " +
+            s"$nestCap Unable to work with level $maxNest. Use " +
+            "hive.serialization.extend.nesting.levels serde property for " +
+            "tables using LazySimpleSerde.")
+    }
+    // a fixture temp view with this name would shadow the new table
+    if (spark.catalog.tableExists(name) &&
+        spark.catalog.getTable(name).isTemporary)
+      spark.catalog.dropTempView(name)
+    val partClause =
+      if (partNames.isEmpty) "" else s" PARTITIONED BY (${partNames.mkString(", ")})"
+    val ine2 = if (ifNotExists) "IF NOT EXISTS " else ""
+    spark.sql(s"CREATE TABLE $ine2${quoteName(name)} ($allCols) " +
+      s"USING parquet$partClause")
     tableMeta(name.toLowerCase) = TableMeta(delim, partNames, clusterCols,
       format, storedBy,
       CollItemsRe.findFirstMatchIn(tail)
@@ -786,6 +819,8 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
   // scripts, so two scripts exporting to the same relative path must
   // not see each other's output (EXPORT refuses a non-empty target)
   private var eximScope: String = "global"
+  // the current script's per-run database — `USE default` targets this
+  private var sandboxDb: String = "default"
   private def rewriteEximPaths(stmt: String): String = {
     if (!"""(?is).*\b(EXPORT|IMPORT)\b.*""".r.matches(stmt)) return stmt
     EximPathRe.replaceAllIn(stmt, m => {
@@ -1116,11 +1151,19 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
             .foreach(m => hiveconf(m.group(1)) = m.group(2))
         // USE actually switches the session database (show_tables.q
         // creates same-named tables in two databases); cleanup is the
-        // run()-level scriptDbs sweep + default reset
+        // run()-level scriptDbs sweep + default reset. `USE default`
+        // routes to the script's SANDBOX db: QTestUtil clears the
+        // default db per test, so scripts like combine2.q /
+        // combine2_hadoop20.q both `USE default; CREATE TABLE combine2`
+        // expecting a clean catalog — the shared default would leak the
+        // table across scripts.
         if (head == "USE")
           """(?is)^\s*use\s+`?([\w]+)`?\s*$""".r.findFirstMatchIn(body)
             .foreach { m =>
-              try spark.catalog.setCurrentDatabase(m.group(1))
+              val target =
+                if (m.group(1).equalsIgnoreCase("default")) sandboxDb
+                else m.group(1)
+              try spark.catalog.setCurrentDatabase(target)
               catch { case _: Exception => () }
             }
         (NoBlock, None)
@@ -1200,6 +1243,42 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
         // abstracts away — Hive accepts them; results don't depend on them
         (Effect, None)
       case _ if head == "ANALYZE" =>
+        // Hive validations the stats path enforces before planning:
+        // PARTIALSCAN needs RCFile storage (ql/parse/SemanticAnalyzer
+        // validateAnalyzeTable, ErrorMsg.ANALYZE_TABLE_PARTIALSCAN_
+        // NON_RCFILE; clientnegative/stats_partscan_norcfile.q) and
+        // column stats accept only primitive columns
+        // (ql/parse/ColumnStatsSemanticAnalyzer;
+        // clientnegative/columnstats_tbllvl_complex_type.q)
+        """(?is)\s*ANALYZE\s+TABLE\s+`?([\w.]+)`?.*""".r
+          .findFirstMatchIn(body).foreach { m =>
+            val tbl = m.group(1)
+            if ("""(?is).*\bPARTIALSCAN\b.*""".r.matches(body) &&
+                tableMeta.get(tbl.toLowerCase).forall(_.format != "rcfile"))
+              throw new IllegalArgumentException(
+                s"ANALYZE TABLE PARTIALSCAN doesn't support non-RCfile table: $tbl")
+            """(?is)\bFOR\s+COLUMNS\s+([\w\s,`]+)""".r
+              .findFirstMatchIn(body).foreach { cm =>
+                val cols = cm.group(1).split(",")
+                  .map(_.trim.stripPrefix("`").stripSuffix("`"))
+                  .filter(_.nonEmpty)
+                val schema =
+                  try Some(spark.table(quoteName(tbl)).schema)
+                  catch { case _: Exception => None }
+                for {
+                  sch <- schema; c <- cols
+                  f <- sch.find(_.name.equalsIgnoreCase(c))
+                } f.dataType match {
+                  case _: org.apache.spark.sql.types.ArrayType |
+                       _: org.apache.spark.sql.types.MapType |
+                       _: org.apache.spark.sql.types.StructType =>
+                    throw new IllegalArgumentException(
+                      "Only primitive type arguments are accepted but " +
+                        s"${f.dataType.simpleString} is passed.")
+                  case _ => ()
+                }
+              }
+          }
         // stats-only; skip for temp-view fixtures, run for real tables
         try spark.sql(body) catch { case _: Exception => }
         (Effect, None)
@@ -1880,6 +1959,7 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     spark.sql(s"CREATE DATABASE $db")
     spark.catalog.setCurrentDatabase(db)
+    sandboxDb = db
     // a script that CREATEs its own databases must start from a clean
     // catalog (QTestUtil clears the warehouse per test; an earlier
     // failed script may have left the name behind)
@@ -2055,6 +2135,7 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     spark.sql(s"CREATE DATABASE $db")
     spark.catalog.setCurrentDatabase(db)
+    sandboxDb = db
     try {
       var i = 0
       while (i < stmts.length) {
