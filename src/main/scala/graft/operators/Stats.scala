@@ -138,22 +138,31 @@ object Stats {
     * Exact decimal rank arithmetic as the sort path; identical
     * results, shuffle-bounded plan. */
   private def selectQuantiles(
-      nn: DataFrame, groupCol: String, valCol: String,
+      nn0: DataFrame, groupCol: String, valCol: String,
       ps: Seq[(String, BigDecimal)]): DataFrame = {
     val acc = 10000
     val margin = 4.0 / acc
-    val bracketAggs = count(lit(1)).as("__n") +: ps.flatMap {
-      case (name, p) =>
-        val pd = p.toDouble
-        Seq(
-          percentile_approx(col(valCol),
-            lit(math.max(0.0, pd - margin)), lit(acc)).as(s"__lo_$name"),
-          percentile_approx(col(valCol),
-            lit(math.min(1.0, pd + margin)), lit(acc)).as(s"__hi_$name"))
+    // narrow to the two live columns before the multi-pass fan-out —
+    // every downstream scan pays only (group, value) I/O
+    val nn = nn0.select(col(groupCol), col(valCol))
+    // ONE mergeable sketch per group serves every quantile's bracket:
+    // percentile_approx takes all probe points as an array (2 per
+    // quantile), so the per-row sketch-update cost is paid once, not
+    // 2·|ps| times (the per-probe form rebuilt the sketch per bound
+    // and was the dominant cost of this path at sf1)
+    val probes = ps.flatMap { case (_, p) =>
+      val pd = p.toDouble
+      Seq(math.max(0.0, pd - margin), math.min(1.0, pd + margin))
+    }
+    val bracketCols = ps.zipWithIndex.flatMap { case ((name, _), i) =>
+      Seq(element_at(col("__pb"), 2 * i + 1).as(s"__lo_$name"),
+        element_at(col("__pb"), 2 * i + 2).as(s"__hi_$name"))
     }
     val brackets = nn.groupBy(groupCol)
-      .agg(bracketAggs.head, bracketAggs.tail: _*)
-      .withColumnRenamed(groupCol, "__g")
+      .agg(count(lit(1)).as("__n"),
+        percentile_approx(col(valCol), array(probes.map(lit): _*), lit(acc))
+          .as("__pb"))
+      .select(col(groupCol).as("__g") +: col("__n") +: bracketCols: _*)
     val withB = nn.join(brackets, col(groupCol) <=> col("__g"), "inner")
     val cntAggs = ps.flatMap { case (name, _) =>
       Seq(
@@ -167,28 +176,41 @@ object Stats {
       .join(brackets, Seq("__g"))
     def rankOf(p: BigDecimal): Column =
       greatest(lit(1), ceil(col("__n") * lit(p.bigDecimal)))
-    // interior rows, tagged per quantile, ranked in one small window
-    val interior = ps.map { case (name, _) =>
-      withB.filter(col(valCol) > col(s"__lo_$name") &&
-          col(valCol) < col(s"__hi_$name"))
-        .select(col("__g").as("__gi"), lit(name).as("__q"),
-          col(valCol).as("__v"))
-    }.reduce(_.union(_))
+    // interior rows for EVERY quantile in one scan: tag each row with
+    // the (possibly several) quantile names whose bracket contains it
+    // and explode — replaces |ps| filtered re-scans of the corpus
+    val tagArr = array(ps.map { case (name, _) =>
+      when(col(valCol) > col(s"__lo_$name") &&
+          col(valCol) < col(s"__hi_$name"), lit(name))
+    }: _*)
+    val interior = withB.select(col("__g").as("__gi"),
+      col(valCol).as("__v"),
+      explode(filter(tagArr, t => t.isNotNull)).as("__q"))
     val rankedInterior = interior.withColumn("__rn",
       row_number().over(Window.partitionBy("__gi", "__q").orderBy("__v")))
-    val out = ps.foldLeft(dec) { case (acc0, (name, p)) =>
+    // per-(group, quantile) target interior rank — |groups|·|ps| tiny
+    // rows — so the expensive rankedInterior subplan is joined ONCE;
+    // the previous per-quantile pick joins re-executed the whole
+    // interior scan+sort |ps| times
+    val targets = ps.map { case (name, p) =>
+      dec.select(col("__g").as("__gt"), lit(name).as("__qt"),
+        (rankOf(p) - col(s"__cle_lo_$name")).cast("long").as("__target"))
+    }.reduce(_.union(_))
+    val picks = rankedInterior.join(targets,
+        col("__gi") <=> col("__gt") && col("__q") === col("__qt") &&
+          col("__rn") === col("__target"), "inner")
+      .groupBy(col("__gi"))
+      .agg(ps.head match { case (name, _) =>
+          max(when(col("__q") === name, col("__v"))).as(s"__sel_$name") },
+        ps.tail.map { case (name, _) =>
+          max(when(col("__q") === name, col("__v"))).as(s"__sel_$name") }: _*)
+    val out0 = dec.join(picks, col("__g") <=> col("__gi"), "left")
+    val out = ps.foldLeft(out0) { case (acc0, (name, p)) =>
       val r = rankOf(p)
-      val pick = rankedInterior.filter(col("__q") === name)
-        .select(col("__gi"), col("__rn"), col("__v").as(s"__sel_$name"))
-      acc0.join(pick,
-          acc0("__g") <=> pick("__gi") &&
-            (r - col(s"__cle_lo_$name")) === pick("__rn"), "left")
-        .drop("__gi", "__rn")
-        .withColumn(name,
-          when(r <= col(s"__cle_lo_$name"), col(s"__lo_$name"))
-            .when(r > col(s"__clt_hi_$name"), col(s"__hi_$name"))
-            .otherwise(col(s"__sel_$name")))
-        .drop(s"__sel_$name")
+      acc0.withColumn(name,
+        when(r <= col(s"__cle_lo_$name"), col(s"__lo_$name"))
+          .when(r > col(s"__clt_hi_$name"), col(s"__hi_$name"))
+          .otherwise(col(s"__sel_$name")))
     }
     out.select(col("__g").as(groupCol) +: ps.map { case (name, _) =>
       col(name)
