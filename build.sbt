@@ -28,3 +28,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// /tmp on this box is periodically purged by an external cleaner; a
+// long Spark run would lose its block-manager/scratch dirs mid-job
+// (NoSuchFileException: /tmp/blockmgr-...). Keep every forked JVM's
+// scratch (java.io.tmpdir → Spark local dirs, qtest scratch, temp
+// fixtures) under target/ instead.
+javaOptions += {
+  val t = file("target/jvm-tmp").getAbsoluteFile
+  t.mkdirs()
+  s"-Djava.io.tmpdir=$t"
+}

@@ -93,6 +93,30 @@ object Qtest {
     val lines = text.split("\n", -1)
     val blocks = scala.collection.mutable.ArrayBuffer.empty[GoldenBlock]
     var i = 0
+    def skipMetaAndCollect(q: String): Unit = {
+      // skip PREHOOK metadata + the POSTHOOK echo + POSTHOOK metadata
+      while (i < lines.length && (lines(i).startsWith("PREHOOK:") ||
+          lines(i) == Masked)) i += 1
+      if (i < lines.length && lines(i).startsWith("POSTHOOK: query:")) {
+        i += 1
+        while (i < lines.length && !lines(i).startsWith("POSTHOOK:") &&
+            lines(i) != Masked) i += 1
+      }
+      while (i < lines.length && (lines(i).startsWith("POSTHOOK:") ||
+          lines(i) == Masked)) i += 1
+      // result rows until the next block — which may open with
+      // "PREHOOK: type:" when its own query echo was masked away
+      val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (i < lines.length && !lines(i).startsWith("PREHOOK: query:") &&
+          !lines(i).startsWith("PREHOOK: type:")) {
+        val l = lines(i)
+        if (l != Masked && !l.startsWith("Warning: ") &&
+            !l.startsWith("WARNING: ") && !l.startsWith("RUN: ") &&
+            !(i == lines.length - 1 && l.isEmpty)) rows += l
+        i += 1
+      }
+      blocks += GoldenBlock(q, rows.toSeq)
+    }
     while (i < lines.length) {
       if (lines(i).startsWith("PREHOOK: query:")) {
         // echoed statement: first line after the marker + continuation
@@ -103,26 +127,12 @@ object Qtest {
             !lines(i).startsWith("POSTHOOK:") && lines(i) != Masked) {
           q.append('\n').append(lines(i)); i += 1
         }
-        // skip PREHOOK metadata + the POSTHOOK echo + POSTHOOK metadata
-        while (i < lines.length && (lines(i).startsWith("PREHOOK:") ||
-            lines(i) == Masked)) i += 1
-        if (i < lines.length && lines(i).startsWith("POSTHOOK: query:")) {
-          i += 1
-          while (i < lines.length && !lines(i).startsWith("POSTHOOK:") &&
-              lines(i) != Masked) i += 1
-        }
-        while (i < lines.length && (lines(i).startsWith("POSTHOOK:") ||
-            lines(i) == Masked)) i += 1
-        // result rows until the next block
-        val rows = scala.collection.mutable.ArrayBuffer.empty[String]
-        while (i < lines.length && !lines(i).startsWith("PREHOOK: query:")) {
-          val l = lines(i)
-          if (l != Masked && !l.startsWith("Warning: ") &&
-              !l.startsWith("WARNING: ") && !l.startsWith("RUN: ") &&
-              !(i == lines.length - 1 && l.isEmpty)) rows += l
-          i += 1
-        }
-        blocks += GoldenBlock(q.toString, rows.toSeq)
+        skipMetaAndCollect(q.toString)
+      } else if (lines(i).startsWith("PREHOOK: type:")) {
+        // a block whose entire PREHOOK echo was masked (the statement
+        // text contained a masked path — e.g. ADD PARTITION LOCATION
+        // '<warehouse path>'): empty query, positional alignment only
+        skipMetaAndCollect("")
       } else i += 1
     }
     blocks.toSeq

@@ -128,12 +128,28 @@ object RcFiles {
       new java.io.ByteArrayInputStream(bytes))
     val magic = new Array[Byte](4)
     in.readFully(magic)
-    if (magic(0) == 'S' && magic(1) == 'E' && magic(2) == 'Q')
-      sys.error("legacy SEQ6-era RCFile header is not supported " +
-        "(only the RCF1 version header)")
-    require(magic.sameElements(Array[Byte]('R', 'C', 'F', 1)),
+    // file-version-header ::= {'S','E','Q',6} | {'R','C','F',1}
+    // (ql/io/RCFile.java BNF: the original release reused the
+    // SequenceFile header — key/value class names and a
+    // block-compressed flag precede the common fields in that form)
+    val seq6 = magic(0) == 'S' && magic(1) == 'E' && magic(2) == 'Q' &&
+      magic(3) == 6
+    require(seq6 || magic.sameElements(Array[Byte]('R', 'C', 'F', 1)),
       "not an RCFile: bad magic")
+    if (seq6) {
+      val keyClass = readText(in)
+      val valueClass = readText(in)
+      require(keyClass.endsWith("RCFile$KeyBuffer") &&
+        valueClass.endsWith("RCFile$ValueBuffer"),
+        s"SEQ6 header is a SequenceFile, not an RCFile " +
+          s"($keyClass/$valueClass)")
+    }
     val compressed = in.readBoolean()
+    if (seq6) {
+      val blockCompressed = in.readBoolean()
+      require(!blockCompressed,
+        "RCFile file-is-block-compressed must be false")
+    }
     val decomp =
       if (compressed) decompressor(readText(in)) else null
     val nMeta = in.readInt()
