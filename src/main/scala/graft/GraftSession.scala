@@ -644,6 +644,59 @@ object GraftSession {
     else groupingIdScope(sql)
   }
 
+  private val AvgDecRe = """(?i)\bavg\s*\(\s*`?([\w.]+)`?\s*\)""".r
+
+  /** Hive 1.2 `avg()` over a decimal whose +4-digit widening would
+    * overflow 38 total digits keeps the INTEGRAL part and shrinks the
+    * extra scale (ref ql/udf/generic/GenericUDAFAverage.java:222-228:
+    * intPart = p - s preserved, scale = min(s + 4, 38 - intPart));
+    * Spark's Average resolves
+    * scale-first (adjustPrecisionScale keeps ≥6 fractional digits by
+    * shrinking the integral range), so e.g. avg(decimal(38,18))
+    * types decimal(38,22)-then-truncated differently. Rewrite
+    * `avg(col)` to a cast with Hive's derived type when the argument
+    * resolves to such a wide decimal column. Windowed avg keeps
+    * Spark typing (Hive's PTF path types differently). Promoted from
+    * the qtest runner (VERDICT r10 #6) so direct `GraftSession.sql`
+    * callers get Hive 1.2 typing too. */
+  private[graft] def hiveDecimalAvgCompat(
+      spark: SparkSession, stmt: String): String = {
+    if (!"""(?is).*\bavg\s*\(.*""".r.matches(stmt)) return stmt
+    import org.apache.spark.sql.types._
+    // exact table inventory: the parsed plan's unresolved relations
+    // (subqueries included) — CTE-local names simply fail the lookup
+    lazy val schemas: Seq[StructType] = {
+      val names =
+        try spark.sessionState.sqlParser.parsePlan(stmt)
+          .collectWithSubqueries {
+            case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+              r.multipartIdentifier.mkString(".")
+          }.distinct
+        catch { case _: Exception => Nil }
+      names.flatMap { t =>
+        try Some(spark.table(t).schema) catch { case _: Exception => None }
+      }
+    }
+    def colType(name0: String): Option[DataType] = {
+      val name = name0.split('.').last
+      if (!name.matches("""\w+""")) None
+      else schemas.flatMap(_.fields.find(_.name.equalsIgnoreCase(name))
+        .map(_.dataType)).headOption
+    }
+    AvgDecRe.replaceAllIn(stmt, m => {
+      val windowed = stmt.substring(m.end).dropWhile(_.isWhitespace)
+        .take(4).equalsIgnoreCase("over")
+      val repl = colType(m.group(1)) match {
+        case Some(d: DecimalType) if d.precision + 4 > 38 && !windowed =>
+          val intPart = d.precision - d.scale
+          val scale = math.min(d.scale + 4, 38 - intPart)
+          s"cast(${m.group(0)} as decimal(${intPart + scale}, $scale))"
+        case _ => m.group(0)
+      }
+      java.util.regex.Matcher.quoteReplacement(repl)
+    })
+  }
+
   /** Rewrite one query scope: subquery paren-groups (starting with
     * SELECT/FROM/WITH) recurse as their own scopes and are shielded
     * behind placeholders; expression parens stay part of this scope.
@@ -1017,8 +1070,9 @@ object GraftSession {
     * return an empty DataFrame (like Hive's no-result statements).
     * Trailing semicolons (standard in HiveQL scripts) are stripped. */
   def sql(spark: SparkSession, stmt: String): DataFrame = {
-    val stripped = hiveGroupingIdCompat(hiveGroupingSetsCompat(
-      hiveWindowCompat(hiveCteForwardRefs(stmt.replaceAll(";+\\s*$", "")))))
+    val stripped = hiveDecimalAvgCompat(spark,
+      hiveGroupingIdCompat(hiveGroupingSetsCompat(
+        hiveWindowCompat(hiveCteForwardRefs(stmt.replaceAll(";+\\s*$", ""))))))
     hiveNegativeChecks(stripped)
     stripped match {
       case MacroRe() =>

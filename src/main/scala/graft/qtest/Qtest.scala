@@ -78,8 +78,11 @@ object Qtest {
   // -- .q.out golden parsing -------------------------------------------
 
   /** One golden block: the echoed statement and its result rows (empty
-    * for DDL/DML). */
-  final case class GoldenBlock(query: String, rows: Seq[String])
+    * for DDL/DML), plus the PREHOOK operation-type token ("QUERY",
+    * "LOAD", "CREATETABLE", ...) — the alignment cross-check for
+    * blocks whose echo was fully masked away. */
+  final case class GoldenBlock(query: String, rows: Seq[String],
+      hookType: String = "")
 
   private val Masked = "#### A masked pattern was here ####"
 
@@ -94,9 +97,15 @@ object Qtest {
     val blocks = scala.collection.mutable.ArrayBuffer.empty[GoldenBlock]
     var i = 0
     def skipMetaAndCollect(q: String): Unit = {
-      // skip PREHOOK metadata + the POSTHOOK echo + POSTHOOK metadata
+      // skip PREHOOK metadata + the POSTHOOK echo + POSTHOOK metadata,
+      // capturing the PREHOOK operation type on the way through
+      var hook = ""
       while (i < lines.length && (lines(i).startsWith("PREHOOK:") ||
-          lines(i) == Masked)) i += 1
+          lines(i) == Masked)) {
+        if (lines(i).startsWith("PREHOOK: type:"))
+          hook = lines(i).stripPrefix("PREHOOK: type:").trim
+        i += 1
+      }
       if (i < lines.length && lines(i).startsWith("POSTHOOK: query:")) {
         i += 1
         while (i < lines.length && !lines(i).startsWith("POSTHOOK:") &&
@@ -115,7 +124,7 @@ object Qtest {
             !(i == lines.length - 1 && l.isEmpty)) rows += l
         i += 1
       }
-      blocks += GoldenBlock(q, rows.toSeq)
+      blocks += GoldenBlock(q, rows.toSeq, hook)
     }
     while (i < lines.length) {
       if (lines(i).startsWith("PREHOOK: query:")) {

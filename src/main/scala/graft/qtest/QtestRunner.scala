@@ -659,18 +659,56 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
   }
 
   // -- DESCRIBE FUNCTION ------------------------------------------------
-  // Hive prints the UDF's @Description annotation (value line, plus the
-  // extended text for DESCRIBE FUNCTION EXTENDED) — FunctionRegistry
-  // getFunctionSynopsis. The annotation STRINGS are read from the
+  // Hive prints the UDF's @Description annotation (value line, plus a
+  // Synonyms line and the extended text for DESCRIBE FUNCTION EXTENDED)
+  // — DDLTask.describeFunction (DDLTask.java:2974-3014): _FUNC_ is
+  // substituted with the USER-TYPED name verbatim, and the synonym set
+  // is every mFunctions key registered to the same implementation class
+  // EXCEPT the typed name itself (case-sensitive equals; window-function
+  // registrations are skipped — Registry.getFunctionSynonyms:336-355,
+  // mFunctions is a LinkedHashMap so order = FunctionRegistry.java
+  // registration order). The annotation STRINGS are read from the
   // reference's own UDF sources, the same tree that produced the
-  // goldens, so the text matches verbatim.
+  // goldens, so the text matches verbatim; resolution goes
+  // typed name -> registry class -> that class's @Description, which
+  // disambiguates names whose annotation text appears on several
+  // classes (e.g. "count": GenericUDAFCount, not the vectorized ops).
 
   private val DescFunctionRe =
     """(?is)\s*DESC(?:RIBE)?\s+FUNCTION\s+(EXTENDED\s+)?['"`]?([^'"`\s;]+)['"`]?\s*""".r
 
-  /** fn name (lowercase) -> (value, extended, aliasCount). */
-  private lazy val hiveFnUsage: Map[String, (String, String, Int)] = {
-    val out = scala.collection.mutable.Map.empty[String, (String, String, Int)]
+  /** (registry name, implementing class simple name) pairs in
+    * registration order, parsed from the reference's
+    * FunctionRegistry.java static registration block. Window-function
+    * registrations are excluded (Hive's synonym scan skips the
+    * WINDOW_FUNC_PREFIX keys). Names registered via serdeConstants
+    * constants (the primitive casts) don't appear — they have no
+    * @Description golden use. */
+  private lazy val hiveFnRegistry: Seq[(String, String)] = {
+    val src = try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$refRoot/ql/src/java/org/apache/hadoop/" +
+        "hive/ql/exec/FunctionRegistry.java")), "UTF-8")
+      catch { case _: Exception => "" }
+    val reg = ("""(?s)system\s*\.\s*register(UDF|GenericUDF|GenericUDAF|""" +
+      """UDAF|GenericUDTF)\s*\(\s*"((?:\\.|[^"\\])+)"\s*,\s*(?:new\s+)?""" +
+      """([A-Za-z0-9_]+)""").r
+    reg.findAllMatchIn(src)
+      .map(m => (m.group(2).toLowerCase(java.util.Locale.ROOT), m.group(3)))
+      .toSeq
+  }
+
+  private lazy val hiveFnClass: Map[String, String] =
+    hiveFnRegistry.foldLeft(Map.empty[String, String]) {
+      case (acc, (n, c)) => if (acc.contains(n)) acc else acc + (n -> c)
+    }
+
+  /** class simple name -> (value, extended) from @Description, keyed by
+    * the class the annotation actually annotates (first `class <name>`
+    * token after the closing paren). Where two classes share a simple
+    * name, the one under a /udf/ path wins (the vectorized operator
+    * tree re-uses names like "count"). */
+  private lazy val hiveClassDesc: Map[String, (String, String)] = {
+    val out = scala.collection.mutable.Map.empty[String, (String, String, String)]
     def unescapeJava(s: String): String = {
       val sb = new StringBuilder
       var i = 0
@@ -741,16 +779,21 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
               val close = balancedParen(text, open)
               if (close > 0) {
                 val bodyTxt = text.substring(open + 1, close)
-                (attr(bodyTxt, "name"), attr(bodyTxt, "value")) match {
-                  case (Some(names), Some(value)) =>
-                    val ext = attr(bodyTxt, "extended").getOrElse("")
-                    val nameList = names.split(",").map(_.trim.toLowerCase)
-                      .filter(_.nonEmpty)
-                    nameList.foreach { n =>
-                      if (!out.contains(n))
-                        out(n) = (value, ext, nameList.length)
+                attr(bodyTxt, "value").foreach { value =>
+                  val ext = attr(bodyTxt, "extended").getOrElse("")
+                  """\bclass\s+([A-Za-z0-9_]+)""".r
+                    .findFirstMatchIn(text.substring(close + 1))
+                    .foreach { m =>
+                      val cls = m.group(1)
+                      val path = f.getPath
+                      val keep = out.get(cls) match {
+                        case None => true
+                        case Some((_, _, p0)) =>
+                          // /udf/ tree beats vectorized/exec re-uses
+                          path.contains("/udf/") && !p0.contains("/udf/")
+                      }
+                      if (keep) out(cls) = (value, ext, path)
                     }
-                  case _ => ()
                 }
               }
             }
@@ -760,15 +803,32 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       }
     }
     walk(new java.io.File(s"$refRoot/ql/src/java/org/apache/hadoop/hive/ql"))
-    out.toMap
+    out.map { case (k, (v, e, _)) => k -> (v, e) }.toMap
   }
 
+  /** Is DESCRIBE FUNCTION [EXTENDED] on this typed name renderable
+    * byte-exact? Requires a registry entry resolving to a class with a
+    * harvested @Description. */
+  private def describableFunction(fn0: String): Boolean =
+    hiveFnClass.get(fn0.toLowerCase(java.util.Locale.ROOT))
+      .exists(hiveClassDesc.contains)
+
   private def describeFunctionDf(fn0: String, extended: Boolean): DataFrame = {
-    val fn = fn0.toLowerCase
-    val (value, ext, _) = hiveFnUsage(fn)
-    val lines = value.replace("_FUNC_", fn).split("\n", -1).toSeq ++
+    val cls = hiveFnClass(fn0.toLowerCase(java.util.Locale.ROOT))
+    val (value, ext) = hiveClassDesc(cls)
+    // DDLTask.describeFunction: _FUNC_ -> the user-typed name verbatim;
+    // Synonyms = other registry keys on the same class, case-sensitive
+    // exclusion of the typed name, registration order (LinkedHashMap).
+    val synonyms =
+      if (!extended) Nil
+      else hiveFnRegistry.collect {
+        case (n, c) if c == cls && n != fn0 => n
+      }.distinct
+    val lines = value.replace("_FUNC_", fn0).split("\n", -1).toSeq ++
+      (if (synonyms.nonEmpty) Seq("Synonyms: " + synonyms.mkString(", "))
+       else Nil) ++
       (if (extended && ext.nonEmpty)
-        ext.replace("_FUNC_", fn).split("\n", -1).toSeq
+        ext.replace("_FUNC_", fn0).split("\n", -1).toSeq
       else Nil)
     linesDf(lines, "tab_name")
   }
@@ -1274,30 +1334,6 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     })
   }
 
-  // Hive 1.2's avg(decimal(p,s)) result type caps the SCALE when the
-  // widened precision would overflow — intPart = p-s stays, scale =
-  // min(s+4, 38-intPart) (ref ql/udf/generic/GenericUDAFAverage.java:
-  // 222-228) — while Spark keeps scale s+4 and saturates precision.
-  // Differs only when p+4 > 38; cast to Hive's derived type so golden
-  // decimal text matches digit-for-digit (vector_aggregate_9.q).
-  private val AvgDecRe = """(?i)\bavg\s*\(\s*`?([\w.]+)`?\s*\)""".r
-  private def rewriteHiveDecimalAvg(stmt: String): String = {
-    if (!"""(?is).*\bavg\s*\(.*""".r.matches(stmt)) return stmt
-    import org.apache.spark.sql.types._
-    AvgDecRe.replaceAllIn(stmt, m => {
-      val windowed = stmt.substring(m.end).dropWhile(_.isWhitespace)
-        .take(4).equalsIgnoreCase("over")
-      val repl = resolveColType(m.group(1), stmt) match {
-        case Some(d: DecimalType) if d.precision + 4 > 38 && !windowed =>
-          val intPart = d.precision - d.scale
-          val scale = math.min(d.scale + 4, 38 - intPart)
-          s"cast(${m.group(0)} as decimal(${intPart + scale}, $scale))"
-        case _ => m.group(0)
-      }
-      java.util.regex.Matcher.quoteReplacement(repl)
-    })
-  }
-
   // Hive 1.2 interprets CAST(<integral> AS TIMESTAMP) as MILLISECONDS
   // since epoch (ref serde TimestampWritable.longToTimestamp with
   // intToTimestampInSeconds=false via PrimitiveObjectInspectorUtils
@@ -1557,9 +1593,11 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
 
   /** The text-level Hive-fidelity transforms applied before routing. */
   private def preprocess(stmt0raw: String): String = {
+    // decimal-avg Hive typing was promoted into GraftSession
+    // (hiveDecimalAvgCompat) — every front-door caller gets it now
     val stmt0 = rewriteTypedCompares(rewriteTransformTabArg(rewriteMaskChar(
-      rewriteHashChars(rewriteIntTimestampCast(rewriteHiveDecimalAvg(
-        rewriteEximPaths(rewriteComputeStats(substituteVars(stmt0raw)))))))))
+      rewriteHashChars(rewriteIntTimestampCast(
+        rewriteEximPaths(rewriteComputeStats(substituteVars(stmt0raw))))))))
     val stmt1 = if ("""(?is).*\bTABLESAMPLE\s*\(\s*BUCKET\b.*""".r
         .matches(stmt0)) rewriteTablesample(stmt0) else stmt0
     val stmt2 = if ("""(?is).*\bnoop\w*\s*\(\s*on\b.*""".r.matches(stmt1))
@@ -1620,11 +1658,7 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
         (MetaQuery, Some(showPartitionsDf(tbl, Option(filterSpec))))
       case ShowTablesRe(db, pat) =>
         (MetaQuery, Some(showTablesDf(Option(db), Option(pat))))
-      case DescFunctionRe(ext, fn)
-          if hiveFnUsage.contains(fn.toLowerCase) &&
-            // EXTENDED also prints a Synonyms line for multi-alias
-            // registrations — only single-alias forms are rendered
-            (ext == null || hiveFnUsage(fn.toLowerCase)._3 == 1) =>
+      case DescFunctionRe(ext, fn) if describableFunction(fn) =>
         (MetaQuery, Some(describeFunctionDf(fn, ext != null)))
       case _ if head == "EXPLAIN" || head == "DESCRIBE" || head == "DESC" ||
           head == "SHOW" => (Ignored, None)
@@ -2483,9 +2517,19 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
   final case class Mismatch(stmt: String, detail: String)
   final case class ScriptResult(
       script: String, queriesChecked: Int, mismatches: Seq[Mismatch],
-      error: Option[String]) {
+      error: Option[String],
+      /** alignments accepted on an empty (fully-masked) golden echo —
+        * positional trust, surfaced so masked skews stay visible */
+      emptyEchoAligns: Int = 0,
+      /** collect() retries under partial-consumption races — masked
+        * scheduling flake, surfaced so it cannot paper over failures */
+      collectRetries: Int = 0) {
     def ok: Boolean = mismatches.isEmpty && error.isEmpty && queriesChecked > 0
   }
+
+  /** Per-script diagnostics counters (reset by run()). */
+  private var emptyEchoAligns = 0
+  private var collectRetries = 0
 
   private def readFile(p: String): String = {
     val src = scala.io.Source.fromFile(p)(scala.io.Codec.UTF8)
@@ -2501,6 +2545,8 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     avroLiteralDocs.clear()
     externalTables.clear()
     acidDeclTables.clear()
+    emptyEchoAligns = 0
+    collectRetries = 0
     eximScope = script.stripSuffix(".q").replaceAll("[^A-Za-z0-9_]", "_")
     val text = readFile(s"$queriesDir/$script")
     // -- SORT_AND_HASH_QUERY_RESULTS (QTestUtil SortAndDigestPrintStream):
@@ -2561,15 +2607,18 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
             // newer goldens) — consume the block iff it echoes this
             // statement, so positional consumption never desyncs
             if (gi < golden.length && golden(gi).query.nonEmpty &&
-                echoMatches(stmt, golden(gi).query))
+                echoMatches(stmt, golden(gi)))
               gi += 1
           } else if (error.isEmpty) {
             val block = if (gi < golden.length) Some(golden(gi)) else None
             gi += 1
-            val aligned = block.forall(b => echoMatches(stmt, b.query))
+            val aligned = block.forall(b => echoMatches(stmt, b))
             if (!aligned)
               mismatches += Mismatch(stmt.take(200),
-                s"golden desync: block echoes '${block.get.query.replaceAll("\\s+", " ").take(160)}'")
+                s"golden desync: block echoes '${block.get.query.replaceAll("\\s+", " ").take(160)}'" +
+                  (if (emptyEchoAligns > 0)
+                    s" ($emptyEchoAligns empty-echo alignments before this)"
+                  else ""))
             (kind, res, block) match {
               case (Query | MetaQuery, Some(df), Some(b)) if aligned =>
                 val isMeta = kind == MetaQuery
@@ -2584,11 +2633,13 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
                   try df.collect().map(r => Qtest.formatRow(r, schema))
                   catch {
                     case e: Exception if attempt < 3 &&
-                        Option(e.getMessage)
-                          .exists(_.contains("Stream closed")) &&
+                        isScriptPipeRace(e) &&
                         hiveconf
                           .get("hive.exec.script.allow.partial.consumption")
                           .exists(_.trim.equalsIgnoreCase("true")) =>
+                      // counted per script and surfaced in ScriptResult
+                      // so a papered-over scheduling race stays visible
+                      collectRetries += 1
                       collectRows(attempt + 1)
                   }
                 val got = collectRows(0)
@@ -2678,7 +2729,8 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
         try spark.sql(s"DROP DATABASE IF EXISTS `$d` CASCADE")
         catch { case _: Exception => })
     }
-    ScriptResult(script, checked, mismatches.toSeq, error)
+    ScriptResult(script, checked, mismatches.toSeq, error,
+      emptyEchoAligns, collectRetries)
   }
 
   // -- clientnegative: the reference's expected-error surface -----------
@@ -2755,14 +2807,48 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
   /** Does a golden block's echoed query correspond to `stmt`? The echo
     * can be truncated where the harness masked a path line, so a
     * normalized prefix match is accepted alongside exact equality. */
-  private def echoMatches(stmt: String, echo: String): Boolean = {
+  /** The TRANSFORM writer-thread race under
+    * hive.exec.script.allow.partial.consumption: the script exited
+    * without draining stdin and Spark's feeder thread died on the
+    * closed pipe. Preferred signal is a typed IOException("Stream
+    * closed") in the cause chain; the top-level message substring is
+    * kept as fallback for wrapped/serialized task failures. */
+  private def isScriptPipeRace(e: Throwable): Boolean = {
+    var t: Throwable = e
+    var depth = 0
+    while (t != null && depth < 10) {
+      t match {
+        case io: java.io.IOException
+            if Option(io.getMessage).exists(_.contains("Stream closed")) =>
+          return true
+        case _ =>
+      }
+      t = t.getCause
+      depth += 1
+    }
+    Option(e.getMessage).exists(_.contains("Stream closed"))
+  }
+
+  private def echoMatches(stmt: String, b: Qtest.GoldenBlock): Boolean = {
     // the CLI-level `\;` escape (semicolon inside a statement) is
     // unescaped by the reference harness before echoing
     val s = Qtest.normalize(stmt).replace("\\;", ";")
-    val e = Qtest.normalize(echo)
-    // an empty echo is a fully-masked PREHOOK query line (the statement
-    // embedded a masked path) — aligned by position alone
-    e.isEmpty || e == s || s.startsWith(e)
+    val e = Qtest.normalize(b.query)
+    if (e.nonEmpty) e == s || s.startsWith(e)
+    else {
+      // a fully-masked PREHOOK echo (the statement embedded a masked
+      // path). Positional alignment alone would let a skewed cursor
+      // compare results against the wrong block silently (ADVICE r10),
+      // so cross-check the PREHOOK operation type: statements that
+      // compile to a Hive QUERY task (SELECT / INSERT / FROM-insert)
+      // must sit on a QUERY-typed block and vice versa. Unknown or
+      // missing types stay positional; every empty-echo alignment is
+      // counted and surfaced in the script diagnostics.
+      emptyEchoAligns += 1
+      val queryTask = """(?is)^\s*(?:explain\s+)?(?:select|with|from|values|insert|map|reduce)\b""".r
+        .findFirstIn(stmt).isDefined
+      b.hookType.isEmpty || (b.hookType == "QUERY") == queryTask
+    }
   }
 
   private def diff(exp: Seq[String], got: Seq[String]): String = {

@@ -29,7 +29,10 @@ object QtestDrive {
               Option(e.getMessage).getOrElse("").take(300)))
         }
       val secs = (System.nanoTime() - t0) / 1e9
-      if (r.ok) { pass += 1; println(f"QTEST PASS $s (${r.queriesChecked} queries, $secs%.1fs)") }
+      val diag =
+        (if (r.emptyEchoAligns > 0) s", ${r.emptyEchoAligns} empty-echo" else "") +
+        (if (r.collectRetries > 0) s", ${r.collectRetries} collect-retries" else "")
+      if (r.ok) { pass += 1; println(f"QTEST PASS $s (${r.queriesChecked} queries, $secs%.1fs$diag)") }
       else {
         val why = r.error.getOrElse(
           r.mismatches.headOption.map(m =>

@@ -60,8 +60,11 @@ class QtestSpec extends SparkSpec {
     }
     val failed = results.filterNot(_.ok)
     val checked = results.map(_.queriesChecked).sum
+    val emptyEcho = results.map(_.emptyEchoAligns).sum
+    val retries = results.map(_.collectRetries).sum
     info(s"${results.size} scripts, $checked golden-checked queries, " +
-      s"${failed.size} failing")
+      s"${failed.size} failing; $emptyEcho empty-echo alignments, " +
+      s"$retries partial-consumption collect retries")
     assert(failed.isEmpty, failed.take(10).map { r =>
       s"\n${r.script}: " + r.error.getOrElse(
         r.mismatches.headOption.map(m => s"${m.detail} [${m.stmt.take(120)}]")

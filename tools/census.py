@@ -80,6 +80,10 @@ for doc in ("README.md", "COVERAGE.md", "SURVEY.md"):
     check(doc, r"\d+ scripts / (\d+) golden-checked", result_sets,
           "result-set total")
     check(doc, r"\((\d+) result sets\)", result_sets, "result-set total")
+    check(doc, r"\((\d+)\s+checked result sets", result_sets,
+          "result-set total")
+    check(doc, r"(\d+) golden-checked (?:queries|result sets)", result_sets,
+          "result-set total")
     check(doc, r"(\d+) (?:reference )?clientnegative scripts", len(negative),
           "negative list")
     check(doc, r"(\d+)-script clientnegative gate", len(negative),
