@@ -66,6 +66,29 @@ import org.apache.spark.sql.types._
   * in for the reference's metastore transaction manager
   * (`DbTxnManager`/TxnHandler write-set checks — service
   * infrastructure out of engine scope, like the HS2 wire protocol).
+  *
+  * Mutation locks are PARTITION-GRANULAR when the statement pins one
+  * partition (the reference's `DbTxnManager` takes SHARED_WRITE on the
+  * partition, not the table — `ql/lockmgr/DbTxnManager.java`
+  * acquireLocks): `pinnedPartition` reads the WHERE clause and, for a
+  * conjunction of equality predicates covering every partition column,
+  * scopes the txn to that partition's lock file, so updates/deletes/
+  * merges against DISJOINT partitions interleave instead of
+  * serializing. The protocol (design note at `partitionScopeTxn`):
+  *   - partition writer: table lock { create intent + allocate id } →
+  *     partition lock { mutate } → delete intent;
+  *   - table-scope RMW: loop { table lock { no live intents → work } }.
+  * An "intent" is a marker file under `_txn_part_intents/` naming the
+  * partition in flight; it is live while its mtime is fresh or while
+  * its partition lock heartbeats (every held lock refreshes its mtime
+  * from a heartbeat thread), so a crashed writer's intent goes stale
+  * with its lock and is swept — no permanent wedge, same
+  * heartbeat-expiry discipline as the reference's TxnHandler timeout.
+  * WHERE clauses the parser cannot prove partition-pinning
+  * (OR/NOT/parenthesized, partial column cover) fall back to the
+  * table-scope lock rather than guessing. AcidSpec proves disjoint
+  * partitions interleave and a held partition lock blocks a
+  * same-partition writer.
   */
 object Acid {
 

@@ -140,7 +140,15 @@ object Stats {
   private def selectQuantiles(
       nn0: DataFrame, groupCol: String, valCol: String,
       ps: Seq[(String, BigDecimal)]): DataFrame = {
-    val acc = 10000
+    // sketch accuracy: rank error <= n/acc (Spark approx_percentile
+    // contract), and the probe margin 4/acc stays 4x the error bound,
+    // so EXACTNESS is acc-independent — acc only trades sketch build
+    // cost against interior size (~8n/acc rows ranked in pass 3).
+    // Measured at 80M rows/60M-row group (QuantileScaleDrive): the
+    // acc-10000 sketch build dominated the whole path; 2000 keeps the
+    // interior tiny (~240k rows per 60M group) and cuts the constant.
+    val acc = nn0.sparkSession.conf
+      .get("spark.graft.stats.selectAccuracy", "2000").toInt
     val margin = 4.0 / acc
     // narrow to the two live columns before the multi-pass fan-out —
     // every downstream scan pays only (group, value) I/O

@@ -385,8 +385,11 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     val clusterCols = ClusteredByRe.findFirstMatchIn(tail)
       .map(m => m.group(1).split(",").map(_.trim).toSeq).getOrElse(Nil)
     val allCols = (splitCols(colBody) ++ partColDefs).mkString(", ")
+    val defaultFmt = hiveconf.get("hive.default.fileformat")
+      .map(_.trim.toLowerCase).filter(FormatClasses.contains)
+      .getOrElse("textfile")
     val format = StoredAsRe.findFirstMatchIn(tail)
-      .map(_.group(1).toLowerCase).getOrElse("textfile") match {
+      .map(_.group(1).toLowerCase).getOrElse(defaultFmt) match {
       // STORED AS INPUTFORMAT '<class>' / ROW FORMAT SERDE '<class>'
       // spell the format as the implementation class — map the known
       // container formats back to their names
@@ -451,6 +454,91 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
         .map(m => unescapeDelim(m.group(1))).getOrElse(""),
       MapKeysRe.findFirstMatchIn(tail)
         .map(m => unescapeDelim(m.group(1))).getOrElse(""))
+    // -- DESC FORMATTED shadow metadata ---------------------------------
+    val d = new DescExtra
+    descExtra(dxKey(name)) = d
+    d.props = defaultTableParams ++ """(?is)TBLPROPERTIES\s*\(([^)]*)\)""".r
+      .findFirstMatchIn(tail).map { m =>
+        """['\"]((?:\\.|[^'\"])*)['\"]\s*=\s*['\"]((?:\\.|[^'\"])*)['\"]""".r
+          .findAllMatchIn(m.group(1))
+          .map(p => p.group(1) -> p.group(2)).toMap
+      }.getOrElse(Map.empty)
+    """(?is)^\s*COMMENT\s+'((?:\\.|[^'])*)'""".r.findFirstMatchIn(tail)
+      .foreach(m => d.props = d.props + ("comment" -> m.group(1)))
+    d.numBuckets = """(?is)INTO\s+(\d+)\s+BUCKETS""".r
+      .findFirstMatchIn(tail).map(_.group(1).toInt).getOrElse(-1)
+    d.bucketCols = clusterCols
+    d.sortCols = """(?is)SORTED\s+BY\s*\(([^)]*)\)""".r
+      .findFirstMatchIn(tail).map(_.group(1).split(",").map(_.trim).toSeq
+        .map { c =>
+          val parts = c.split("\\s+")
+          (parts.head.toLowerCase,
+            if (parts.length > 1 && parts(1).equalsIgnoreCase("desc")) 0
+            else 1)
+        }).getOrElse(Nil)
+    // Hive tags a CREATE ... SORTED BY table (ql/parse/
+    // SemanticAnalyzer PROPERTY_SORT_BUCKET_COLS_PREFIX)
+    if (d.sortCols.nonEmpty)
+      d.props = d.props + ("SORTBUCKETCOLSPREFIX" -> "TRUE")
+    """(?is)SKEWED\s+BY\s*\(([^)]*)\)\s*ON\s*\(((?:\([^)]*\)|[^()])*)\)""".r
+      .findFirstMatchIn(tail).foreach { m =>
+        d.skewedCols = m.group(1).split(",").map(_.trim.toLowerCase).toSeq
+        val vals = m.group(2).trim
+        d.skewedValues =
+          if (vals.startsWith("(")) // ((a,b),(c,d))
+            """\(([^)]*)\)""".r.findAllMatchIn(vals)
+              .map(_.group(1).split(",").map(
+                _.trim.stripPrefix("'").stripSuffix("'")).toSeq).toSeq
+          else vals.split(",").map(v =>
+            Seq(v.trim.stripPrefix("'").stripSuffix("'"))).toSeq
+        d.storedAsDirs =
+          """(?is)STORED\s+AS\s+DIRECTORIES""".r.findFirstIn(tail).isDefined
+      }
+    // hive.default.rcfile.serde overrides the RCFile serde class
+    // (rcfile_default_format.q)
+    if (format == "rcfile")
+      hiveconf.get("hive.default.rcfile.serde").map(_.trim)
+        .filter(_.nonEmpty).foreach { cls =>
+          val (_, fi, fo) = FormatClasses("rcfile")
+          d.storage = Some((cls, fi, fo))
+        }
+    val inCls = """(?is)INPUTFORMAT\s+'([^']+)'""".r
+      .findFirstMatchIn(tail).map(_.group(1))
+    val outCls = """(?is)OUTPUTFORMAT\s+'([^']+)'""".r
+      .findFirstMatchIn(tail).map(_.group(1))
+    val serdeCls = """(?is)ROW\s+FORMAT\s+SERDE\s+'([^']+)'""".r
+      .findFirstMatchIn(tail).map(_.group(1))
+    if (inCls.isDefined || serdeCls.isDefined) {
+      val (fs, fi, fo) =
+        FormatClasses.getOrElse(format, FormatClasses("textfile"))
+      d.storage = Some((serdeCls.getOrElse(fs), inCls.getOrElse(fi),
+        outCls.getOrElse(fo)))
+    }
+    var sdp = Map.empty[String, String]
+    // delimiters are stored UNESCAPED; DESC displays control chars in
+    // \uXXXX notation (unicode_notation.q: '\u0001', '\001' and the
+    // raw char all render as \u0001)
+    FieldsTermRe.findFirstMatchIn(tail).foreach { m =>
+      val dl = unescapeDelim(m.group(1))
+      sdp += ("field.delim" -> dl)
+      sdp += ("serialization.format" -> dl)
+    }
+    CollItemsRe.findFirstMatchIn(tail).foreach(m =>
+      sdp += ("colelction.delim" -> unescapeDelim(m.group(1))))
+    MapKeysRe.findFirstMatchIn(tail).foreach(m =>
+      sdp += ("mapkey.delim" -> unescapeDelim(m.group(1))))
+    """(?is)WITH\s+SERDEPROPERTIES\s*\(([^)]*)\)""".r
+      .findFirstMatchIn(tail).foreach { m =>
+        """'((?:\\.|[^'])*)'\s*=\s*'((?:\\.|[^'])*)'""".r
+          .findAllMatchIn(m.group(1))
+          .foreach(p => sdp += (p.group(1) -> p.group(2)))
+      }
+    d.serdeParams = sdp
+    if (partNames.isEmpty) {
+      d.files = Map("" -> 0)
+      d.accurate = Map("" -> true)
+      if (statsAutogather) d.published = Set("")
+    }
   }
 
   /** ALTER TABLE CHANGE COLUMN: Hive changes metadata and reinterprets
@@ -539,9 +627,13 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       avroDocs match {
         case Some(d) => d.getOrElse(f.name.toLowerCase, "")
         case None =>
-          if (f.metadata.contains("comment")) f.metadata.getString("comment")
-          else if (fixtureDefault.contains(f.name.toLowerCase)) "default"
-          else ""
+          descExtra.get(dxKey(table))
+            .flatMap(_.colComments.get(f.name.toLowerCase))
+            .getOrElse(
+              if (f.metadata.contains("comment"))
+                f.metadata.getString("comment")
+              else if (fixtureDefault.contains(f.name.toLowerCase)) "default"
+              else "")
       }
     // Hive lowercases identifiers in metadata; Spark keeps DDL case
     def line(f: org.apache.spark.sql.types.StructField): String =
@@ -840,6 +932,423 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       StructType(Seq(org.apache.spark.sql.types.StructField(
         colName, org.apache.spark.sql.types.StringType))))
 
+  // -- DESC FORMATTED golden rendering ----------------------------------
+  // Hive's MetaDataFormatUtils.getTableInformation/getPartitionInformation
+  // (ref ql/metadata/formatting/MetaDataFormatUtils.java:128-239) print
+  // fixed-order sections; the reference harness MASKS the
+  // nondeterministic lines (Owner/CreateTime/Location/last_modified_*/
+  // transient_lastDdlTime), leaving a deterministic skeleton the runner
+  // reproduces from shadow metadata plus a small write-event ledger:
+  // numFiles counts write events, numRows/rawDataSize are recomputed
+  // from live table content at render time (equal to Hive's
+  // autogathered cumulative stats), totalSize for text tables is
+  // rawDataSize + numRows (one newline per row). Render BAILS (stays
+  // Ignored, like before) whenever the table saw an event the ledger
+  // cannot model faithfully — a wrong byte is worse than no check.
+
+  private final class DescExtra {
+    var props = Map.empty[String, String] // user TBLPROPERTIES + comment
+    var numBuckets: Int = -1
+    var bucketCols: Seq[String] = Nil
+    var sortCols: Seq[(String, Int)] = Nil // (col, 1 asc / 0 desc)
+    var skewedCols: Seq[String] = Nil
+    var skewedValues: Seq[Seq[String]] = Nil
+    var storedAsDirs = false
+    var storage: Option[(String, String, String)] = None // serde,in,out
+    var serdeParams = Map.empty[String, String]
+    var partFormat = Map.empty[String, String] // spec -> format at add time
+    var partProps = Map.empty[String, Map[String, String]] // inherited
+    var partStorage = Map.empty[String, (String, String, String)]
+    var colComments = Map.empty[String, String] // ALTER CHANGE overlays
+    var files = Map.empty[String, Int] // "" = table level
+    var accurate = Map.empty[String, Boolean]
+    var loadedBytes = Map.empty[String, Long]
+    // levels whose COLUMN_STATS_ACCURATE marker an ALTER cleared (the
+    // quad itself survives; a later INSERT re-marks accurate)
+    var csaDropped = Set.empty[String]
+    // (rows, rawDataSize) captured when a LOAD lands on a level that
+    // HAD accurate stats: Hive keeps the stale quad, drops the marker,
+    // and only numFiles/totalSize move (stats18.q)
+    var frozen = Map.empty[String, (Long, Long)]
+    // levels that ever PUBLISHED stats params: with
+    // hive.stats.autogather=false nothing is published until an
+    // ANALYZE runs (stats16.q renders no quad at all)
+    var published = Set.empty[String]
+    // levels that published only FILE stats (insert with
+    // hive.stats.autogather=false still records numFiles/totalSize
+    // from the FileSink — union_remove_*.q goldens)
+    var filesOnly = Set.empty[String]
+    var unknown = false // an unmodeled event happened: never render
+  }
+  private val descExtra =
+    scala.collection.mutable.Map.empty[String, DescExtra]
+  private def dxKey(table: String): String =
+    table.toLowerCase.split('.').last
+  private def dx(table: String): DescExtra =
+    descExtra.getOrElseUpdate(dxKey(table), new DescExtra)
+
+  private def canonSpec(spec: Seq[(String, String)]): String =
+    spec.map { case (k, v) => s"${k.toLowerCase}=$v" }.mkString("/")
+
+  /** Hive's storage descriptor classes per STORED AS name (the triples
+    * DESC FORMATTED prints; pinned by alter_file_format.q goldens). */
+  private val FormatClasses: Map[String, (String, String, String)] = Map(
+    "textfile" -> (("org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe",
+      "org.apache.hadoop.mapred.TextInputFormat",
+      "org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat")),
+    "rcfile" -> (("org.apache.hadoop.hive.serde2.columnar.ColumnarSerDe",
+      "org.apache.hadoop.hive.ql.io.RCFileInputFormat",
+      "org.apache.hadoop.hive.ql.io.RCFileOutputFormat")),
+    "orc" -> (("org.apache.hadoop.hive.ql.io.orc.OrcSerde",
+      "org.apache.hadoop.hive.ql.io.orc.OrcInputFormat",
+      "org.apache.hadoop.hive.ql.io.orc.OrcOutputFormat")),
+    "parquet" ->
+      (("org.apache.hadoop.hive.ql.io.parquet.serde.ParquetHiveSerDe",
+      "org.apache.hadoop.hive.ql.io.parquet.MapredParquetInputFormat",
+      "org.apache.hadoop.hive.ql.io.parquet.MapredParquetOutputFormat")),
+    "sequencefile" ->
+      (("org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe",
+      "org.apache.hadoop.mapred.SequenceFileInputFormat",
+      "org.apache.hadoop.mapred.SequenceFileOutputFormat")),
+    "avro" -> (("org.apache.hadoop.hive.serde2.avro.AvroSerDe",
+      "org.apache.hadoop.hive.ql.io.avro.AvroContainerInputFormat",
+      "org.apache.hadoop.hive.ql.io.avro.AvroContainerOutputFormat")))
+
+  /** Scripts whose DESC FORMATTED blocks stay Ignored (as before the
+    * renderer existed): their goldens pin stats shapes the ledger does
+    * not model yet — column-stats JSON inside COLUMN_STATS_ACCURATE
+    * (columnStatsUpdateForStatsOptimizer_*), reducer-count-dependent
+    * numFiles (parallel_orderby, union_remove_3's mixed merge confs),
+    * CTAS column-name derivation quirks (ctas, ctas_colname), binary
+    * totalSize of non-text sinks (parquet_serde, schema_evol_stats),
+    * and analyze-noscan/metastore-estimator interplay (stats1, stats3,
+    * stats11, stats_only_null). Every other desc-formatted golden in
+    * the gate renders byte-exact. */
+  private val DescFormattedDeny: Set[String] = Set(
+    "columnStatsUpdateForStatsOptimizer_1",
+    "columnStatsUpdateForStatsOptimizer_2", "ctas", "ctas_colname",
+    "parallel_orderby", "parquet_serde", "schema_evol_stats", "stats1",
+    "stats11", "stats3", "stats_only_null", "union_remove_3")
+
+  private val DescFormattedRe =
+    """(?is)\s*DESC(?:RIBE)?\s+FORMATTED\s+`?([\w.]+)`?\s*(?:PARTITION\s*\(([^)]*)\))?\s*""".r
+
+  /** Can DESC FORMATTED on this table render byte-exact? */
+  private def descFormattable(table: String,
+      specOpt: Option[String]): Boolean = {
+    val short = dxKey(table)
+    if (DescFormattedDeny.contains(eximScope)) return false
+    def exists =
+      try spark.catalog.tableExists(quoteName(table))
+      catch { case _: Exception => false }
+    descExtra.contains(short) && !descExtra(short).unknown &&
+      !isViewLike(table) &&
+      !tableMeta.get(short).exists(_.storedBy) && exists &&
+      (try { descFormattedLines(table, specOpt); true }
+      catch { case _: Exception => false })
+  }
+
+  private def descFormattedDf(table: String,
+      specOpt: Option[String]): DataFrame =
+    linesDf(descFormattedLines(table, specOpt), "col_name")
+
+  private def kvLine(label: String, value: String): String =
+    s"${p20(label)}\t${p20(value)}\t "
+  private def paramLine(k: String, v: String): String =
+    s"\t${p20(k)}\t${p20(v)}"
+
+  private def descFormattedLines(table: String,
+      specOpt: Option[String]): Seq[String] = {
+    val short = dxKey(table)
+    val d = descExtra(short)
+    val meta = tableMeta.getOrElse(short, TableMeta("", Nil))
+    val sch = spark.table(quoteName(table)).schema
+    val partCols = meta.partCols.map(_.toLowerCase)
+    val fixtureDefault = FixtureComments.getOrElse(short, Set.empty)
+    def typeOf(f: org.apache.spark.sql.types.StructField): String =
+      if (f.metadata.contains("__CHAR_VARCHAR_TYPE_STRING"))
+        f.metadata.getString("__CHAR_VARCHAR_TYPE_STRING").toLowerCase
+      else f.dataType.simpleString
+    def commentOf(f: org.apache.spark.sql.types.StructField): String =
+      d.colComments.getOrElse(f.name.toLowerCase,
+        if (f.metadata.contains("comment")) f.metadata.getString("comment")
+        else if (fixtureDefault.contains(f.name.toLowerCase)) "default"
+        else "")
+    def colLine(f: org.apache.spark.sql.types.StructField): String =
+      s"${p20(f.name.toLowerCase)}\t${p20(typeOf(f))}\t${p20(commentOf(f))}"
+    val header =
+      "# col_name            \tdata_type           \tcomment             "
+    val dataFields = sch.fields.filterNot(f =>
+      partCols.contains(f.name.toLowerCase)).toSeq
+    val partFields = sch.fields.filter(f =>
+      partCols.contains(f.name.toLowerCase)).toSeq
+    val colSection =
+      Seq(header, DescSep) ++ dataFields.map(colLine) ++ Seq(DescSep) ++
+        (if (partFields.isEmpty) Nil
+        else Seq("# Partition Information\t \t ", header, DescSep) ++
+          partFields.map(colLine) ++ Seq(DescSep))
+
+    val db =
+      table.split('.').toList match {
+        case dbName :: _ :: Nil if dbName != sandboxDb => dbName.toLowerCase
+        case _ =>
+          val cur = spark.catalog.currentDatabase
+          if (cur == sandboxDb) "default" else cur
+      }
+    val external = externalTables.contains(short) ||
+      externalTables.contains(table.toLowerCase)
+
+    // -- stats params for one ledger level -------------------------------
+    def statsParams(spec: String): Seq[(String, String)] = {
+      if (!d.files.contains(spec) ||
+          !(d.published.contains(spec) || d.filesOnly.contains(spec)))
+        return Nil
+      val fmt = specOpt match {
+        case Some(_) => d.partFormat.getOrElse(spec, meta.format)
+        case None => meta.format
+      }
+      // hive.stats.collect.rawdatasize=false publishes 0 (stats15.q)
+      val collectRaw = !hiveconf.get("hive.stats.collect.rawdatasize")
+        .exists(_.trim.equalsIgnoreCase("false"))
+      if (!d.published.contains(spec) && d.filesOnly.contains(spec)) {
+        val (n, raw) = liveRowsRaw(table, spec)
+        require(n == 0 || fmt == "textfile",
+          "non-text totalSize not modeled")
+        return Seq(
+          "numFiles" -> d.files(spec).toString,
+          "totalSize" -> (raw + n).toString)
+      }
+      d.frozen.get(spec) match {
+        case Some((fRows, fRaw)) =>
+          // LOAD onto an accurate level: marker dropped, quad STALE,
+          // only numFiles/totalSize move (stats18.q)
+          Seq(
+            "numFiles" -> d.files(spec).toString,
+            "numRows" -> fRows.toString,
+            "rawDataSize" -> (if (collectRaw) fRaw else 0L).toString,
+            "totalSize" -> (fRaw + fRows +
+              d.loadedBytes.getOrElse(spec, 0L)).toString)
+        case None if d.accurate.getOrElse(spec, false) =>
+          val (n, raw) = liveRowsRaw(table, spec)
+          require(n == 0 || fmt == "textfile",
+            "non-text totalSize not modeled")
+          // an ALTER clears the accuracy marker but leaves the quad
+          (if (d.csaDropped.contains(spec)) Nil
+          else Seq("COLUMN_STATS_ACCURATE" ->
+            "{\\\"BASIC_STATS\\\":\\\"true\\\"}")) ++
+            Seq(
+              "numFiles" -> d.files(spec).toString,
+              "numRows" -> n.toString,
+              "rawDataSize" -> (if (collectRaw) raw else 0L).toString,
+              "totalSize" -> (raw + n).toString)
+        case None =>
+          // LOAD onto a never-measured level: stats unknown, bytes are
+          // the moved files' sizes (text fixtures — knowable)
+          Seq(
+            "COLUMN_STATS_ACCURATE" -> "false",
+            "numFiles" -> d.files(spec).toString,
+            "numRows" -> "-1",
+            "rawDataSize" -> "-1",
+            "totalSize" -> d.loadedBytes.getOrElse(spec, 0L).toString)
+      }
+    }
+
+    // -- storage section --------------------------------------------------
+    def storageSection(fmt: String,
+        storageOverride: Option[(String, String, String)],
+        buckets: Int, bCols: Seq[String], sCols: Seq[(String, Int)])
+        : Seq[String] = {
+      val (serde, in, out) = storageOverride.getOrElse(
+        FormatClasses.getOrElse(fmt, FormatClasses("textfile")))
+      val sortStr =
+        if (sCols.isEmpty) "[]"
+        else sCols.map { case (c, o) => s"Order(col:$c, order:$o)" }
+          .mkString("[", ", ", "]")
+      val skewLines =
+        if (d.skewedCols.isEmpty) Nil
+        else Seq(
+          kvLine("Skewed Columns:", d.skewedCols.mkString("[", ", ", "]")),
+          kvLine("Skewed Values:", d.skewedValues
+            .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]"))) ++
+          (if (d.storedAsDirs)
+            Seq(kvLine("Stored As SubDirectories:", "Yes"))
+          else Nil)
+      val sdParams = (d.serdeParams ++
+        Map("serialization.format" ->
+          d.serdeParams.getOrElse("serialization.format", "1")))
+        .toSeq.sortBy(_._1)
+      def dispParam(v: String): String =
+        v.flatMap(c => if (c < ' ') f"\\u${c.toInt}%04x" else c.toString)
+      Seq("# Storage Information\t \t ",
+        kvLine("SerDe Library:", serde),
+        kvLine("InputFormat:", in),
+        kvLine("OutputFormat:", out),
+        kvLine("Compressed:", "No"),
+        kvLine("Num Buckets:", buckets.toString),
+        kvLine("Bucket Columns:", bCols.mkString("[", ", ", "]")),
+        kvLine("Sort Columns:", sortStr)) ++ skewLines ++
+        Seq("Storage Desc Params:\t \t ") ++
+        sdParams.map { case (k, v) => paramLine(k, dispParam(v)) }
+    }
+
+    specOpt match {
+      case None =>
+        val tblParams0 =
+          (if (external) Map("EXTERNAL" -> "TRUE") else Map.empty) ++
+            d.props ++ statsParams("").toMap
+        val tblParams = tblParams0.toSeq.sortBy(_._1)
+        colSection ++
+          Seq("# Detailed Table Information\t \t ",
+            kvLine("Database:", db),
+            kvLine("Protect Mode:", "None"),
+            kvLine("Retention:", "0"),
+            kvLine("Table Type:",
+              if (external) "EXTERNAL_TABLE" else "MANAGED_TABLE"),
+            "Table Parameters:\t \t ") ++
+          tblParams.map { case (k, v) => paramLine(k, v) } ++
+          Seq(DescSep) ++
+          storageSection(meta.format, d.storage, d.numBuckets,
+            d.bucketCols, d.sortCols)
+      case Some(rawSpec) =>
+        val specSeq = parsePartitionSpec(rawSpec)
+        val spec = canonSpec(specSeq)
+        require(d.files.contains(spec), s"unknown partition $spec")
+        val partParams =
+          (d.partProps.getOrElse(spec, Map.empty) ++
+            statsParams(spec).toMap).toSeq.sortBy(_._1)
+        val fmt = d.partFormat.getOrElse(spec, meta.format)
+        val pStorage = d.partStorage.get(spec)
+        colSection ++
+          Seq("# Detailed Partition Information\t \t ",
+            kvLine("Partition Value:",
+              specSeq.map(_._2).mkString("[", ", ", "]")),
+            kvLine("Database:", db),
+            kvLine("Table:", short),
+            kvLine("Protect Mode:", "None"),
+            "Partition Parameters:\t \t ") ++
+          partParams.map { case (k, v) => paramLine(k, v) } ++
+          Seq(DescSep) ++
+          storageSection(fmt, pStorage, d.numBuckets, d.bucketCols,
+            d.sortCols)
+    }
+  }
+
+  /** Live (numRows, rawDataSize-bytes) of a table level under the
+    * text serialization (one byte per field separator, \N for NULL) —
+    * the quantity Hive's autogathered basic stats publish. Throws on
+    * shapes the model can't serialize (complex types, non-text). */
+  private def liveRowsRaw(table: String, spec: String): (Long, Long) = {
+    val meta = tableMeta.getOrElse(dxKey(table), TableMeta("", Nil))
+    val sch = spark.table(quoteName(table)).schema
+    val partCols = meta.partCols.map(_.toLowerCase)
+    val slice =
+      if (spec.isEmpty) spark.table(quoteName(table))
+      else spec.split('/').foldLeft(spark.table(quoteName(table))) {
+        (df, kv) =>
+          val Array(k, v) = kv.split("=", 2)
+          df.filter(col(k) === lit(v))
+      }
+    val dataIdx = sch.fields.zipWithIndex
+      .filterNot { case (f, _) => partCols.contains(f.name.toLowerCase) }
+    require(dataIdx.forall(f => f._1.dataType match {
+      case _: org.apache.spark.sql.types.ArrayType => false
+      case _: org.apache.spark.sql.types.MapType => false
+      case _: StructType => false
+      case _ => true
+    }), "complex-type rawDataSize not modeled")
+    val projected =
+      slice.select(dataIdx.map(f => col(f._1.name)).toIndexedSeq: _*)
+    val rows = projected.collect()
+    val raw = rows.map { r =>
+      val fieldLens = dataIdx.indices.map { i =>
+        if (r.isNullAt(i)) 2 // \N
+        else Qtest.formatValue(r.get(i), dataIdx(i)._1.dataType,
+          top = true).getBytes("UTF-8").length
+      }
+      fieldLens.sum + math.max(0, fieldLens.length - 1)
+    }.sum.toLong
+    (rows.length.toLong, raw)
+  }
+
+  private def statsAutogather: Boolean =
+    !hiveconf.get("hive.stats.autogather")
+      .exists(_.trim.equalsIgnoreCase("false"))
+
+  /** hive.table.parameters.default: k1=v1,k2=v2 applied to every new
+    * table (create_like_tbl_props.q). */
+  private def defaultTableParams: Map[String, String] =
+    hiveconf.getOrElse("hive.table.parameters.default", "")
+      .split(",").map(_.trim).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+
+  /** Table props a NEW partition inherits, per
+    * hive.metastore.partition.inherit.table.properties at creation
+    * time (part_inherit_tbl_props*.q): a comma list of keys, or "*"
+    * for all user props. */
+  private def inheritedPartProps(d: DescExtra): Map[String, String] = {
+    val conf = hiveconf.getOrElse(
+      "hive.metastore.partition.inherit.table.properties", "").trim
+    val keys = conf.split(",").map(_.trim).filter(_.nonEmpty).toSet
+    if (keys.isEmpty) Map.empty
+    else if (keys.contains("*")) d.props
+    else d.props.filter { case (k, _) => keys.contains(k) }
+  }
+
+  /** Ledger hooks: called from execute() around write statements. */
+  private def descOnWrite(table: String, spec: Seq[(String, String)],
+      overwrite: Boolean, dynamic: Boolean, branches: Int = 1): Unit = {
+    val d = dx(table)
+    if (dynamic) { d.unknown = true; return }
+    val s = canonSpec(spec)
+    if (s.nonEmpty && !d.files.contains(s))
+      d.partProps = d.partProps + (s -> inheritedPartProps(d))
+    d.csaDropped = d.csaDropped - s // autogather re-marks accuracy
+    if (overwrite) { d.frozen = d.frozen - s; d.loadedBytes = d.loadedBytes - s }
+    if (statsAutogather) d.published = d.published + s
+    else d.filesOnly = d.filesOnly + s // FileSink still counts files
+    // a bucketed insert writes one file per bucket; a union-remove
+    // insert writes one per union branch
+    val wrote =
+      if (d.numBuckets > 0) d.numBuckets else math.max(1, branches)
+    d.files = d.files + (s ->
+      (if (overwrite) wrote else d.files.getOrElse(s, 0) + wrote))
+    if (overwrite) {
+      d.accurate = d.accurate + (s -> true)
+      d.loadedBytes = d.loadedBytes - s
+    } else if (!d.accurate.getOrElse(s, true))
+      // appending to a load-dirtied level keeps it dirty
+      ()
+    else d.accurate = d.accurate + (s -> true)
+  }
+
+  /** Pre-LOAD capture: called by loadData BEFORE the rows land. A
+    * level holding accurate gathered stats keeps them (stale) through
+    * a LOAD — snapshot them now so the post-load render can reproduce
+    * Hive's frozen quad (stats18.q). */
+  private def descBeforeLoad(table: String,
+      spec: Seq[(String, String)]): Unit = {
+    val d = dx(table)
+    val s = canonSpec(spec)
+    if (d.accurate.getOrElse(s, false) && !d.frozen.contains(s) &&
+        d.files.getOrElse(s, 0) > 0 && !d.csaDropped.contains(s))
+      try d.frozen = d.frozen + (s -> liveRowsRaw(table, s))
+      catch { case _: Exception => () }
+  }
+
+  private def descOnLoad(table: String, spec: Seq[(String, String)],
+      overwrite: Boolean, bytes: Long): Unit = {
+    val d = dx(table)
+    val s = canonSpec(spec)
+    if (overwrite) d.frozen = d.frozen - s
+    d.files = d.files + (s ->
+      (if (overwrite) 1 else d.files.getOrElse(s, 0) + 1))
+    d.published = d.published + s
+    d.accurate = d.accurate + (s -> false)
+    d.loadedBytes = d.loadedBytes +
+      (s -> (if (overwrite) bytes
+      else d.loadedBytes.getOrElse(s, 0L) + bytes))
+  }
+
   /** Hive reinterprets stored data against a new declared type; for a
     * (shrunk) CHAR/VARCHAR that is a silent truncation on read, where
     * Spark would reject the over-length write (EXCEED_LIMIT_LENGTH). */
@@ -949,6 +1458,7 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
 
   private def loadData(path: String, table: String, overwrite: Boolean,
       partition: Seq[(String, String)]): Unit = {
+    if (!overwrite) descBeforeLoad(table, partition)
     val resolved =
       if (path.startsWith("../../data/files/"))
         dataFile(path.stripPrefix("../../data/files/"))
@@ -1016,6 +1526,11 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     // unpartitioned — Hive's LOAD DATA OVERWRITE semantics
     if (overwrite) df.write.mode("overwrite").insertInto(quoteName(table))
     else df.write.insertInto(quoteName(table))
+    // DESC FORMATTED ledger: LOAD moves files without gathering row
+    // stats — the level enters the inaccurate regime, totalSize = the
+    // moved file's actual bytes
+    descOnLoad(table, partition, overwrite,
+      try new java.io.File(resolved).length catch { case _: Exception => 0L })
   }
 
   // -- statement routing ------------------------------------------------
@@ -1027,9 +1542,9 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
   private val AlterAvroSchemaRe =
     """(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+SET\s+(?:TBLPROPERTIES|SERDE)\b.*""".r
   private val AlterFileFormatRe =
-    """(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?(?:\s+PARTITION\s*\([^)]*\))?\s+SET\s+FILEFORMAT\s+(\w+)\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?(?:\s+PARTITION\s*\(([^)]*)\))?\s+SET\s+FILEFORMAT\s+(\w+)\s*""".r
   private val AlterChangeRe =
-    """(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?(?:\s+PARTITION\s*\([^)]*\))?\s+CHANGE\s+(?:COLUMN\s+)?`?(\w+)`?\s+`?(\w+)`?\s+([\w()<>, ]+?)\s*(?:COMMENT\s+'[^']*')?\s*(?:FIRST|AFTER\s+\w+)?\s*(?:CASCADE|RESTRICT)?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?(?:\s+PARTITION\s*\([^)]*\))?\s+CHANGE\s+(?:COLUMN\s+)?`?(\w+)`?\s+`?(\w+)`?\s+([\w()<>, ]+?)\s*(?:COMMENT\s+'([^']*)')?\s*(?:FIRST|AFTER\s+\w+)?\s*(?:CASCADE|RESTRICT)?\s*""".r
   private val AlterReplaceColsRe =
     """(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?(?:\s+PARTITION\s*\([^)]*\))?\s+REPLACE\s+COLUMNS\s*\((.*)\)\s*(?:CASCADE|RESTRICT)?\s*""".r
 
@@ -1610,6 +2125,14 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
 
   /** Execute one statement; return its kind and result (for Query). */
   def execute(stmt0: String): (StmtKind, Option[DataFrame]) = {
+    val r = executeRouted(stmt0)
+    // DESC FORMATTED ledger: record write/alter events once, AFTER the
+    // routed branch succeeded (a thrown statement records nothing)
+    descLedgerHooks(Qtest.stripComments(preprocess(stmt0)).trim)
+    r
+  }
+
+  private def executeRouted(stmt0: String): (StmtKind, Option[DataFrame]) = {
     val stmt = preprocess(stmt0)
     // ref ExportSemanticAnalyzer: a non-native (storage handler) table
     // cannot be exported
@@ -1660,6 +2183,9 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
         (MetaQuery, Some(showTablesDf(Option(db), Option(pat))))
       case DescFunctionRe(ext, fn) if describableFunction(fn) =>
         (MetaQuery, Some(describeFunctionDf(fn, ext != null)))
+      case DescFormattedRe(tbl, partSpec)
+          if descFormattable(tbl, Option(partSpec)) =>
+        (MetaQuery, Some(descFormattedDf(tbl, Option(partSpec))))
       case _ if head == "EXPLAIN" || head == "DESCRIBE" || head == "DESC" ||
           head == "SHOW" => (Ignored, None)
       case AlterClusteredRe(table, spec) =>
@@ -1669,9 +2195,59 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
           .getOrElse(Nil)
         val old = tableMeta.getOrElse(table.toLowerCase, TableMeta("", Nil))
         tableMeta(table.toLowerCase) = old.copy(clusterCols = cc)
+        val dAc = dx(table)
+        dAc.bucketCols = cc.map(_.toLowerCase)
+        dAc.numBuckets = """(?is)INTO\s+(\d+)\s+BUCKETS""".r
+          .findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(-1)
+        dAc.sortCols = """(?is)SORTED\s+BY\s*\(([^)]*)\)""".r
+          .findFirstMatchIn(body).map(_.group(1).split(",").map(_.trim)
+            .toSeq.map { c =>
+              val parts = c.split("\\s+")
+              (parts.head.toLowerCase,
+                if (parts.length > 1 && parts(1).equalsIgnoreCase("desc")) 0
+                else 1)
+            }).getOrElse(Nil)
         (Effect, None)
-      case AlterChangeRe(table, oldCol, newCol, newType) =>
+      case _ if """(?is)\s*ALTER\s+TABLE\s+`?[\w.]+`?\s+NOT\s+SORTED\s*""".r
+          .matches(body) =>
+        """(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+NOT\s+SORTED""".r
+          .findFirstMatchIn(body).foreach(m => dx(m.group(1)).sortCols = Nil)
+        (Effect, None)
+      case _ if """(?is)\s*ALTER\s+TABLE\s+`?[\w.]+`?\s+(NOT\s+SKEWED|NOT\s+STORED\s+AS\s+DIRECTORIES|SKEWED\s+BY\b).*""".r
+          .matches(body) =>
+        // list-bucketing / skew metadata — storage hint only here
+        val mAlt = """(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+(.*)""".r
+          .findFirstMatchIn(body).get
+        val dSk = dx(mAlt.group(1))
+        val rest2 = mAlt.group(2)
+        if ("""(?is)^NOT\s+SKEWED""".r.findFirstIn(rest2).isDefined) {
+          dSk.skewedCols = Nil; dSk.skewedValues = Nil
+          dSk.storedAsDirs = false
+        } else if ("""(?is)^NOT\s+STORED""".r.findFirstIn(rest2).isDefined)
+          dSk.storedAsDirs = false
+        else
+          """(?is)SKEWED\s+BY\s*\(([^)]*)\)\s*ON\s*\(((?:\([^)]*\)|[^()])*)\)""".r
+            .findFirstMatchIn(rest2).foreach { m =>
+              dSk.skewedCols =
+                m.group(1).split(",").map(_.trim.toLowerCase).toSeq
+              val vals = m.group(2).trim
+              dSk.skewedValues =
+                if (vals.startsWith("("))
+                  """\(([^)]*)\)""".r.findAllMatchIn(vals)
+                    .map(_.group(1).split(",").map(
+                      _.trim.stripPrefix("'").stripSuffix("'")).toSeq).toSeq
+                else vals.split(",").map(v =>
+                  Seq(v.trim.stripPrefix("'").stripSuffix("'"))).toSeq
+              dSk.storedAsDirs = """(?is)STORED\s+AS\s+DIRECTORIES""".r
+                .findFirstIn(rest2).isDefined
+            }
+        (Effect, None)
+      case AlterChangeRe(table, oldCol, newCol, newType, comment) =>
         changeColumn(table, oldCol, newCol, newType)
+        Option(comment).foreach { c =>
+          val d = dx(table)
+          d.colComments = d.colComments + (newCol.toLowerCase -> c)
+        }
         (Effect, None)
       case AlterReplaceColsRe(table, colBody) =>
         replaceColumns(table, colBody)
@@ -1679,12 +2255,61 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       case _ if """(?is)\s*ALTER\s+TABLE\s+\S+(\s+PARTITION\s*\([^)]*\))?\s+(ENABLE|DISABLE)\s+(NO_DROP|OFFLINE)\b.*""".r
           .matches(body) =>
         (Effect, None) // protection metadata — no data effect
-      case AlterFileFormatRe(table, fmt) =>
+      case _ if """(?is)\s*ALTER\s+TABLE\s+\S+(?:\s+PARTITION\s*\([^)]*\))?\s+SET\s+FILEFORMAT\s+INPUTFORMAT\b.*""".r
+          .matches(body) =>
+        val fm = ("""(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?""" +
+          """(?:\s+PARTITION\s*\(([^)]*)\))?\s+SET\s+FILEFORMAT\b""").r
+          .findFirstMatchIn(body).get
+        val table = fm.group(1); val partSpec = fm.group(2)
+        // SET FILEFORMAT INPUTFORMAT 'x' OUTPUTFORMAT 'y' SERDE 'z':
+        // record the classes verbatim for DESC FORMATTED
+        val inC = """(?is)INPUTFORMAT\s+'([^']+)'""".r
+          .findFirstMatchIn(body).map(_.group(1))
+        val outC = """(?is)OUTPUTFORMAT\s+'([^']+)'""".r
+          .findFirstMatchIn(body).map(_.group(1))
+        val seC = """(?is)SERDE\s+'([^']+)'""".r
+          .findFirstMatchIn(body).map(_.group(1))
+        val dEx = dx(table)
+        val (fs0, fi0, fo0) = FormatClasses(tableMeta
+          .get(dxKey(table)).map(_.format).filter(FormatClasses.contains)
+          .getOrElse("textfile"))
+        val triple = (seC.getOrElse(fs0), inC.getOrElse(fi0),
+          outC.getOrElse(fo0))
+        Option(partSpec) match {
+          case Some(sp) =>
+            dEx.partStorage = dEx.partStorage +
+              (canonSpec(parsePartitionSpec(sp)) -> triple)
+          case None => dEx.storage = Some(triple)
+        }
+        (Effect, None)
+      case AlterFileFormatRe(table, partSpec, fmt) =>
         // storage stays parquet, but a later LOAD DATA must parse its
         // fixture file with the newly-declared format's reader
-        val prev = tableMeta.getOrElse(table.toLowerCase,
-          TableMeta("", Nil))
-        tableMeta(table.toLowerCase) = prev.copy(format = fmt.toLowerCase)
+        // DDLTask's ALTER fileformat mapping for TEXTFILE uses the
+        // legacy IgnoreKeyTextOutputFormat, not CREATE's
+        // HiveIgnoreKeyTextOutputFormat (alter_file_format.q golden)
+        val alterTriple: Option[(String, String, String)] =
+          if (fmt.equalsIgnoreCase("textfile"))
+            Some(("org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe",
+              "org.apache.hadoop.mapred.TextInputFormat",
+              "org.apache.hadoop.hive.ql.io.IgnoreKeyTextOutputFormat"))
+          else None
+        Option(partSpec) match {
+          case Some(sp) =>
+            val d2 = dx(table)
+            val cs = canonSpec(parsePartitionSpec(sp))
+            d2.partFormat = d2.partFormat + (cs -> fmt.toLowerCase)
+            alterTriple match {
+              case Some(t) => d2.partStorage = d2.partStorage + (cs -> t)
+              case None => d2.partStorage = d2.partStorage - cs
+            }
+          case None =>
+            val prev = tableMeta.getOrElse(table.toLowerCase,
+              TableMeta("\u0001", Nil))
+            tableMeta(table.toLowerCase) =
+              prev.copy(format = fmt.toLowerCase)
+            dx(table).storage = alterTriple // supersedes any override
+        }
         (Effect, None)
       case AlterAvroSchemaRe(table)
           if body.contains("avro.schema.literal") =>
@@ -1886,6 +2511,43 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
             s"USING parquet$partClause")
           tableMeta(name.toLowerCase) = srcMeta
             .getOrElse(TableMeta("", Nil)).copy(partCols = partCols)
+          // DESC FORMATTED shadow: LIKE copies the storage descriptor
+          // (serde params, buckets, sort, skew) but NOT the source's
+          // TBLPROPERTIES; a TBLPROPERTIES clause on the LIKE adds new
+          val dNew = new DescExtra
+          dNew.props = defaultTableParams
+          descExtra.get(dxKey(src)).foreach { dSrc =>
+            dNew.serdeParams = dSrc.serdeParams
+            dNew.numBuckets = dSrc.numBuckets
+            dNew.bucketCols = dSrc.bucketCols
+            dNew.sortCols = dSrc.sortCols
+            dNew.skewedCols = dSrc.skewedCols
+            dNew.skewedValues = dSrc.skewedValues
+            dNew.storedAsDirs = dSrc.storedAsDirs
+            dNew.storage = dSrc.storage
+            // LIKE copies only the props whitelisted by
+            // hive.ddl.createtablelike.properties.whitelist
+            // (create_like2.q: 'D' does NOT whitelist 'd' — the match
+            // is case-sensitive); default = none
+            val wl = hiveconf.getOrElse(
+              "hive.ddl.createtablelike.properties.whitelist", "")
+              .split(",").map(_.trim).filter(_.nonEmpty).toSet
+            dNew.props = dNew.props ++ dSrc.props.filter {
+              case (k, _) => wl.contains(k) }
+          }
+          """(?is)TBLPROPERTIES\s*\(([^)]*)\)""".r
+            .findFirstMatchIn(body).foreach { m =>
+              """'((?:\\.|[^'])*)'\s*=\s*'((?:\\.|[^'])*)'""".r
+                .findAllMatchIn(m.group(1))
+                .foreach(pm =>
+                  dNew.props = dNew.props + (pm.group(1) -> pm.group(2)))
+            }
+          if (partCols.isEmpty) {
+            dNew.files = Map("" -> 0)
+            dNew.accurate = Map("" -> true)
+            if (statsAutogather) dNew.published = Set("")
+          }
+          descExtra(dxKey(name)) = dNew
         }
         (Effect, None)
       case CtasRe(name, select) =>
@@ -1920,12 +2582,33 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
         // keep the declared serde details -- a later LOAD DATA into this
         // table must parse its fixture file with the matching reader
         val ctasHead = body.substring(0, body.length - select.length)
+        val ctasDefFmt = hiveconf.get("hive.default.fileformat")
+          .map(_.trim.toLowerCase).filter(FormatClasses.contains)
+          .getOrElse("textfile")
+        val ctasFmt = StoredAsRe.findFirstMatchIn(ctasHead)
+          .map(_.group(1).toLowerCase).getOrElse(ctasDefFmt)
         tableMeta(name.toLowerCase) = TableMeta(
           FieldsTermRe.findFirstMatchIn(ctasHead)
             .map(m => unescapeDelim(m.group(1))).getOrElse("\u0001"),
-          Nil, Nil,
-          StoredAsRe.findFirstMatchIn(ctasHead)
-            .map(_.group(1).toLowerCase).getOrElse("textfile"))
+          Nil, Nil, ctasFmt)
+        // DESC FORMATTED shadow: one write event with gathered stats
+        val dCtas = new DescExtra
+        dCtas.props = defaultTableParams
+        if (ctasFmt == "rcfile")
+          hiveconf.get("hive.default.rcfile.serde").map(_.trim)
+            .filter(_.nonEmpty).foreach { cls =>
+              val (_, fi, fo) = FormatClasses("rcfile")
+              dCtas.storage = Some((cls, fi, fo))
+            }
+        FieldsTermRe.findFirstMatchIn(ctasHead).foreach { m =>
+          val dl = unescapeDelim(m.group(1))
+          dCtas.serdeParams = dCtas.serdeParams +
+            ("field.delim" -> dl) + ("serialization.format" -> dl)
+        }
+        dCtas.files = Map("" -> 1)
+        dCtas.accurate = Map("" -> true)
+        if (statsAutogather) dCtas.published = Set("")
+        descExtra(dxKey(name)) = dCtas
         (Effect, None)
       case CreateTableRe(name, rest)
           if !("""(?is)\s*CREATE\s+EXTERNAL\b.*""".r.matches(body) &&
@@ -1950,6 +2633,7 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
         (Effect, None)
       case DropTableRe(name) =>
         spark.sql(s"DROP TABLE IF EXISTS ${quoteName(name)}")
+        descExtra.remove(dxKey(name))
         (Effect, None)
       case AlterRenameRe(oldN, newN) =>
         val meta = tableMeta.getOrElse(oldN.toLowerCase, TableMeta("", Nil))
@@ -1963,6 +2647,8 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
         // the serde/partition bookkeeping follows the new name
         tableMeta.remove(oldN.toLowerCase)
           .foreach(m => tableMeta(newN.toLowerCase) = m)
+        descExtra.remove(dxKey(oldN))
+          .foreach(d => descExtra(dxKey(newN)) = d)
         (Effect, None)
       case CreateTempFnRe(alias, className) =>
         registerTempFunction(alias, className)
@@ -2009,6 +2695,177 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
             spark.sql(s"DROP TABLE IF EXISTS $tmp")
         }
         (Effect, None)
+    }
+  }
+
+  /** DESC FORMATTED ledger: record write events AFTER the statement
+    * executed (a failed statement records nothing). Statements the
+    * ledger cannot attribute (dynamic partitions, exotic DML) mark the
+    * table unknown so DESC FORMATTED on it stays Ignored. */
+  private def descLedgerHooks(body: String): Unit =
+    // the ledger is best-effort shadow metadata: a parse the hooks
+    // cannot handle must mark the table unknown, NEVER fail the
+    // statement (add_partition_no_whitelist.q has a partition spec
+    // the simple splitter chokes on)
+    try descLedgerHooksInner(body)
+    catch {
+      case _: Exception =>
+        """(?is)\s*(?:ALTER|TRUNCATE)\s+TABLE\s+`?([\w.]+)`?""".r
+          .findFirstMatchIn(body)
+          .foreach(m => dx(m.group(1)).unknown = true)
+    }
+
+  private def descLedgerHooksInner(body: String): Unit = {
+    val InsRe = ("""(?is)INSERT\s+(OVERWRITE|INTO)\s+""" +
+      """(?!DIRECTORY\b|LOCAL\b)(?:TABLE\s+)?""" +
+      """`?([\w.]+)`?(?:\s+PARTITION\s*\(([^)]*)\))?""").r
+    val unionRemove = hiveconf.get("hive.optimize.union.remove")
+      .exists(_.trim.equalsIgnoreCase("true"))
+    val branches =
+      if (!unionRemove) 1
+      else 1 + """(?i)UNION\s+ALL""".r.findAllIn(body).size
+    InsRe.findAllMatchIn(body).foreach { m =>
+      val specRaw = Option(m.group(3))
+      val dynamic = specRaw.exists(s =>
+        s.split(",").exists(kv => !kv.contains("=")))
+      descOnWrite(m.group(2),
+        specRaw.filterNot(_ => dynamic)
+          .map(parsePartitionSpec).getOrElse(Nil),
+        m.group(1).equalsIgnoreCase("OVERWRITE"), dynamic, branches)
+    }
+    val AddPartRe = ("""(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+ADD\s+""" +
+      """(?:IF\s+NOT\s+EXISTS\s+)?(PARTITION\b.*)""").r
+    AddPartRe.findFirstMatchIn(body).foreach { m =>
+      val d = dx(m.group(1))
+      if ("""(?is)LOCATION\s+'""".r.findFirstIn(m.group(2)).isDefined)
+        d.unknown = true // external data at an arbitrary path
+      else
+        """(?is)PARTITION\s*\(([^)]*)\)""".r.findAllMatchIn(m.group(2))
+          .foreach { p =>
+            val s = canonSpec(parsePartitionSpec(p.group(1)))
+            if (!d.files.contains(s))
+              d.partProps = d.partProps + (s -> inheritedPartProps(d))
+            d.files = d.files + (s -> 0)
+            d.accurate = d.accurate + (s -> true)
+            if (statsAutogather) d.published = d.published + s
+            d.partFormat = d.partFormat + (s -> tableMeta
+              .get(dxKey(m.group(1))).map(_.format).getOrElse("textfile"))
+          }
+    }
+    val DropPartRe = ("""(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+DROP\s+""" +
+      """(?:IF\s+EXISTS\s+)?(PARTITION\b.*)""").r
+    DropPartRe.findFirstMatchIn(body).foreach { m =>
+      val d = dx(m.group(1))
+      """(?is)PARTITION\s*\(([^)]*)\)""".r.findAllMatchIn(m.group(2))
+        .foreach { p =>
+          // equality specs only; comparison-op drops → unknown
+          if (p.group(1).exists("<>!".contains(_))) d.unknown = true
+          else {
+            val s = canonSpec(parsePartitionSpec(p.group(1)))
+            d.files = d.files - s
+            d.accurate = d.accurate - s
+            d.loadedBytes = d.loadedBytes - s
+          }
+        }
+    }
+    // any table/partition ALTER clears Hive's COLUMN_STATS_ACCURATE
+    // marker at the altered level (alterTable updateModifiedParameters;
+    // alter_file_format.q goldens) — ADD/DROP PARTITION excepted
+    val AnyAlterRe = ("""(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?""" +
+      """(?:\s+PARTITION\s*\(([^)]*)\))?\s+(\w+)""").r
+    AnyAlterRe.findFirstMatchIn(body).foreach { m =>
+      val verb = m.group(3).toUpperCase
+      // partition-level storage alters leave the partition's stats
+      // marker alone (alter_file_format.q partition goldens keep it)
+      if (verb != "ADD" && verb != "DROP" && m.group(2) == null &&
+          descExtra.contains(dxKey(m.group(1)))) {
+        val d = dx(m.group(1))
+        d.csaDropped = d.csaDropped + ""
+      }
+    }
+    val SetSerdePropsRe =
+      ("""(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+SET\s+""" +
+        """SERDEPROPERTIES\s*\(([^)]*)\)""").r
+    SetSerdePropsRe.findFirstMatchIn(body).foreach { m =>
+      val d = dx(m.group(1))
+      """'((?:\\.|[^'])*)'\s*=\s*'((?:\\.|[^'])*)'""".r
+        .findAllMatchIn(m.group(2))
+        .foreach(p =>
+          d.serdeParams = d.serdeParams + (p.group(1) -> p.group(2)))
+    }
+    val SetPropsRe = ("""(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+SET\s+""" +
+      """TBLPROPERTIES\s*\(([^)]*)\)""").r
+    SetPropsRe.findFirstMatchIn(body).foreach { m =>
+      val d = dx(m.group(1))
+      """'((?:\\.|[^'])*)'\s*=\s*'((?:\\.|[^'])*)'""".r
+        .findAllMatchIn(m.group(2))
+        .foreach(p => d.props = d.props + (p.group(1) -> p.group(2)))
+    }
+    val UnsetPropsRe = ("""(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+UNSET\s+""" +
+      """TBLPROPERTIES\s*(?:IF\s+EXISTS\s*)?\(([^)]*)\)""").r
+    UnsetPropsRe.findFirstMatchIn(body).foreach { m =>
+      val d = dx(m.group(1))
+      """'((?:\\.|[^'])*)'""".r.findAllMatchIn(m.group(2))
+        .foreach(p => d.props = d.props - p.group(1))
+    }
+    val TruncRe =
+      """(?is)\s*TRUNCATE\s+TABLE\s+`?([\w.]+)`?\s*(?:PARTITION\s*\(([^)]*)\))?\s*(?:COLUMNS\s*\(.*)?""".r
+    TruncRe.findFirstMatchIn(body).foreach { m =>
+      val d = dx(m.group(1))
+      if (body.toUpperCase.contains("COLUMNS")) d.unknown = true
+      else {
+        val specs = Option(m.group(2))
+          .map(s => Seq(canonSpec(parsePartitionSpec(s))))
+          .getOrElse(d.files.keys.toSeq)
+        specs.foreach { s =>
+          d.files = d.files + (s -> 0)
+          d.accurate = d.accurate + (s -> true)
+          d.loadedBytes = d.loadedBytes - s
+        }
+      }
+    }
+    // ANALYZE ... COMPUTE STATISTICS (basic, full scan) regathers exact
+    // basic stats — the level returns to the accurate regime; the file
+    // count the ledger carries is unchanged. NOSCAN gathers only
+    // file-level numbers (no row stats) — leave the regime as is.
+    val AnalyzeRe = ("""(?is)\s*ANALYZE\s+TABLE\s+`?([\w.]+)`?\s*""" +
+      """(?:PARTITION\s*\(([^)]*)\))?\s+COMPUTE\s+STATISTICS\s*(\w*)""").r
+    AnalyzeRe.findFirstMatchIn(body).foreach { m =>
+      val kw = Option(m.group(3)).getOrElse("").toUpperCase
+      if (kw != "NOSCAN" && kw != "PARTIALSCAN" && kw != "FOR") {
+        val d = dx(m.group(1))
+        val specRaw = Option(m.group(2))
+        val dynamic = specRaw.exists(s =>
+          s.split(",").exists(kv => !kv.contains("=")))
+        if (!dynamic) {
+          val s = specRaw.map(x => canonSpec(parsePartitionSpec(x)))
+            .getOrElse("")
+          if (d.files.contains(s)) {
+            d.accurate = d.accurate + (s -> true)
+            d.csaDropped = d.csaDropped - s
+            d.frozen = d.frozen - s
+            d.loadedBytes = d.loadedBytes - s
+            d.published = d.published + s
+            d.filesOnly = d.filesOnly - s
+          }
+        } else
+          // ANALYZE t PARTITION (ds) — no values: Hive analyzes every
+          // partition (statsfs.q)
+          d.files.keys.filter(_.nonEmpty).foreach { s =>
+            d.accurate = d.accurate + (s -> true)
+            d.csaDropped = d.csaDropped - s
+            d.frozen = d.frozen - s
+            d.loadedBytes = d.loadedBytes - s
+            d.published = d.published + s
+          }
+      }
+    }
+    // anything else that writes a table the ledger tracks: MERGE/UPDATE/
+    // DELETE/IMPORT reshape content invisibly — mark unknown
+    val DmlRe = """(?is)\s*(MERGE\s+INTO|UPDATE|DELETE\s+FROM|IMPORT\s+TABLE)\s+`?([\w.]+)`?\b.*""".r
+    DmlRe.findFirstMatchIn(body).foreach { m =>
+      val t = m.group(2)
+      if (descExtra.contains(dxKey(t))) dx(t).unknown = true
     }
   }
 
@@ -2545,6 +3402,7 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     avroLiteralDocs.clear()
     externalTables.clear()
     acidDeclTables.clear()
+    descExtra.clear()
     emptyEchoAligns = 0
     collectRetries = 0
     eximScope = script.stripSuffix(".q").replaceAll("[^A-Za-z0-9_]", "_")
@@ -2810,23 +3668,29 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
   /** The TRANSFORM writer-thread race under
     * hive.exec.script.allow.partial.consumption: the script exited
     * without draining stdin and Spark's feeder thread died on the
-    * closed pipe. Preferred signal is a typed IOException("Stream
-    * closed") in the cause chain; the top-level message substring is
-    * kept as fallback for wrapped/serialized task failures. */
+    * closed pipe. The SAME race surfaces as two different
+    * IOExceptions depending on which side loses — "Stream closed"
+    * (the feeder's buffered stream was closed under it) or "Broken
+    * pipe" (the feeder's write hit the dead process's EPIPE; observed
+    * on script_pipe.q's `head -n 1`). Preferred signal is the typed
+    * IOException in the cause chain; the top-level message substring
+    * is kept as fallback for wrapped/serialized task failures. */
   private def isScriptPipeRace(e: Throwable): Boolean = {
+    def raceMsg(m: String): Boolean =
+      m.contains("Stream closed") || m.contains("Broken pipe")
     var t: Throwable = e
     var depth = 0
     while (t != null && depth < 10) {
       t match {
         case io: java.io.IOException
-            if Option(io.getMessage).exists(_.contains("Stream closed")) =>
+            if Option(io.getMessage).exists(raceMsg) =>
           return true
         case _ =>
       }
       t = t.getCause
       depth += 1
     }
-    Option(e.getMessage).exists(_.contains("Stream closed"))
+    Option(e.getMessage).exists(raceMsg)
   }
 
   private def echoMatches(stmt: String, b: Qtest.GoldenBlock): Boolean = {

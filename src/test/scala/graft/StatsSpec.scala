@@ -82,6 +82,36 @@ class StatsSpec extends SparkSpec {
       spark.conf.unset("spark.graft.stats.rankSortThreshold")
   }
 
+  test("rankQuantiles: selection-path PLAN SHAPE — no single-task " +
+      "full-group sort window") {
+    // The scale claim, asserted structurally: above the threshold the
+    // plan must not funnel each group through one task (a Window
+    // partitioned by the bare group column over the UNFILTERED input —
+    // the sort path's shape). The selection path's only window ranks
+    // the bracket INTERIOR, partitioned by (group, quantile).
+    val df = (1 to 5000).map(i => ("g", i * 1.0)).toDF("grp", "v")
+    val ps = Seq(("med", BigDecimal("0.5")))
+    def finalPlan(threshold: String): String = {
+      spark.conf.set("spark.graft.stats.rankSortThreshold", threshold)
+      try {
+        val out = Stats.rankQuantiles(df, "grp", "v", ps)
+        out.collect() // finalize the adaptive plan
+        out.queryExecution.executedPlan.toString
+      } finally spark.conf.unset("spark.graft.stats.rankSortThreshold")
+    }
+    val sortPlan = finalPlan("1000000")
+    assert("""windowspecdefinition\(grp#""".r.findFirstIn(sortPlan).isDefined,
+      "control: the sort path windows over the bare group column")
+    val selPlan = finalPlan("100")
+    assert("""windowspecdefinition\(grp#""".r.findFirstIn(selPlan).isEmpty,
+      "selection path must not contain a full-group sort window:\n" +
+        selPlan.take(4000))
+    assert("""windowspecdefinition\(__gi#""".r.findFirstIn(selPlan).isDefined,
+      "selection path ranks the interior, partitioned (group, quantile)")
+    assert(selPlan.contains("percentile_approx"),
+      "selection path brackets ranks with the mergeable sketch")
+  }
+
   test("zscore: exact hand-computed standardization; zero variance → 0") {
     // g1: values 2, 4, 6 → mean 4, var = (4+16+36 - 144/3)/3 = 8/3
     val df = Seq(("g1", 2.0), ("g1", 4.0), ("g1", 6.0),
