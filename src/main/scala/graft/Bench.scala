@@ -25,7 +25,8 @@ object Bench {
     "q176_hashing_tf", "q184_triangles", "q187_containment",
     "q188_gapfill", "q191_zscore", "q195_robust_scale",
     "q196_corr_matrix", "q213_bloom_decontaminate",
-    "q224_scd_type2", "q228_scd2_incremental", "q229_point_in_time")
+    "q224_scd_type2", "q228_scd2_incremental", "q229_point_in_time",
+    "q234_quantile_select")
   // q226_setsim_exact is deliberately NOT a headline: its OUTPUT is
   // quadratic on this template-cloned corpus (92k pairs at sf0.01 →
   // 8.9M at sf0.1 at t=0.5) — any exact all-pairs-above-threshold
@@ -41,8 +42,21 @@ object Bench {
     val loadBefore = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Pin the shuffle/block-manager scratch placement EXPLICITLY so it
+    // can never move silently again: round 11's -Djava.io.tmpdir move
+    // (an external cleaner purges /tmp mid-run) dragged Spark's local
+    // dirs onto a different placement and shifted the shuffle-heavy
+    // sf1 queries 2-3× with zero code change (VERDICT r11 #1). Default
+    // is the on-disk scratch — the honest cluster-like placement (real
+    // executors spill shuffle to local disks); SPARK_GRAFT_LOCAL_DIR
+    // overrides for A/B measurement (e.g. /dev/shm). The measured
+    // delta between placements is recorded in SCALE.md.
+    val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+      new java.io.File("target/jvm-tmp").getAbsolutePath)
+    new java.io.File(localDir).mkdirs()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -656,9 +656,17 @@ object GraftSession {
     * types decimal(38,22)-then-truncated differently. Rewrite
     * `avg(col)` to a cast with Hive's derived type when the argument
     * resolves to such a wide decimal column. Windowed avg keeps
-    * Spark typing (Hive's PTF path types differently). Promoted from
-    * the qtest runner (VERDICT r10 #6) so direct `GraftSession.sql`
-    * callers get Hive 1.2 typing too. */
+    * Spark typing (Hive's PTF path types differently).
+    *
+    * SCOPE (intentionally narrow, fail-safe): only the literal form
+    * `avg(bareColumn)` / `avg(alias.column)` is matched — a computed
+    * argument (`avg(t.col * 2)`), a nested call, or a column whose name
+    * resolves to DIFFERENT decimal types across the statement's tables
+    * keeps Spark typing (no match / ambiguity → no rewrite, never a
+    * wrong cast). Matches inside string literals or comments are
+    * skipped via codeMask. Promoted from the qtest runner (VERDICT
+    * r10 #6) so direct `GraftSession.sql` callers get Hive 1.2 typing
+    * too. */
   private[graft] def hiveDecimalAvgCompat(
       spark: SparkSession, stmt: String): String = {
     if (!"""(?is).*\bavg\s*\(.*""".r.matches(stmt)) return stmt
@@ -677,22 +685,48 @@ object GraftSession {
         try Some(spark.table(t).schema) catch { case _: Exception => None }
       }
     }
+    // unambiguous-or-nothing: rewrite only when every table carrying the
+    // column agrees on its type — a first-match-wins lookup could cast
+    // with the WRONG table's decimal shape (ADVICE r11)
     def colType(name0: String): Option[DataType] = {
       val name = name0.split('.').last
       if (!name.matches("""\w+""")) None
       else schemas.flatMap(_.fields.find(_.name.equalsIgnoreCase(name))
-        .map(_.dataType)).headOption
+        .map(_.dataType)).distinct match {
+        case Seq(one) => Some(one)
+        case _ => None
+      }
+    }
+    val code = codeMask(stmt)
+    // OVER detection must survive interleaved whitespace and -- comments
+    // between `avg(col)` and OVER ("take 4 chars" missed the comment
+    // case and produced invalid cast(..) over (..) SQL — ADVICE r11)
+    def windowedAt(from: Int): Boolean = {
+      var i = from
+      while (i < stmt.length) {
+        val c = stmt.charAt(i)
+        if (c.isWhitespace) i += 1
+        else if (c == '-' && i + 1 < stmt.length && stmt.charAt(i + 1) == '-') {
+          while (i < stmt.length && stmt.charAt(i) != '\n') i += 1
+        } else
+          return stmt.regionMatches(true, i, "over", 0, 4) &&
+            (i + 4 >= stmt.length ||
+              { val n = stmt.charAt(i + 4)
+                !n.isLetterOrDigit && n != '_' })
+      }
+      false
     }
     AvgDecRe.replaceAllIn(stmt, m => {
-      val windowed = stmt.substring(m.end).dropWhile(_.isWhitespace)
-        .take(4).equalsIgnoreCase("over")
-      val repl = colType(m.group(1)) match {
-        case Some(d: DecimalType) if d.precision + 4 > 38 && !windowed =>
-          val intPart = d.precision - d.scale
-          val scale = math.min(d.scale + 4, 38 - intPart)
-          s"cast(${m.group(0)} as decimal(${intPart + scale}, $scale))"
-        case _ => m.group(0)
-      }
+      val repl =
+        if (!code(m.start)) m.group(0) // inside a string literal/comment
+        else colType(m.group(1)) match {
+          case Some(d: DecimalType)
+              if d.precision + 4 > 38 && !windowedAt(m.end) =>
+            val intPart = d.precision - d.scale
+            val scale = math.min(d.scale + 4, 38 - intPart)
+            s"cast(${m.group(0)} as decimal(${intPart + scale}, $scale))"
+          case _ => m.group(0)
+        }
       java.util.regex.Matcher.quoteReplacement(repl)
     })
   }

@@ -39,7 +39,8 @@ object Queries {
     RelationalQueries.all ++ WindowQueries.all ++ FunctionQueries.all ++
       PipelineQueries.all ++ SurfaceQueries.all ++ DepthQueries.all ++
       GapQueries.all ++ ScaleQueries.all ++ AnalyticsQueries.all ++
-      Round5Queries.all ++ Round6Queries.all ++ Round7Queries.all
+      Round5Queries.all ++ Round6Queries.all ++ Round7Queries.all ++
+      Round8Queries.all
 
   lazy val byName: Map[String, Q] = {
     val qs = all

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import Queries._
+
+/** Round-12 queries: the distributed exact-quantile SELECTION plan as a
+  * continuously-benchmarked front-door query (VERDICT r11 #5 — the
+  * selection path was proven correct and 1.40× faster at 80 M rows in
+  * QuantileScaleDrive, but no headline query exercised it, so a plan
+  * regression would only surface in a one-off drive).
+  */
+object Round8Queries {
+
+  def all: Seq[Q] = Seq(
+
+    // -- Exact rank-selected quantiles over a 3-value group column: the
+    //    funnel scenario the selection path exists for (a per-group sort
+    //    window would push the whole table through 3 tasks at 100 TB).
+    //    The threshold is pinned low for THIS query so the selection
+    //    plan runs at every SF — the bench times the plan that would be
+    //    chosen automatically once any group tops 2 M rows; correctness
+    //    is gated by the same rank-arithmetic oracle as the sort path
+    //    (both are exact and agree bit-for-bit).
+    dfQ("q234_quantile_select", """
+      WITH ranked AS (
+        SELECT l_returnflag AS grp, l_extendedprice AS v,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem WHERE l_extendedprice IS NOT NULL)
+      SELECT grp,
+        max(CASE WHEN rn = greatest(1, ceil(n * 0.25)) THEN v END) AS p25,
+        max(CASE WHEN rn = greatest(1, ceil(n * 0.5))  THEN v END) AS p50,
+        max(CASE WHEN rn = greatest(1, ceil(n * 0.75)) THEN v END) AS p75,
+        max(CASE WHEN rn = greatest(1, ceil(n * 0.99)) THEN v END) AS p99
+      FROM ranked GROUP BY 1""") { (s, d) =>
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_returnflag").as("grp"), col("l_extendedprice").as("v"))
+      val prev = s.conf.get("spark.graft.stats.rankSortThreshold", "2000000")
+      s.conf.set("spark.graft.stats.rankSortThreshold", "1000")
+      try
+        operators.Stats.rankQuantiles(li, "grp", "v", Seq(
+          "p25" -> BigDecimal("0.25"), "p50" -> BigDecimal("0.5"),
+          "p75" -> BigDecimal("0.75"), "p99" -> BigDecimal("0.99")))
+      finally s.conf.set("spark.graft.stats.rankSortThreshold", prev)
+    })
+}

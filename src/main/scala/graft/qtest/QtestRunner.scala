@@ -271,8 +271,10 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
   // TBLPROPERTY (AvroSerDe without a column list)
   private val CreateAvroLiteralRe =
     """(?is)\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?([\w.]+)`?\s+(?![\(]).*avro\.schema\.literal.*""".r
+  // one nesting level for parenthesized types: decimal(8,4),
+  // varchar(5) as partition columns (columnstats_part_coltype.q)
   private val PartitionedByRe =
-    """(?is)PARTITIONED\s+BY\s*\(([^)]*)\)""".r
+    """(?is)PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))*)\)""".r
   private val FieldsTermRe =
     """(?is)FIELDS\s+TERMINATED\s+BY\s+'((?:\\.|[^'])*)'""".r
   private val CollItemsRe =
@@ -550,6 +552,18 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     val qt = quoteName(table)
     val df = spark.table(qt)
     val meta = tableMeta.getOrElse(table.toLowerCase, TableMeta("", Nil))
+    // a type change (or rename) invalidates the column's statistics at
+    // every level — Hive's alter path drops stats it can no longer
+    // attribute (alter_table_invalidate_column_stats.q goldens)
+    val oldType = df.schema.fields.find(_.name.equalsIgnoreCase(oldCol))
+      .map(f => fieldTypeText(f).replaceAll("\\s+", "").toLowerCase)
+    val sameType = oldType.contains(
+      newType.trim.replaceAll("\\s+", "").toLowerCase)
+    if (!sameType || !oldCol.equalsIgnoreCase(newCol)) {
+      val d = dx(table)
+      d.colStats = d.colStats.map { case (sp, m) =>
+        sp -> (m - oldCol.toLowerCase - newCol.toLowerCase) }
+    }
     val projected = df.select(df.columns.map { c =>
       if (c.equalsIgnoreCase(oldCol))
         reinterpretCast(col(s"`$c`"), newType).as(newCol)
@@ -978,12 +992,40 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     // hive.stats.autogather=false still records numFiles/totalSize
     // from the FileSink — union_remove_*.q goldens)
     var filesOnly = Set.empty[String]
+    // column statistics captured at ANALYZE … FOR COLUMNS time, per
+    // level (spec "" = table level) per lowercase column name. Hive
+    // keeps analyze-time values until the next analyze (writes only
+    // stale the BASIC stats marker), so eager capture renders exactly
+    // what the metastore would return later.
+    var colStats = Map.empty[String, Map[String, ColumnStats.ColStat]]
+    // (level, column) pairs an analyze touched but the model could not
+    // compute (unsupported type) — DESC on those must stay Ignored,
+    // never render an empty row where Hive would print values
+    var colStatsDeny = Set.empty[(String, String)]
     var unknown = false // an unmodeled event happened: never render
   }
   private val descExtra =
     scala.collection.mutable.Map.empty[String, DescExtra]
-  private def dxKey(table: String): String =
+  /** Bare table name — the key for the name-keyed metadata maps
+    * (tableMeta, FixtureComments, externalTables). */
+  private def shortName(table: String): String =
     table.toLowerCase.split('.').last
+  /** descExtra key: (resolved database, table) like the catalog — a
+    * bare-name key let writes to db1.t pollute default.t's ledger and
+    * DROP TABLE db1.t delete default.t's shadow metadata (ADVICE r11).
+    * Unqualified names resolve against the current database; the
+    * per-script sandbox database masquerades as `default`, matching
+    * the db resolution in descFormattedLines. */
+  private def dxKey(table: String): String = {
+    val parts = table.toLowerCase.split('.')
+    val raw =
+      if (parts.length > 1) parts(parts.length - 2)
+      else
+        try spark.catalog.currentDatabase.toLowerCase
+        catch { case _: Exception => "default" }
+    val db = if (raw == sandboxDb.toLowerCase) "default" else raw
+    s"$db.${parts.last}"
+  }
   private def dx(table: String): DescExtra =
     descExtra.getOrElseUpdate(dxKey(table), new DescExtra)
 
@@ -1033,17 +1075,24 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
   private val DescFormattedRe =
     """(?is)\s*DESC(?:RIBE)?\s+FORMATTED\s+`?([\w.]+)`?\s*(?:PARTITION\s*\(([^)]*)\))?\s*""".r
 
+  /** Column form: `describe formatted|extended [db.]table[.col] [col]
+    * [partition (…)]` — the table form above is tried first, so this
+    * case only sees statements with a column path. */
+  private val DescColRe =
+    ("""(?is)\s*DESC(?:RIBE)?\s+(FORMATTED|EXTENDED)\s+`?([\w.]+)`?""" +
+      """(?:\s+`?(\w+)`?)?\s*(?:PARTITION\s*\(([^)]*)\))?\s*""").r
+
   /** Can DESC FORMATTED on this table render byte-exact? */
   private def descFormattable(table: String,
       specOpt: Option[String]): Boolean = {
-    val short = dxKey(table)
+    val key = dxKey(table)
     if (DescFormattedDeny.contains(eximScope)) return false
     def exists =
       try spark.catalog.tableExists(quoteName(table))
       catch { case _: Exception => false }
-    descExtra.contains(short) && !descExtra(short).unknown &&
+    descExtra.contains(key) && !descExtra(key).unknown &&
       !isViewLike(table) &&
-      !tableMeta.get(short).exists(_.storedBy) && exists &&
+      !tableMeta.get(shortName(table)).exists(_.storedBy) && exists &&
       (try { descFormattedLines(table, specOpt); true }
       catch { case _: Exception => false })
   }
@@ -1052,6 +1101,215 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       specOpt: Option[String]): DataFrame =
     linesDf(descFormattedLines(table, specOpt), "col_name")
 
+  // -- DESCRIBE FORMATTED/EXTENDED <table> <column> ---------------------
+  // Hive's column form goes through getFieldsFromDeserializer
+  // (metastore/MetaStoreUtils.java:1251): the printed name is the
+  // USER-TYPED column path's last segment verbatim and the comment is
+  // always the FROM_SERIALIZER constant — real column comments do not
+  // surface here. FORMATTED additionally prints the 11-column stats
+  // header and the column-statistics fields gathered by ANALYZE … FOR
+  // COLUMNS (MetaDataFormatUtils.java:429-499 via appendColumnStats).
+
+  /** Resolve `describe … X[.Y[.Z]] [col]` to (table, typedColumn).
+    * Hive prefers db.table for a dotted pair (QualifiedNameUtil), so a
+    * 2-part name is table.column only when no such table exists but the
+    * first part is a visible table. */
+  /** A qualified `default.X` names the script's SANDBOX database (the
+    * per-script catalog that plays Hive's default db), exactly like the
+    * `USE default` routing above. */
+  private def sandboxQualified(name: String): String = {
+    val parts = name.split('.')
+    if (parts.length == 2 && parts(0).equalsIgnoreCase("default"))
+      s"$sandboxDb.${parts(1)}"
+    else name
+  }
+
+  private def resolveDescCol(
+      name: String, colOpt: Option[String]): Option[(String, String)] = {
+    def exists(n: String) =
+      try spark.catalog.tableExists(quoteName(sandboxQualified(n)))
+      catch { case _: Exception => false }
+    colOpt match {
+      case Some(c) => if (exists(name)) Some((name, c)) else None
+      case None =>
+        val parts = name.split('.')
+        parts.length match {
+          case 2 if !exists(name) && exists(parts(0)) =>
+            Some((parts(0), parts(1)))
+          case 3 if exists(parts(0) + "." + parts(1)) =>
+            Some((parts(0) + "." + parts(1), parts(2)))
+          case _ => None
+        }
+    }
+  }
+
+  private def fieldTypeText(
+      f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains("__CHAR_VARCHAR_TYPE_STRING"))
+      f.metadata.getString("__CHAR_VARCHAR_TYPE_STRING").toLowerCase
+    else f.dataType.simpleString
+
+  /** Can the column form render byte-exact? Requires a resolvable
+    * (table, data-column) target and — for FORMATTED — a stats state
+    * the ledger modeled: either never analyzed at that level (empty
+    * row) or captured at analyze time; a (level, column) the analyze
+    * pass could not compute stays Ignored. */
+  private def descColFormattable(formatted: Boolean, name: String,
+      colOpt: Option[String], specOpt: Option[String]): Boolean =
+    resolveDescCol(name, colOpt).exists { case (t, c) =>
+      val schemaOk =
+        try {
+          val sch = spark.table(quoteName(sandboxQualified(t))).schema
+          val meta = metaOf(t).getOrElse(TableMeta("", Nil))
+          sch.fields.exists(_.name.equalsIgnoreCase(c)) &&
+            !meta.partCols.exists(_.equalsIgnoreCase(c)) &&
+            !meta.storedBy && !isViewLike(t)
+        } catch { case _: Exception => false }
+      schemaOk && {
+        // render first (populates lazy fixture stats and the deny set),
+        // THEN check the deny/unknown state
+        val linesOk =
+          try { descColLines(t, c, formatted, specOpt); true }
+          catch { case _: Exception => false }
+        val spec = specOpt.map(s => canonSpec(parsePartitionSpec(s)))
+          .getOrElse("")
+        linesOk && (!formatted || (descExtra.get(dxKey(t)).forall(dd =>
+          !dd.unknown && !dd.colStatsDeny.contains((spec, c.toLowerCase))) &&
+          !fixtureColDenied(t, spec, c.toLowerCase)))
+      }
+    }
+
+  private def descColDf(name: String, colOpt: Option[String],
+      formatted: Boolean, specOpt: Option[String]): DataFrame = {
+    val (t, c) = resolveDescCol(name, colOpt).get
+    linesDf(descColLines(t, c, formatted, specOpt), "col_name")
+  }
+
+  /** Init-fixture column stats: the reference's q_test_init.sql runs
+    * ANALYZE … FOR COLUMNS on the shared fixtures (src, src1,
+    * srcbucket tables, srcpart per (ds,hr) partition) before every
+    * test, so a fresh
+    * script's `describe formatted src.key` prints REAL statistics
+    * (confirm_initial_tbl_stats.q pins them). Computed lazily on first
+    * use and cached in the table's DescExtra; only while the fixture is
+    * untouched — a script that wrote to the fixture first falls back to
+    * the eager-analyze ledger like any other table. */
+  private val FixtureInitColStats: Map[String, Seq[String]] = Map(
+    "src" -> Seq("key", "value"),
+    "src1" -> Seq("key", "value"),
+    "src_json" -> Seq("json"),
+    "src_sequencefile" -> Seq("key", "value"),
+    "srcbucket" -> Seq("key", "value"),
+    "srcbucket2" -> Seq("key", "value"),
+    "srcpart" -> Seq("key", "value"),
+    "alltypesorc" -> Seq("ctinyint", "csmallint", "cint", "cbigint",
+      "cfloat", "cdouble", "cstring1", "cstring2", "ctimestamp1",
+      "ctimestamp2", "cboolean1", "cboolean2"))
+
+  /** tableMeta resolution across the qualification forms a script can
+    * use for one table (created as db.t, analyzed as t under USE db;
+    * created as default.t, described as t in the sandbox). */
+  private def metaOf(table: String): Option[TableMeta] = {
+    val lc = table.toLowerCase
+    tableMeta.get(lc)
+      .orElse {
+        if (lc.contains('.')) None
+        else {
+          val cur =
+            try spark.catalog.currentDatabase.toLowerCase
+            catch { case _: Exception => "default" }
+          tableMeta.get(s"$cur.$lc")
+            .orElse(tableMeta.get(s"default.$lc"))
+        }
+      }
+      .orElse(tableMeta.get(shortName(table)))
+  }
+
+  /** Resolved column statistic for (table, level, column): the script's
+    * own analyze ledger first, then the lazily-computed init-fixture
+    * stats. None = no stats gathered at this level (renders empty). */
+  /** Lazily-computed init-fixture stats live OUTSIDE descExtra: merely
+    * DESCRIBING a fixture column must not materialize a DescExtra entry
+    * (the table-form DESC FORMATTED keys its renderability off entry
+    * existence — describe_table.q regressed when the read path created
+    * one). Cache key: (table key, level); value: (stats, deny set). */
+  private val fixtureStatsCache = scala.collection.mutable.Map
+    .empty[(String, String), (Map[String, ColumnStats.ColStat], Set[String])]
+
+  private def fixtureColDenied(t: String, spec: String,
+      colLower: String): Boolean =
+    fixtureStatsCache.get((dxKey(t), spec)).exists(_._2.contains(colLower))
+
+  private def colStatOf(t: String, spec: String,
+      colLower: String): Option[ColumnStats.ColStat] = {
+    val dOpt = descExtra.get(dxKey(t))
+    dOpt.flatMap(_.colStats.get(spec)).flatMap(_.get(colLower)).orElse {
+      val short = shortName(t)
+      val isFixtureCol = FixtureInitColStats.get(short)
+        .exists(_.contains(colLower))
+      // srcpart's init analyze is partition-level only; the others are
+      // table-level only
+      val levelOk = if (short == "srcpart") spec.nonEmpty else spec.isEmpty
+      val untouched = dOpt.forall(d => d.files.isEmpty && !d.unknown &&
+        !d.colStatsDeny.contains((spec, colLower)))
+      if (!isFixtureCol || !levelOk || !untouched) None
+      else fixtureStatsCache.getOrElseUpdate((dxKey(t), spec), {
+        try {
+          val sch = spark.table(quoteName(sandboxQualified(t))).schema
+          val cols = FixtureInitColStats(short)
+            .flatMap(c => sch.fields.find(_.name.equalsIgnoreCase(c)))
+          val tmp = new DescExtra
+          computeColStatsAt(t, tmp, spec, cols,
+            ColumnStats.numBitVectors(20.0))
+          (tmp.colStats.getOrElse(spec, Map.empty),
+            tmp.colStatsDeny.collect { case (`spec`, c) => c })
+        } catch { case _: Exception => (Map.empty, Set.empty) }
+      })._1.get(colLower)
+    }
+  }
+
+  private def descColLines(table: String, typedCol: String,
+      formatted: Boolean, specOpt: Option[String]): Seq[String] = {
+    val sch = spark.table(quoteName(sandboxQualified(table))).schema
+    val f = sch.fields.find(_.name.equalsIgnoreCase(typedCol)).get
+    val tpe = fieldTypeText(f)
+    val comment = "from deserializer"
+    if (!formatted)
+      Seq(s"${p20(typedCol)}\t${p20(tpe)}\t${p20(comment)}")
+    else {
+      val header = "# " + Seq("col_name", "data_type", "min", "max",
+        "num_nulls", "distinct_count", "avg_col_len", "max_col_len",
+        "num_trues", "num_falses", "comment").map(p20).mkString("\t")
+      val sep = "\t " * 10
+      val spec = specOpt.map(s => canonSpec(parsePartitionSpec(s)))
+        .getOrElse("")
+      val st = colStatOf(table, spec, typedCol.toLowerCase)
+      st match {
+        case None if spec.nonEmpty =>
+          // partition with no gathered stats: Hive's partition-stats
+          // map lookup returns NULL (DDLTask.java:3293 `.get(part
+          // .getName())`), so the formatter emits the SHORT 3-field
+          // header and row; the 11-column fetch schema pads the rest
+          // (columnstats_part_coltype.q goldens pin the exact filler)
+          Seq(
+            (Seq("# " + p20("col_name"), p20("data_type"), p20("comment"),
+              "") ++ Seq.fill(7)(" ")).mkString("\t"),
+            sep,
+            (Seq(p20(typedCol), p20(tpe), p20(comment)) ++
+              Seq.fill(8)(" ")).mkString("\t"))
+        case _ =>
+          val stats = st match {
+            case Some(s) => Seq(s.min, s.max, s.numNulls, s.ndv,
+              s.avgColLen, s.maxColLen, s.numTrues, s.numFalses)
+            case None => Seq.fill(8)("")
+          }
+          Seq(header, sep,
+            (Seq(typedCol, tpe) ++ stats ++ Seq(comment)).map(p20)
+              .mkString("\t"))
+      }
+    }
+  }
+
   private def kvLine(label: String, value: String): String =
     s"${p20(label)}\t${p20(value)}\t "
   private def paramLine(k: String, v: String): String =
@@ -1059,8 +1317,8 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
 
   private def descFormattedLines(table: String,
       specOpt: Option[String]): Seq[String] = {
-    val short = dxKey(table)
-    val d = descExtra(short)
+    val short = shortName(table)
+    val d = descExtra(dxKey(table))
     val meta = tableMeta.getOrElse(short, TableMeta("", Nil))
     val sch = spark.table(quoteName(table)).schema
     val partCols = meta.partCols.map(_.toLowerCase)
@@ -1238,7 +1496,7 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     * the quantity Hive's autogathered basic stats publish. Throws on
     * shapes the model can't serialize (complex types, non-text). */
   private def liveRowsRaw(table: String, spec: String): (Long, Long) = {
-    val meta = tableMeta.getOrElse(dxKey(table), TableMeta("", Nil))
+    val meta = tableMeta.getOrElse(shortName(table), TableMeta("", Nil))
     val sch = spark.table(quoteName(table)).schema
     val partCols = meta.partCols.map(_.toLowerCase)
     val slice =
@@ -1292,6 +1550,95 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     if (keys.isEmpty) Map.empty
     else if (keys.contains("*")) d.props
     else d.props.filter { case (k, _) => keys.contains(k) }
+  }
+
+  // -- ANALYZE … COMPUTE STATISTICS FOR COLUMNS -------------------------
+  private val AnalyzeColsRe =
+    ("""(?is)\A\s*ANALYZE\s+TABLE\s+`?([\w.]+)`?\s*""" +
+      """(?:PARTITION\s*\(([^)]*)\))?\s+COMPUTE\s+STATISTICS\s+""" +
+      """FOR\s+COLUMNS\s*([\w\s,`.]*)\z""").r
+
+  /** Capture Hive-1.2 column statistics for the analyzed levels.
+    * Level selection follows ColumnStatsSemanticAnalyzer: a partition
+    * spec (static values fix keys, bare keys are dynamic) selects every
+    * matching partition; no spec on a partitioned table analyzes every
+    * partition unless hive.analyze.stmt.collect.partlevel.stats=false,
+    * which gathers one whole-table level instead. A failure to model
+    * marks the table unknown so DESC stays Ignored (never wrong). */
+  private def columnStatsAnalyze(tbl: String, specRaw: Option[String],
+      colsRaw: String): Unit = {
+    val d = dx(tbl)
+    try {
+      val sch = spark.table(quoteName(sandboxQualified(tbl))).schema
+      val meta = metaOf(tbl).getOrElse(TableMeta("", Nil))
+      val partCols = meta.partCols.map(_.toLowerCase)
+      val named = colsRaw.split(",")
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+      val cols =
+        if (named.nonEmpty)
+          named.toSeq.flatMap(c => sch.fields.find(_.name.equalsIgnoreCase(c)))
+        else sch.fields.toSeq.filterNot(f =>
+          partCols.contains(f.name.toLowerCase))
+      val nbv = ColumnStats.numBitVectors(
+        hiveconf.getOrElse("hive.stats.ndv.error", "20.0").trim.toDouble)
+      val partLevel = !hiveconf
+        .get("hive.analyze.stmt.collect.partlevel.stats")
+        .exists(_.trim.equalsIgnoreCase("false"))
+      val specs: Seq[String] =
+        if (partCols.isEmpty) Seq("")
+        else specRaw match {
+          case Some(s) =>
+            val static = s.split(",").map(_.trim).filter(_.nonEmpty)
+              .toSeq.flatMap { kv =>
+                val p = kv.split("=", 2)
+                if (p.length < 2) None // dynamic key: unconstrained
+                else Some(p(0).trim.toLowerCase + "=" + p(1).trim
+                  .stripPrefix("'").stripSuffix("'")
+                  .stripPrefix("\"").stripSuffix("\""))
+              }
+            d.files.keys.filter(_.nonEmpty).filter { sp =>
+              val comps = sp.split('/').toSet
+              static.forall(comps.contains)
+            }.toSeq
+          case None =>
+            if (partLevel) d.files.keys.filter(_.nonEmpty).toSeq
+            else Seq("")
+        }
+      specs.foreach(sp => computeColStatsAt(tbl, d, sp, cols, nbv))
+    } catch { case _: Exception => d.unknown = true }
+  }
+
+  private def computeColStatsAt(tbl: String, d: DescExtra, sp: String,
+      cols: Seq[org.apache.spark.sql.types.StructField], nbv: Int): Unit = {
+    val df0 = spark.table(quoteName(sandboxQualified(tbl)))
+    val slice =
+      if (sp.isEmpty) df0
+      else sp.split('/').foldLeft(df0) { (acc, comp) =>
+        val Array(k, v) = comp.split("=", 2)
+        val vt = """(?is)\A(?:date|timestamp)\s*'(.*)'\z""".r
+          .findFirstMatchIn(v).map(_.group(1)).getOrElse(v)
+        // unquoted numeric spec values passed through the Hive-literal
+        // preprocess carry a type suffix (2000.0 → 2000.0D) that the
+        // partition column's string rendering never has — strip it
+        val vn = """(?i)\A([-+]?\d*\.?\d+(?:e[-+]?\d+)?)(?:[dfl]|bd)\z""".r
+          .findFirstMatchIn(vt).map(_.group(1)).getOrElse(vt)
+        acc.filter(col(s"`$k`").cast("string") === lit(vn))
+      }
+    val rows = slice
+      .select(cols.map(f => col(s"`${f.name}`")): _*).collect()
+    val n = rows.length.toLong
+    cols.zipWithIndex.foreach { case (f, i) =>
+      val key = f.name.toLowerCase
+      ColumnStats.compute(
+        rows.toSeq.map(_.get(i)), n, f.dataType, nbv) match {
+        case Some(st) =>
+          d.colStats = d.colStats + (sp ->
+            (d.colStats.getOrElse(sp, Map.empty) + (key -> st)))
+          d.colStatsDeny = d.colStatsDeny - ((sp, key))
+        case None =>
+          d.colStatsDeny = d.colStatsDeny + ((sp, key))
+      }
+    }
   }
 
   /** Ledger hooks: called from execute() around write statements. */
@@ -1413,6 +1760,23 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
           "Unable to alter table. The following columns have types " +
             "incompatible with the existing columns in their respective " +
             "positions :\n" + bad.mkString(","))
+    }
+    // column stats survive REPLACE COLUMNS only for columns whose
+    // (name, type) is unchanged; dropped or retyped columns lose theirs
+    // (alter_table_invalidate_column_stats.q)
+    locally {
+      val newTypes = newDefs.map { case (n, t) =>
+        n.toLowerCase -> t.replaceAll("\\s+", "").toLowerCase }.toMap
+      val invalidated = dataCols.map(_.toLowerCase).filter { c =>
+        val oldT = df.schema.fields.find(_.name.equalsIgnoreCase(c))
+          .map(f => fieldTypeText(f).replaceAll("\\s+", "").toLowerCase)
+        newTypes.get(c) != oldT
+      }.toSet
+      if (invalidated.nonEmpty) {
+        val d = dx(table)
+        d.colStats = d.colStats.map { case (sp, m) =>
+          sp -> m.filterNot { case (c, _) => invalidated.contains(c) } }
+      }
     }
     val projected = df.select((newDefs.zipWithIndex.map { case ((n, t), i) =>
       if (i < dataCols.length) reinterpretCast(col(s"`${dataCols(i)}`"), t).as(n)
@@ -2107,12 +2471,30 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     })
 
   /** The text-level Hive-fidelity transforms applied before routing. */
+  /** Hive accepts typed literals in PARTITION specs (`PARTITION
+    * (ds=date '2015-04-02')` — columnstats_part_coltype.q); Spark's
+    * partition-spec grammar takes plain constants only. Drop the type
+    * keyword (the value string is the canonical partition value either
+    * way), which also keeps the ledger's spec canon consistent between
+    * INSERT/ANALYZE/DESCRIBE. */
+  private def rewriteTypedPartitionLiterals(stmt: String): String = {
+    if (!"""(?is).*\bPARTITION\s*\(.*""".r.matches(stmt)) return stmt
+    """(?is)(PARTITION\s*\()([^)]*)(\))""".r.replaceAllIn(stmt, m => {
+      val inner = """(?i)\b(?:date|timestamp)\s*('[^']*')""".r
+        .replaceAllIn(m.group(2), i =>
+          java.util.regex.Matcher.quoteReplacement(i.group(1)))
+      java.util.regex.Matcher.quoteReplacement(
+        m.group(1) + inner + m.group(3))
+    })
+  }
+
   private def preprocess(stmt0raw: String): String = {
     // decimal-avg Hive typing was promoted into GraftSession
     // (hiveDecimalAvgCompat) — every front-door caller gets it now
-    val stmt0 = rewriteTypedCompares(rewriteTransformTabArg(rewriteMaskChar(
+    val stmt0 = rewriteTypedPartitionLiterals(
+      rewriteTypedCompares(rewriteTransformTabArg(rewriteMaskChar(
       rewriteHashChars(rewriteIntTimestampCast(
-        rewriteEximPaths(rewriteComputeStats(substituteVars(stmt0raw))))))))
+        rewriteEximPaths(rewriteComputeStats(substituteVars(stmt0raw)))))))))
     val stmt1 = if ("""(?is).*\bTABLESAMPLE\s*\(\s*BUCKET\b.*""".r
         .matches(stmt0)) rewriteTablesample(stmt0) else stmt0
     val stmt2 = if ("""(?is).*\bnoop\w*\s*\(\s*on\b.*""".r.matches(stmt1))
@@ -2186,6 +2568,11 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       case DescFormattedRe(tbl, partSpec)
           if descFormattable(tbl, Option(partSpec)) =>
         (MetaQuery, Some(descFormattedDf(tbl, Option(partSpec))))
+      case DescColRe(kind, name, colOpt, partSpec)
+          if descColFormattable(kind.equalsIgnoreCase("FORMATTED"),
+            name, Option(colOpt), Option(partSpec)) =>
+        (MetaQuery, Some(descColDf(name, Option(colOpt),
+          kind.equalsIgnoreCase("FORMATTED"), Option(partSpec))))
       case _ if head == "EXPLAIN" || head == "DESCRIBE" || head == "DESC" ||
           head == "SHOW" => (Ignored, None)
       case AlterClusteredRe(table, spec) =>
@@ -2271,7 +2658,7 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
           .findFirstMatchIn(body).map(_.group(1))
         val dEx = dx(table)
         val (fs0, fi0, fo0) = FormatClasses(tableMeta
-          .get(dxKey(table)).map(_.format).filter(FormatClasses.contains)
+          .get(shortName(table)).map(_.format).filter(FormatClasses.contains)
           .getOrElse("textfile"))
         val triple = (seC.getOrElse(fs0), inC.getOrElse(fi0),
           outC.getOrElse(fo0))
@@ -2435,6 +2822,12 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
                 }
               }
           }
+        // column statistics: capture eagerly at analyze time (Hive
+        // keeps analyze-time values until the next analyze; later
+        // writes stale only the basic-stats marker)
+        AnalyzeColsRe.findFirstMatchIn(body).foreach { m =>
+          columnStatsAnalyze(m.group(1), Option(m.group(2)), m.group(3))
+        }
         // stats-only; skip for temp-view fixtures, run for real tables
         try spark.sql(body) catch { case _: Exception => }
         (Effect, None)
@@ -2637,7 +3030,19 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
         (Effect, None)
       case AlterRenameRe(oldN, newN) =>
         val meta = tableMeta.getOrElse(oldN.toLowerCase, TableMeta("", Nil))
-        if (meta.partCols.isEmpty) frontDoorSql(stmt)
+        // Hive allows RENAME across databases; Spark's catalog rename
+        // does not — realize-and-recreate under the new name instead
+        val crossDb = {
+          def dbOf(n: String) = {
+            val p = n.split('.')
+            val raw =
+              if (p.length > 1) p(p.length - 2).toLowerCase
+              else spark.catalog.currentDatabase.toLowerCase
+            if (raw == "default") sandboxDb.toLowerCase else raw
+          }
+          dbOf(oldN) != dbOf(newN)
+        }
+        if (meta.partCols.isEmpty && !crossDb) frontDoorSql(stmt)
         else
           // InMemoryCatalog.renameTable moves the table dir but not the
           // registered per-partition locations — materialize and
@@ -2707,11 +3112,23 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     // cannot handle must mark the table unknown, NEVER fail the
     // statement (add_partition_no_whitelist.q has a partition spec
     // the simple splitter chokes on)
-    try descLedgerHooksInner(body)
-    catch {
+    try {
+      // EXPLAIN executes nothing — Hive compiles the plan and writes no
+      // data, gathers no stats (ql/exec/ExplainTask). Without this guard
+      // 'EXPLAIN INSERT INTO t …' would phantom-increment numFiles and
+      // 'explain extended analyze table …' (stats13.q) would flip the
+      // stats regime (ADVICE r11).
+      if (!"""(?is)\A\s*EXPLAIN\b.*""".r.matches(body))
+        descLedgerHooksInner(body)
+    } catch {
       case _: Exception =>
-        """(?is)\s*(?:ALTER|TRUNCATE)\s+TABLE\s+`?([\w.]+)`?""".r
-          .findFirstMatchIn(body)
+        // a parse failure must poison EVERY table the statement may have
+        // written — not only ALTER/TRUNCATE targets; a dropped INSERT or
+        // ANALYZE event would make a later DESC FORMATTED render stale
+        // stats, violating "a wrong byte is worse than no check"
+        ("""(?is)\b(?:ALTER\s+TABLE|TRUNCATE\s+TABLE|INSERT\s+(?:OVERWRITE|INTO)\s+(?:TABLE\s+)?|""" +
+          """ANALYZE\s+TABLE|MERGE\s+INTO|UPDATE|DELETE\s+FROM|IMPORT\s+TABLE|LOAD\s+DATA[\w\s]*?INTO\s+TABLE)\s+`?([\w.]+)`?""").r
+          .findAllMatchIn(body)
           .foreach(m => dx(m.group(1)).unknown = true)
     }
 
@@ -2733,7 +3150,7 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
           .map(parsePartitionSpec).getOrElse(Nil),
         m.group(1).equalsIgnoreCase("OVERWRITE"), dynamic, branches)
     }
-    val AddPartRe = ("""(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+ADD\s+""" +
+    val AddPartRe = ("""(?is)\A\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+ADD\s+""" +
       """(?:IF\s+NOT\s+EXISTS\s+)?(PARTITION\b.*)""").r
     AddPartRe.findFirstMatchIn(body).foreach { m =>
       val d = dx(m.group(1))
@@ -2749,10 +3166,10 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
             d.accurate = d.accurate + (s -> true)
             if (statsAutogather) d.published = d.published + s
             d.partFormat = d.partFormat + (s -> tableMeta
-              .get(dxKey(m.group(1))).map(_.format).getOrElse("textfile"))
+              .get(shortName(m.group(1))).map(_.format).getOrElse("textfile"))
           }
     }
-    val DropPartRe = ("""(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+DROP\s+""" +
+    val DropPartRe = ("""(?is)\A\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+DROP\s+""" +
       """(?:IF\s+EXISTS\s+)?(PARTITION\b.*)""").r
     DropPartRe.findFirstMatchIn(body).foreach { m =>
       val d = dx(m.group(1))
@@ -2771,7 +3188,7 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     // any table/partition ALTER clears Hive's COLUMN_STATS_ACCURATE
     // marker at the altered level (alterTable updateModifiedParameters;
     // alter_file_format.q goldens) — ADD/DROP PARTITION excepted
-    val AnyAlterRe = ("""(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?""" +
+    val AnyAlterRe = ("""(?is)\A\s*ALTER\s+TABLE\s+`?([\w.]+)`?""" +
       """(?:\s+PARTITION\s*\(([^)]*)\))?\s+(\w+)""").r
     AnyAlterRe.findFirstMatchIn(body).foreach { m =>
       val verb = m.group(3).toUpperCase
@@ -2784,7 +3201,7 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       }
     }
     val SetSerdePropsRe =
-      ("""(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+SET\s+""" +
+      ("""(?is)\A\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+SET\s+""" +
         """SERDEPROPERTIES\s*\(([^)]*)\)""").r
     SetSerdePropsRe.findFirstMatchIn(body).foreach { m =>
       val d = dx(m.group(1))
@@ -2793,7 +3210,7 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
         .foreach(p =>
           d.serdeParams = d.serdeParams + (p.group(1) -> p.group(2)))
     }
-    val SetPropsRe = ("""(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+SET\s+""" +
+    val SetPropsRe = ("""(?is)\A\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+SET\s+""" +
       """TBLPROPERTIES\s*\(([^)]*)\)""").r
     SetPropsRe.findFirstMatchIn(body).foreach { m =>
       val d = dx(m.group(1))
@@ -2801,7 +3218,7 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
         .findAllMatchIn(m.group(2))
         .foreach(p => d.props = d.props + (p.group(1) -> p.group(2)))
     }
-    val UnsetPropsRe = ("""(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+UNSET\s+""" +
+    val UnsetPropsRe = ("""(?is)\A\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+UNSET\s+""" +
       """TBLPROPERTIES\s*(?:IF\s+EXISTS\s*)?\(([^)]*)\)""").r
     UnsetPropsRe.findFirstMatchIn(body).foreach { m =>
       val d = dx(m.group(1))
@@ -2809,7 +3226,7 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
         .foreach(p => d.props = d.props - p.group(1))
     }
     val TruncRe =
-      """(?is)\s*TRUNCATE\s+TABLE\s+`?([\w.]+)`?\s*(?:PARTITION\s*\(([^)]*)\))?\s*(?:COLUMNS\s*\(.*)?""".r
+      """(?is)\A\s*TRUNCATE\s+TABLE\s+`?([\w.]+)`?\s*(?:PARTITION\s*\(([^)]*)\))?\s*(?:COLUMNS\s*\(.*)?""".r
     TruncRe.findFirstMatchIn(body).foreach { m =>
       val d = dx(m.group(1))
       if (body.toUpperCase.contains("COLUMNS")) d.unknown = true
@@ -2828,7 +3245,7 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     // basic stats — the level returns to the accurate regime; the file
     // count the ledger carries is unchanged. NOSCAN gathers only
     // file-level numbers (no row stats) — leave the regime as is.
-    val AnalyzeRe = ("""(?is)\s*ANALYZE\s+TABLE\s+`?([\w.]+)`?\s*""" +
+    val AnalyzeRe = ("""(?is)\A\s*ANALYZE\s+TABLE\s+`?([\w.]+)`?\s*""" +
       """(?:PARTITION\s*\(([^)]*)\))?\s+COMPUTE\s+STATISTICS\s*(\w*)""").r
     AnalyzeRe.findFirstMatchIn(body).foreach { m =>
       val kw = Option(m.group(3)).getOrElse("").toUpperCase
@@ -2860,9 +3277,32 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
           }
       }
     }
+    // partition rename: the ledger level moves with the partition, but
+    // its COLUMN stats do not survive (Hive drops stats it can no
+    // longer attribute — alter_table_invalidate_column_stats.q golden
+    // shows the renamed partition's DESC col reverting to no-stats)
+    val RenamePartRe = ("""(?is)\A\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+""" +
+      """PARTITION\s*\(([^)]*)\)\s+RENAME\s+TO\s+PARTITION\s*\(([^)]*)\)""").r
+    RenamePartRe.findFirstMatchIn(body).foreach { m =>
+      val d = dx(m.group(1))
+      val o = canonSpec(parsePartitionSpec(m.group(2)))
+      val n2 = canonSpec(parsePartitionSpec(m.group(3)))
+      def mv[A](mp: Map[String, A]): Map[String, A] =
+        mp.get(o).map(v => mp - o + (n2 -> v)).getOrElse(mp)
+      d.files = mv(d.files)
+      d.accurate = mv(d.accurate)
+      d.loadedBytes = mv(d.loadedBytes)
+      d.frozen = mv(d.frozen)
+      d.partProps = mv(d.partProps)
+      d.partFormat = mv(d.partFormat)
+      d.partStorage = mv(d.partStorage)
+      if (d.published.contains(o)) d.published = d.published - o + n2
+      if (d.filesOnly.contains(o)) d.filesOnly = d.filesOnly - o + n2
+      d.colStats = d.colStats - o - n2
+    }
     // anything else that writes a table the ledger tracks: MERGE/UPDATE/
     // DELETE/IMPORT reshape content invisibly — mark unknown
-    val DmlRe = """(?is)\s*(MERGE\s+INTO|UPDATE|DELETE\s+FROM|IMPORT\s+TABLE)\s+`?([\w.]+)`?\b.*""".r
+    val DmlRe = """(?is)\A\s*(MERGE\s+INTO|UPDATE|DELETE\s+FROM|IMPORT\s+TABLE)\s+`?([\w.]+)`?\b.*""".r
     DmlRe.findFirstMatchIn(body).foreach { m =>
       val t = m.group(2)
       if (descExtra.contains(dxKey(t))) dx(t).unknown = true
@@ -3403,6 +3843,7 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     externalTables.clear()
     acidDeclTables.clear()
     descExtra.clear()
+    fixtureStatsCache.clear()
     emptyEchoAligns = 0
     collectRetries = 0
     eximScope = script.stripSuffix(".q").replaceAll("[^A-Za-z0-9_]", "_")
@@ -3708,10 +4149,14 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       // must sit on a QUERY-typed block and vice versa. Unknown or
       // missing types stay positional; every empty-echo alignment is
       // counted and surfaced in the script diagnostics.
-      emptyEchoAligns += 1
       val queryTask = """(?is)^\s*(?:explain\s+)?(?:select|with|from|values|insert|map|reduce)\b""".r
         .findFirstIn(stmt).isDefined
-      b.hookType.isEmpty || (b.hookType == "QUERY") == queryTask
+      val accepted =
+        b.hookType.isEmpty || (b.hookType == "QUERY") == queryTask
+      // count only alignments actually ACCEPTED on positional trust —
+      // a rejected one surfaces as a desync mismatch, not an alignment
+      if (accepted) emptyEchoAligns += 1
+      accepted
     }
   }
 

@@ -46,6 +46,28 @@ object AcidDrive {
     }
     assert(n == n2, "compaction must not change the data")
     println(s"DRIVE rows=$n")
+
+    // -- delta pileup: the read-amplification bound ---------------------
+    // Stack single-statement deltas and measure the snapshot scan as
+    // they accumulate; then run the Initiator heuristic (minDeltas=10)
+    // and measure again. The claim under test at sf1: read cost grows
+    // with ACTIVE delta count and the Initiator caps it — the scan
+    // after maybeCompact+clean must return to ~the compacted baseline.
+    (1 to 12).foreach { i =>
+      Acid.deleteTxn(s, t, s"l_orderkey % 997 = $i")
+      if (i % 4 == 0) {
+        val t0 = System.nanoTime()
+        val c = Acid.snapshot(s, t).count()
+        println(f"DRIVE pileup deltas=$i%2d scan ${(System.nanoTime() - t0) / 1e6}%8.0f ms rows=$c")
+      }
+    }
+    val action = Acid.maybeCompact(s, t)
+    Acid.clean(t)
+    println(s"DRIVE initiator action=$action")
+    val n3 = time("acid snapshot (post-initiator)") {
+      Acid.snapshot(s, t).count()
+    }
+    println(s"DRIVE rows post-initiator=$n3")
     import scala.reflect.io.Directory
     new Directory(new java.io.File(t)).deleteRecursively()
     s.stop()

@@ -255,6 +255,36 @@ class PlanSpec extends SparkSpec {
       s"bounds must broadcast back:\n$wz")
   }
 
+  test("most-expensive headline queries keep their praised plan shapes " +
+    "(sf1 top-cost audit, VERDICT r11 #8)") {
+    // q168/q187: gram-hash candidate generation must be an equi-join on
+    // the gram key — a cartesian/nested-loop here is quadratic in docs.
+    // (q173_pagerank's returned frame is a post-loop checkpoint scan, so
+    // its per-iteration shape is asserted in GraphSpec, not here.)
+    for (q <- Seq("q168_shared_spans", "q187_containment",
+        "q51_dedup_minhash")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q candidate stage must stay an equi-join:\n${p.take(3000)}")
+    }
+    // q195: below the selection threshold the rank windows must ride ONE
+    // hash-partitioned exchange on the group column (no global sort)
+    val rs = plan("q195_robust_scale")
+    assert(!rs.contains("CartesianProduct"), s"q195 cartesian:\n${rs.take(2000)}")
+  }
+
+  test("q234_quantile_select plans the distributed SELECTION path " +
+    "(bracket sketch + interior rank), not a full-group sort window") {
+    val df = Queries.byName("q234_quantile_select").run(spark, dir)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("percentile_approx"),
+      s"selection path brackets ranks with the mergeable sketch:\n${p.take(2000)}")
+    assert("""windowspecdefinition\(grp#""".r.findFirstIn(p).isEmpty,
+      s"no full-group sort window allowed in the headline quantile plan:\n${p.take(3000)}")
+  }
+
   test("chunk() is pure per-row work: no shuffle, stays in codegen") {
     import graft.operators.Packing
     val df = Packing.chunk(Tables.load(spark, dir, "documents"),
