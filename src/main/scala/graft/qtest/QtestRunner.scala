@@ -2480,9 +2480,24 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
   private def rewriteTypedPartitionLiterals(stmt: String): String = {
     if (!"""(?is).*\bPARTITION\s*\(.*""".r.matches(stmt)) return stmt
     """(?is)(PARTITION\s*\()([^)]*)(\))""".r.replaceAllIn(stmt, m => {
-      val inner = """(?i)\b(?:date|timestamp)\s*('[^']*')""".r
-        .replaceAllIn(m.group(2), i =>
-          java.util.regex.Matcher.quoteReplacement(i.group(1)))
+      val inner = """(?i)\b(date|timestamp)\s*('[^']*')""".r
+        .replaceAllIn(m.group(2), i => {
+          // Hive validates the typed literal before using its text as
+          // the partition value (ref BaseSemanticAnalyzer
+          // "Unable to convert time literal" — illegal_partition_type4):
+          // dropping the keyword must not also drop the check.
+          val v = i.group(2).stripPrefix("'").stripSuffix("'")
+          val ok =
+            try {
+              if (i.group(1).equalsIgnoreCase("date"))
+                java.sql.Date.valueOf(v)
+              else java.sql.Timestamp.valueOf(v)
+              true
+            } catch { case _: IllegalArgumentException => false }
+          if (!ok) throw new IllegalArgumentException(
+            s"Unable to convert time literal '$v' to time value")
+          java.util.regex.Matcher.quoteReplacement(i.group(2))
+        })
       java.util.regex.Matcher.quoteReplacement(
         m.group(1) + inner + m.group(3))
     })
