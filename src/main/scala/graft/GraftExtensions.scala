@@ -23,5 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           builder))
     }
     ext.injectOptimizerRule(s => graft.plans.StatsCountRule(s))
+    // Hive-1.2 CHAR/VARCHAR overflow truncates on insert instead of
+    // raising EXCEED_LIMIT_LENGTH (see HiveCharTruncateRule scaladoc)
+    ext.injectPostHocResolutionRule(s =>
+      graft.plans.HiveCharTruncateRule(s))
   }
 }

@@ -261,6 +261,42 @@ object GraftSession {
       (i + word.length == s.length ||
         !Character.isLetterOrDigit(s.charAt(i + word.length)) && s.charAt(i + word.length) != '_')
 
+  /** Hive's struct() names its fields col1..colN positionally (ref
+    * udf/generic/GenericUDFStruct.java); Spark's parser treats `struct(`
+    * as a grammar token building CreateStruct with source-derived names,
+    * so the front door rewrites the call to the registry-resolved
+    * `hive_struct` (HiveCompat). percentile_approx likewise rewrites to
+    * the Hive-algorithm aggregate (HivePercentileApprox) without
+    * shadowing Spark's native sketch for DataFrame callers. Quote-aware;
+    * `named_struct` and the `struct<...>` type syntax are untouched
+    * (word boundary + paren). */
+  private[graft] def hiveStructCompat(sql: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (quote != 0) {
+        sb += c
+        if (c == '\\' && i + 1 < sql.length) { i += 1; sb += sql.charAt(i) }
+        else if (c == quote) quote = 0
+        i += 1
+      } else if (c == '\'' || c == '"') { quote = c; sb += c; i += 1 }
+      else if (wordToken(sql, i, "struct")) {
+        var j = i + 6
+        while (j < sql.length && Character.isWhitespace(sql.charAt(j))) j += 1
+        if (j < sql.length && sql.charAt(j) == '(') {
+          sb.append("hive_struct"); i += 6
+        } else { sb += c; i += 1 }
+      } else if (wordToken(sql, i, "percentile_approx")) {
+        // Hive's Ben-Haim histogram semantics (goldens pin its exact
+        // interpolation); functions.percentile_approx stays Spark's
+        sb.append("hive_percentile_approx"); i += "percentile_approx".length
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
   private[graft] def hiveWindowCompat(sql0: String): String = {
     val sql = inlineWindowInheritance(sql0)
     // rewrite spans right-to-left so indices stay valid
@@ -1105,8 +1141,9 @@ object GraftSession {
     * Trailing semicolons (standard in HiveQL scripts) are stripped. */
   def sql(spark: SparkSession, stmt: String): DataFrame = {
     val stripped = hiveDecimalAvgCompat(spark,
-      hiveGroupingIdCompat(hiveGroupingSetsCompat(
-        hiveWindowCompat(hiveCteForwardRefs(stmt.replaceAll(";+\\s*$", ""))))))
+      hiveGroupingIdCompat(hiveGroupingSetsCompat(hiveWindowCompat(
+        hiveStructCompat(hiveCteForwardRefs(
+          stmt.replaceAll(";+\\s*$", "")))))))
     hiveNegativeChecks(stripped)
     stripped match {
       case MacroRe() =>

@@ -277,7 +277,39 @@ object HiveCompat {
     * vector_data_types.q SUM(HASH(*)) over decimal/binary columns). */
   private def hiveHash(children: Seq[Expression]): Expression =
     HiveLegacyHash(children)
+  /** Hive's struct() names its fields col1..colN regardless of the
+    * argument expressions (ref udf/generic/GenericUDFStruct.java:55 —
+    * fname = "col" + (i+1)); Spark's keeps source column names, so
+    * max(struct(key, value)) would render {"key":..} where the
+    * reference prints {"col1":..} (udf_max.q, udf_min.q goldens). */
+  private def hiveStruct(children: Seq[Expression]): Expression =
+    org.apache.spark.sql.catalyst.expressions.CreateNamedStruct(
+      children.zipWithIndex.flatMap { case (c, i) =>
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+          s"col${i + 1}"), c)
+      })
+  /** Hive's hour/minute/second (ref udf/UDFHour.java etc.) parse string
+    * arguments as "yyyy-MM-dd HH:mm:ss" then "HH:mm:ss" and return NULL
+    * when neither carries a time part — a bare date string gives NULL,
+    * where Spark's cast-to-timestamp path gives 0 (udf_hour.q golden). */
+  private def hiveTimeField(fn: Seq[Expression] => Expression)(
+      children: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val e = children.head
+    CaseWhen(
+      Seq((RLike(Cast(e, org.apache.spark.sql.types.StringType),
+        Literal("^\\s*\\d{4}-\\d{2}-\\d{2}\\s*$")),
+        Literal.create(null, org.apache.spark.sql.types.IntegerType))),
+      fn(children))
+  }
+
   val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "hour" -> hiveTimeField(c =>
+      org.apache.spark.sql.catalyst.expressions.Hour(c.head)) _,
+    "minute" -> hiveTimeField(c =>
+      org.apache.spark.sql.catalyst.expressions.Minute(c.head)) _,
+    "second" -> hiveTimeField(c =>
+      org.apache.spark.sql.catalyst.expressions.Second(c.head)) _,
     "mask" -> mask _,
     "mask_first_n" -> maskFirstN _,
     "mask_last_n" -> maskLastN _,
@@ -285,6 +317,13 @@ object HiveCompat {
     "mask_show_last_n" -> maskShowLastN _,
     "mask_hash" -> maskHash _,
     "hive_hash" -> hiveHash _,
+    // reached via GraftSession.hiveStructCompat — `struct(` is a grammar
+    // token in Spark's parser, so the registry alone can't override it
+    "hive_struct" -> hiveStruct _,
+    // reached via GraftSession front-door rewrite (the registry name
+    // must not shadow functions.percentile_approx — the quantile
+    // selection path brackets ranks with Spark's native sketch)
+    "hive_percentile_approx" -> HivePercentileApprox.build _,
     "field" -> field _,
     "create_union" -> createUnion _,
     "in_file" -> inFile _
