@@ -26,7 +26,7 @@ object Bench {
     "q188_gapfill", "q191_zscore", "q195_robust_scale",
     "q196_corr_matrix", "q213_bloom_decontaminate",
     "q224_scd_type2", "q228_scd2_incremental", "q229_point_in_time",
-    "q234_quantile_select")
+    "q234_quantile_select", "q235_quantile_natural")
   // q226_setsim_exact is deliberately NOT a headline: its OUTPUT is
   // quadratic on this template-cloned corpus (92k pairs at sf0.01 →
   // 8.9M at sf0.1 at t=0.5) — any exact all-pairs-above-threshold
@@ -82,6 +82,17 @@ object Bench {
     // fast crash reads as a speedup in round-over-round comparison.
     val runs = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    // Contention self-gating (VERDICT r12 #1): a query whose timed
+    // series spreads > 1.5x max/min (with an absolute floor so ms-scale
+    // JIT wobble on sub-second queries doesn't trip it) is re-measured
+    // up to SPARK_GRAFT_BENCH_RETRIES times, keeping the tightest
+    // series. BENCH_r12.json shipped 13x phantom regressions (q191
+    // 13.8s committed vs 1.15s judge-measured idle) because a one-shot
+    // series under load became the artifact of record.
+    val retries = math.max(0,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt)
+    def contendedSeries(mn: Double, mx: Double): Boolean =
+      mn > 0 && mx / mn > 1.5 && (mx - mn) > 0.3
     val results = selected.map { name =>
       var ok = true
       def timed(): Double = {
@@ -93,10 +104,25 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      def series(): (Double, Double, Double) = {
+        val ts = Seq.fill(runs)(timed()).sorted
+        (ts((ts.size - 1) / 2), ts.head, ts.last) // lower median
+      }
       timed() // warmup, untimed
-      val ts = Seq.fill(runs)(timed()).sorted
-      val med = ts((ts.size - 1) / 2) // lower median
-      if (ok) (name, med, ts.head, ts.last) else (name, -1.0, -1.0, -1.0)
+      var (med, mn, mx) = series()
+      var attempt = 0
+      while (ok && attempt < retries && contendedSeries(mn, mx)) {
+        attempt += 1
+        System.err.println(
+          f"[bench] $name spread ${mx / mn}%.2fx (${mn}%.2f-${mx}%.2fs) — retry $attempt/$retries")
+        val (m2, n2, x2) = series()
+        // keep the tighter series; on a tie in spread prefer the lower
+        // median (contention only ever inflates)
+        if (ok && (x2 / n2 < mx / mn || (x2 / n2 == mx / mn && m2 < med))) {
+          med = m2; mn = n2; mx = x2
+        }
+      }
+      if (ok) (name, med, mn, mx) else (name, -1.0, -1.0, -1.0)
     }
     val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
@@ -111,6 +137,12 @@ object Bench {
     val spreadMax = results.collect {
       case (_, med, mn, mx) if med > 0 && mn > 0 => mx / mn
     }.foldLeft(1.0)(math.max)
+    // the artifact's own verdict: true when, even after the bounded
+    // retries above, some query still fails the spread gate — readers
+    // of round-over-round diffs should discount this run
+    val contended = results.exists { case (_, med, mn, mx) =>
+      med > 0 && contendedSeries(mn, mx)
+    }
     // Corpus fingerprint (untimed): per-table row count + an order-
     // independent content hash (bit_xor of xxhash64 over all columns —
     // commutative, overflow-free under ANSI). The driver regenerates
@@ -134,7 +166,7 @@ object Bench {
     val corpusFp = java.lang.Long.toHexString(
       corpusEntries.foldLeft(0L) { case (a, (_, n, h)) => a ^ n ^ h })
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"corpus":$corpus,"corpus_fp":"$corpusFp","load":"$loadAfter","spread_max":$spreadMax,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"corpus":$corpus,"corpus_fp":"$corpusFp","load":"$loadAfter","spread_max":$spreadMax,"contended":$contended,"sf":"$sfDir"}"""
     // full-fidelity artifact on disk — the driver's stdout capture window
     // is finite, so the printed line is a COMPACT summary (3-decimal
     // medians, single corpus fingerprint) guaranteed to fit and parse
@@ -145,7 +177,7 @@ object Bench {
     def r3(x: Double): String = if (x < 0) "-1" else f"$x%.3f"
     val qs3 = results.map { case (k, med, _, _) => "\"" + k + "\":" + r3(med) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"corpus_fp":"$corpusFp","load":"$loadAfter","spread_max":${f"$spreadMax%.2f"},"detail":"target/bench.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"corpus_fp":"$corpusFp","load":"$loadAfter","spread_max":${f"$spreadMax%.2f"},"contended":$contended,"detail":"target/bench.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

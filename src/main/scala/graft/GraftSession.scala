@@ -89,6 +89,10 @@ object GraftSession {
     """(?is)\s*EXPORT\s+TABLE\s+([\w.]+)\s+TO\s+'([^']+)'\s*""".r
   private val ImportRe =
     """(?is)\s*IMPORT\s+TABLE\s+([\w.]+)\s+FROM\s+'([^']+)'\s*""".r
+  private val ExchangePartRe =
+    ("""(?is)\s*(?:--[^\n]*\n\s*)*ALTER\s+TABLE\s+([\w.]+)\s+""" +
+      """EXCHANGE\s+PARTITION\s*""" +
+      """\(([^)]*)\)\s+WITH\s+TABLE\s+([\w.]+)\s*""").r
   private val UpdateRe =
     """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.+)""".r
   private val DeleteRe =
@@ -290,8 +294,15 @@ object GraftSession {
         } else { sb += c; i += 1 }
       } else if (wordToken(sql, i, "percentile_approx")) {
         // Hive's Ben-Haim histogram semantics (goldens pin its exact
-        // interpolation); functions.percentile_approx stays Spark's
-        sb.append("hive_percentile_approx"); i += "percentile_approx".length
+        // interpolation); functions.percentile_approx stays Spark's.
+        // Only rewrite a call — next non-ws char must be '(' — so
+        // columns/aliases named percentile_approx pass through
+        // (ADVICE r12).
+        var j = i + "percentile_approx".length
+        while (j < sql.length && Character.isWhitespace(sql.charAt(j))) j += 1
+        if (j < sql.length && sql.charAt(j) == '(') {
+          sb.append("hive_percentile_approx"); i += "percentile_approx".length
+        } else { sb += c; i += 1 }
       } else { sb += c; i += 1 }
     }
     sb.toString
@@ -1078,6 +1089,14 @@ object GraftSession {
               "LINES TERMINATED BY only supports newline '\\n' right now")
         }
       }
+    // SHOW COLUMNS with a db-qualified table name AND a FROM/IN <db>
+    // clause is rejected regardless of whether the two agree (ref
+    // DDLSemanticAnalyzer.analyzeShowColumns; clientnegative
+    // show_columns3). Spark accepts the agreeing form.
+    if ("""(?is)\A\s*SHOW\s+COLUMNS\s+(?:FROM|IN)\s+[\w`]+\.[\w`]+\s+(?:FROM|IN)\s+\S+.*""".r
+        .matches(blank))
+      throw new IllegalArgumentException(
+        "Duplicates declaration for database name")
     // Hive caps CHAR at 255 and VARCHAR at 65535, minimum 1
     // (serde typeinfo HiveChar.MAX_CHAR_LENGTH / HiveVarchar
     // .MAX_VARCHAR_LENGTH; clientnegative invalid_char_length_*,
@@ -1183,6 +1202,12 @@ object GraftSession {
         Warehouse.exportTable(spark, table, path); spark.emptyDataFrame
       case ImportRe(table, path) =>
         Warehouse.importTable(spark, table, path); spark.emptyDataFrame
+      case ExchangePartRe(dest, spec, src) =>
+        // metadata-level partition re-homing (ref DDLSemanticAnalyzer
+        // analyzeExchangePartition); Spark has no such statement
+        Warehouse.exchangePartition(spark, dest,
+          parsePartitionSpec(spec), src)
+        spark.emptyDataFrame
       // ACID-registered names: route DML to delta-layout transactions
       // (Hive's ACID SQL surface, incl. ALTER TABLE ... COMPACT —
       // ql/ddl AlterTableSimpleDesc compact path); the view refreshes to

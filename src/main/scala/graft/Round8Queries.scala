@@ -44,5 +44,29 @@ object Round8Queries {
           "p25" -> BigDecimal("0.25"), "p50" -> BigDecimal("0.5"),
           "p75" -> BigDecimal("0.75"), "p99" -> BigDecimal("0.99")))
       finally s.conf.set("spark.graft.stats.rankSortThreshold", prev)
+    },
+
+    // -- The same quantile dispatcher at the DEFAULT 2 M threshold
+    //    (VERDICT r12 #8): at sf1 lineitem's largest l_returnflag group
+    //    (~3 M rows) crosses it, so the sf1 bench exercises the
+    //    SELECTION plan exactly as a production config would choose it —
+    //    un-forced; at the correctness SF (0.01) the same call takes the
+    //    per-group sort-window path, gating the dispatcher's other arm
+    //    against the identical rank-arithmetic oracle.
+    dfQ("q235_quantile_natural", """
+      WITH ranked AS (
+        SELECT l_returnflag AS grp, l_extendedprice AS v,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem WHERE l_extendedprice IS NOT NULL)
+      SELECT grp,
+        max(CASE WHEN rn = greatest(1, ceil(n * 0.5))  THEN v END) AS p50,
+        max(CASE WHEN rn = greatest(1, ceil(n * 0.95)) THEN v END) AS p95
+      FROM ranked GROUP BY 1""") { (s, d) =>
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_returnflag").as("grp"), col("l_extendedprice").as("v"))
+      operators.Stats.rankQuantiles(li, "grp", "v", Seq(
+        "p50" -> BigDecimal("0.5"), "p95" -> BigDecimal("0.95")))
     })
 }

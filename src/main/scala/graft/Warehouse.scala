@@ -634,4 +634,79 @@ object Warehouse {
     if (partCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $table")
     spark.sql(s"REFRESH TABLE $table")
   }
+
+  /** ALTER TABLE dest EXCHANGE PARTITION (spec) WITH TABLE src — move
+    * the matching partitions' files and registrations from src to dest
+    * (ref ql/parse/DDLSemanticAnalyzer.java
+    * analyzeExchangePartition + Hive.exchangeTablePartitions). This is a
+    * METADATA-plus-rename operation — no rows are read or rewritten, so
+    * it stays O(partitions) at any data scale (the whole point of the
+    * statement for re-homing staging partitions into prod tables).
+    * Validations mirror the reference: both tables exist, identical
+    * data/partition schemas, the spec is a PREFIX of the partition
+    * columns (a gap like hr-without-ds is rejected), at least one
+    * matching partition exists in src, and none exists in dest. */
+  def exchangePartition(spark: SparkSession, destTable: String,
+      spec: Seq[(String, String)], srcTable: String): Unit = {
+    val cat = spark.sessionState.catalog
+    def identOf(t: String) =
+      spark.sessionState.sqlParser.parseTableIdentifier(t)
+    def metaOf(t: String) =
+      try cat.getTableMetadata(identOf(t))
+      catch { case _: Exception =>
+        throw new IllegalArgumentException(s"Table $t does not exist")
+      }
+    val destMeta = metaOf(destTable)
+    val srcMeta = metaOf(srcTable)
+    def sig(m: org.apache.spark.sql.catalyst.catalog.CatalogTable) =
+      (m.schema.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq,
+        m.partitionColumnNames.map(_.toLowerCase))
+    if (sig(destMeta) != sig(srcMeta))
+      throw new IllegalArgumentException(
+        s"Tables have incompatible schemas and their partitions cannot " +
+          "be exchanged")
+    val partCols = destMeta.partitionColumnNames.map(_.toLowerCase)
+    val specMap = spec.map { case (k, v) => k.toLowerCase -> v }.toMap
+    // the spec must cover a PREFIX of the partition columns
+    // (clientnegative exchange_partition_neg_incomplete_partition)
+    val prefixLen = partCols.takeWhile(specMap.contains).length
+    if (prefixLen != specMap.size || prefixLen == 0)
+      throw new IllegalArgumentException(
+        "Alter table partition type exchange partition spec is " +
+          s"incomplete: (${spec.map(p => s"${p._1}='${p._2}'").mkString(", ")})")
+    def matching(t: String) =
+      cat.listPartitions(identOf(t), Some(specMap)).sortBy(_.spec.toString)
+    val srcParts = matching(srcTable)
+    if (srcParts.isEmpty)
+      throw new IllegalArgumentException(
+        s"No partition of $srcTable matches the specification")
+    val destHit = matching(destTable)
+    if (destHit.nonEmpty)
+      throw new IllegalArgumentException(
+        s"The partition already exists in table $destTable: " +
+          destHit.head.spec.toString)
+    val destLoc = new java.io.File(destMeta.location.getPath)
+    srcParts.foreach { p =>
+      val fullSpec = partCols.map(c => c -> p.spec(
+        p.spec.keys.find(_.equalsIgnoreCase(c)).get))
+      val rel = fullSpec.map { case (k, v) => s"$k=$v" }.mkString("/")
+      val from = new java.io.File(p.location.getPath)
+      val to = new java.io.File(destLoc, rel)
+      to.getParentFile.mkdirs()
+      if (from.exists() && !from.renameTo(to)) {
+        copyTree(from.toPath, to.toPath)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(from)
+      }
+      val specSql = fullSpec
+        .map { case (k, v) => s"`$k`='$v'" }.mkString(", ")
+      spark.sql(s"ALTER TABLE $destTable ADD PARTITION ($specSql)")
+      spark.sql(s"ALTER TABLE $srcTable DROP PARTITION ($specSql)")
+    }
+    spark.sql(s"REFRESH TABLE $destTable")
+    spark.sql(s"REFRESH TABLE $srcTable")
+  }
 }

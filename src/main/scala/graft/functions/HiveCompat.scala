@@ -220,9 +220,31 @@ object HiveCompat {
           substrTo(e, Add(Subtract(len, n), Literal(1)), END))))
     }
 
-  /** mask_hash(str) — md5 hex digest (GenericUDFMaskHash). */
-  def maskHash(args: Seq[Expression]): Expression =
-    Md5(Cast(args.head, BinaryType))
+  /** mask_hash(str) — md5 hex digest for string-family input; any
+    * OTHER type returns NULL rather than hashing its text form
+    * (GenericUDFMaskHash.initialize accepts only string/char/varchar;
+    * udf_mask_hash golden pins NULL for tinyint..bigint and date). */
+  def maskHash(args: Seq[Expression]): Expression = {
+    val a = args.head
+    val stringLike =
+      try a.dataType match {
+        case StringType => true
+        case _: org.apache.spark.sql.types.CharType => true
+        case _: org.apache.spark.sql.types.VarcharType => true
+        case _ => false
+      } catch { case _: Exception => true }
+    if (stringLike) {
+      // HiveChar.toString is the PADDED value, so a char(n) input
+      // hashes with its trailing spaces (udf_mask_hash golden col 3)
+      val padded =
+        try a.dataType match {
+          case c: org.apache.spark.sql.types.CharType =>
+            StringRPad(Cast(a, StringType), Literal(c.length), Literal(" "))
+          case _ => a
+        } catch { case _: Exception => a }
+      Md5(Cast(padded, BinaryType))
+    } else Literal(null, StringType)
+  }
 
   /** field(x, v1, v2, ...) — 1-based index of x among v1..vn, 0 if absent
     * or x is NULL (GenericUDFField semantics). */
@@ -326,8 +348,32 @@ object HiveCompat {
     "hive_percentile_approx" -> HivePercentileApprox.build _,
     "field" -> field _,
     "create_union" -> createUnion _,
-    "in_file" -> inFile _
+    "in_file" -> inFile _,
+    // Hive 1.2 aes_encrypt/aes_decrypt (ref udf/generic/
+    // GenericUDFAesEncrypt.java): AES/ECB/PKCS5Padding — deterministic,
+    // so the goldens pin exact ciphertext (Spark's default GCM mode
+    // salts with a random IV) — and an invalid key LENGTH returns NULL
+    // instead of erroring (udf_aes_encrypt's 17-byte key rows)
+    "aes_encrypt" -> hiveAes(decrypt = false) _,
+    "aes_decrypt" -> hiveAes(decrypt = true) _
   )
+
+  private def hiveAes(decrypt: Boolean)(
+      children: Seq[Expression]): Expression = {
+    val Seq(input, key) = children.take(2)
+    val keyBin = Cast(key, BinaryType)
+    val op: Expression =
+      if (decrypt)
+        AesDecrypt(Cast(input, BinaryType), keyBin,
+          Literal("ECB"), Literal("PKCS"), Literal(Array.emptyByteArray))
+      else
+        AesEncrypt(Cast(input, BinaryType), keyBin,
+          Literal("ECB"), Literal("PKCS"),
+          Literal(Array.emptyByteArray), Literal(Array.emptyByteArray))
+    CaseWhen(Seq((
+      In(Length(keyBin), Seq(Literal(16), Literal(24), Literal(32))),
+      op)), Literal.create(null, BinaryType))
+  }
 
   def register(spark: SparkSession): Unit =
     (registrations ++ BitmapExpressions.registrations ++

@@ -116,25 +116,43 @@ case class HivePercentileApprox(
   private lazy val returnsArray =
     percentilesExpr.dataType.isInstanceOf[ArrayType]
 
-  private lazy val percentiles: Seq[Double] = percentilesExpr.eval() match {
-    case a: ArrayData => a.toDoubleArray().toSeq
-    case d: Double => Seq(d)
-    case d: java.math.BigDecimal => Seq(d.doubleValue())
-    case d: org.apache.spark.sql.types.Decimal => Seq(d.toDouble)
-    case i: Int => Seq(i.toDouble)
-    case l: Long => Seq(l.toDouble)
-    case f: Float => Seq(f.toDouble)
+  private def toDoubleLenient(v: Any): Double = v match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case i: Int => i.toDouble
+    case l: Long => l.toDouble
+    case s: Short => s.toDouble
+    case b: Byte => b.toDouble
+    case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+    case bd: java.math.BigDecimal => bd.doubleValue()
     case other => throw new IllegalArgumentException(
-      s"percentile_approx: unsupported percentile literal $other")
+      s"percentile_approx: unsupported numeric literal $other")
   }
 
-  private lazy val nbins: Int = nbinsExpr.eval() match {
-    case i: Int => i
-    case l: Long => l.toInt
-    case d: Double => d.toInt
-    case null => 10000
-    case other => throw new IllegalArgumentException(
-      s"percentile_approx: unsupported nbins literal $other")
+  // SQL array literals like array(0.5, 0.9) are ArrayType(DecimalType),
+  // so extract per-element with the declared element type rather than
+  // ArrayData.toDoubleArray() (which casts and throws on Decimal).
+  private lazy val percentiles: Seq[Double] = percentilesExpr.eval() match {
+    case a: ArrayData =>
+      val elemType = percentilesExpr.dataType match {
+        case ArrayType(et, _) => et
+        case other => other
+      }
+      a.toObjectArray(elemType).toSeq.map(toDoubleLenient)
+    case null => throw new IllegalArgumentException(
+      "percentile_approx: percentile argument must be a non-null literal")
+    case scalar => Seq(toDoubleLenient(scalar))
+  }
+
+  private lazy val nbins: Int = {
+    val n = nbinsExpr.eval() match {
+      case null => 10000
+      case v => toDoubleLenient(v).toInt
+    }
+    // ref GenericUDAFPercentileApprox.java: nbins must be at least 2
+    if (n < 2) throw new IllegalArgumentException(
+      s"percentile_approx: the number of histogram bins must be at least 2, got $n")
+    n
   }
 
   override def children: Seq[Expression] =

@@ -393,8 +393,8 @@ final class HiveAuth(conf: String => Option[String],
           }
         }
       }
-      dupCheck(privNames, db, table, principals)
-    } else dupCheck(privNames, db, table, principals)
+      dupCheck(privNames, db, table, part, principals)
+    } else dupCheck(privNames, db, table, part, principals)
     principals.foreach { case (ptype, p) =>
       // legacy (v1) role lookups are case-SENSITIVE against the stored
       // name (clientnegative authorization_role_case: mixcaserole2 vs
@@ -433,7 +433,8 @@ final class HiveAuth(conf: String => Option[String],
   /** A re-grant of a privilege the principal already holds is an error
     * in both modes (authorization_fail_1, authorization_grant_table_dup). */
   private def dupCheck(privNames: Seq[(String, Seq[String])], db: String,
-      table: String, principals: Seq[(String, String)]): Unit = {
+      table: String, part: String,
+      principals: Seq[(String, String)]): Unit = {
       privNames.foreach { case (priv, cols) =>
         val lc0 = priv.toLowerCase
         val expanded =
@@ -446,8 +447,12 @@ final class HiveAuth(conf: String => Option[String],
         expanded.foreach { lc =>
           principals.foreach { case (ptype, p) =>
             colSets.foreach { cs =>
+              // partition scope is part of the grant identity, same
+              // as revokePriv's matching (ADVICE r12): a partition
+              // grant after a table-level grant is not a duplicate
               if (privs.exists(g => g.db == db.toLowerCase &&
                   g.table == table.toLowerCase && g.priv == lc &&
+                  g.part == part &&
                   g.ptype == ptype && g.principal.equalsIgnoreCase(p) &&
                   g.cols.map(_.toLowerCase) == cs.map(_.toLowerCase)))
                 throw new IllegalArgumentException(

@@ -177,7 +177,10 @@ object Qtest {
         val bd = v.asInstanceOf[java.math.BigDecimal].stripTrailingZeros
         // stripTrailingZeros turns 100 into 1E+2; undo scientific form
         if (bd.scale < 0) bd.setScale(0).toPlainString else bd.toPlainString
-      case DateType => v.toString
+      case DateType =>
+        // inside complex types Hive's JSON-ish rendering quotes dates
+        // like strings (udf_sort_array golden)
+        if (top) v.toString else "\"" + v.toString + "\""
       case TimestampType | TimestampNTZType =>
         val ldt = v match {
           case t: java.sql.Timestamp =>
@@ -186,8 +189,9 @@ object Qtest {
           case t: java.time.Instant =>
             java.time.LocalDateTime.ofInstant(t, GoldenZone)
         }
-        val base = java.sql.Timestamp.valueOf(ldt).toString
-        if (base.endsWith(".0")) base.dropRight(2) else base
+        val base0 = java.sql.Timestamp.valueOf(ldt).toString
+        val base = if (base0.endsWith(".0")) base0.dropRight(2) else base0
+        if (top) base else "\"" + base + "\""
       case BinaryType => new String(v.asInstanceOf[Array[Byte]], "UTF-8")
       case ArrayType(et, _) =>
         v.asInstanceOf[scala.collection.Seq[Any]]

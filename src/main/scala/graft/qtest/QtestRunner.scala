@@ -330,7 +330,7 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       }
 
   private def unescapeDelim(s: String): String = {
-    val oct = """\\(\d{1,3})""".r.replaceAllIn(
+    val oct = """\\([0-7]{1,3})""".r.replaceAllIn(
       s.replace("\\t", "\t").replace("\\u0001", "\u0001"),
       m => java.util.regex.Matcher.quoteReplacement(
         Integer.parseInt(m.group(1), 8).toChar.toString))
@@ -524,11 +524,13 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
           val (_, fi, fo) = FormatClasses("rcfile")
           d.storage = Some((cls, fi, fo))
         }
-    val inCls = """(?is)INPUTFORMAT\s+'([^']+)'""".r
+    // class names may be single- or double-quoted (clientnegative
+    // exim_07/08 pin the double-quoted spelling)
+    val inCls = """(?is)INPUTFORMAT\s+["']([^"']+)["']""".r
       .findFirstMatchIn(tail).map(_.group(1))
-    val outCls = """(?is)OUTPUTFORMAT\s+'([^']+)'""".r
+    val outCls = """(?is)OUTPUTFORMAT\s+["']([^"']+)["']""".r
       .findFirstMatchIn(tail).map(_.group(1))
-    val serdeCls = """(?is)ROW\s+FORMAT\s+SERDE\s+'([^']+)'""".r
+    val serdeCls = """(?is)ROW\s+FORMAT\s+SERDE\s+["']([^"']+)["']""".r
       .findFirstMatchIn(tail).map(_.group(1))
     if (inCls.isDefined || serdeCls.isDefined) {
       val (fs, fi, fo) =
@@ -551,7 +553,7 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       sdp += ("mapkey.delim" -> unescapeDelim(m.group(1))))
     """(?is)WITH\s+SERDEPROPERTIES\s*\(([^)]*)\)""".r
       .findFirstMatchIn(tail).foreach { m =>
-        """'((?:\\.|[^'])*)'\s*=\s*'((?:\\.|[^'])*)'""".r
+        """["']((?:\\.|[^"'])*)["']\s*=\s*["']((?:\\.|[^"'])*)["']""".r
           .findAllMatchIn(m.group(1))
           .foreach(p => sdp += (p.group(1) -> p.group(2)))
       }
@@ -802,6 +804,8 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
 
   private val DescFunctionRe =
     """(?is)\s*DESC(?:RIBE)?\s+FUNCTION\s+(EXTENDED\s+)?['"`]?([^'"`\s;]+)['"`]?\s*""".r
+  private val DescFunctionBacktickRe =
+    """(?is)\s*DESC(?:RIBE)?\s+FUNCTION\s+(EXTENDED\s+)?`([^`\s;]+)`\s*""".r
 
   /** (registry name, implementing class simple name) pairs in
     * registration order, parsed from the reference's
@@ -818,9 +822,19 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     val reg = ("""(?s)system\s*\.\s*register(UDF|GenericUDF|GenericUDAF|""" +
       """UDAF|GenericUDTF)\s*\(\s*"((?:\\.|[^"\\])+)"\s*,\s*(?:new\s+)?""" +
       """([A-Za-z0-9_]+)""").r
+    // the cast functions are registered under serdeConstants.*_TYPE_NAME
+    // constants rather than string literals (FunctionRegistry.java:345-352)
+    // — the literal-capture regex misses them, so list the constant
+    // values explicitly; none of the UDFTo* classes carries @Description
+    // (udf_bigint golden: "There is no documentation…")
+    val castFns = Seq(
+      "boolean" -> "UDFToBoolean", "tinyint" -> "UDFToByte",
+      "smallint" -> "UDFToShort", "int" -> "UDFToInteger",
+      "bigint" -> "UDFToLong", "float" -> "UDFToFloat",
+      "double" -> "UDFToDouble", "string" -> "UDFToString")
     reg.findAllMatchIn(src)
       .map(m => (m.group(2).toLowerCase(java.util.Locale.ROOT), m.group(3)))
-      .toSeq
+      .toSeq ++ (if (src.nonEmpty) castFns else Nil)
   }
 
   private lazy val hiveFnClass: Map[String, String] =
@@ -935,12 +949,37 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
   /** Is DESCRIBE FUNCTION [EXTENDED] on this typed name renderable
     * byte-exact? Requires a registry entry resolving to a class with a
     * harvested @Description. */
-  private def describableFunction(fn0: String): Boolean =
-    hiveFnClass.get(fn0.toLowerCase(java.util.Locale.ROOT))
-      .exists(hiveClassDesc.contains)
+  /** DESCRIBE FUNCTION coverage (ref ql/exec/DDLTask.describeFunction):
+    * a registered class WITHOUT @Description prints "There is no
+    * documentation for function 'x'" (udf_bigint and the other cast
+    * synonyms), and a name absent from the 1.2 registry prints
+    * "Function 'x' does not exist." (udf_stddev_pop describes the
+    * script's own name). The does-not-exist rendering is gated on the
+    * ENGINE also lacking the name — a function our registry parse
+    * missed but the engine resolves (mask family, operators) stays
+    * Ignored rather than lying about existence. */
+  private def describableFunction(fn0: String): Boolean = {
+    val key = fn0.toLowerCase(java.util.Locale.ROOT)
+    hiveFnClass.get(key) match {
+      case Some(_) => true
+      case None =>
+        !(try spark.sessionState.functionRegistry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(key))
+        catch { case _: Exception => true })
+    }
+  }
 
   private def describeFunctionDf(fn0: String, extended: Boolean): DataFrame = {
-    val cls = hiveFnClass(fn0.toLowerCase(java.util.Locale.ROOT))
+    val key = fn0.toLowerCase(java.util.Locale.ROOT)
+    hiveFnClass.get(key) match {
+      case None =>
+        return linesDf(Seq(s"Function '$fn0' does not exist."), "tab_name")
+      case Some(c) if !hiveClassDesc.contains(c) =>
+        return linesDf(
+          Seq(s"There is no documentation for function '$fn0'"), "tab_name")
+      case _ => ()
+    }
+    val cls = hiveFnClass(key)
     val (value, ext) = hiveClassDesc(cls)
     // DDLTask.describeFunction: _FUNC_ -> the user-typed name verbatim;
     // Synonyms = other registry keys on the same class, case-sensitive
@@ -1000,6 +1039,12 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     var inferred = Map.empty[String, (Int, Seq[String], Seq[(String, Int)])]
     var accurate = Map.empty[String, Boolean]
     var loadedBytes = Map.empty[String, Long]
+    // per-file sizes of files LOADed (moved verbatim in Hive) per level —
+    // SHOW TABLE EXTENDED prints totalNumberFiles/totalFileSize/max/min
+    // from the physical listing (ref ql/ddl ShowTableStatus /
+    // MetaDataFormatUtils), which for the parquet realization is this
+    // shadow of what Hive's directory would hold
+    var fileSizes = Map.empty[String, Seq[Long]]
     // levels whose COLUMN_STATS_ACCURATE marker an ALTER cleared (the
     // quad itself survives; a later INSERT re-marks accurate)
     var csaDropped = Set.empty[String]
@@ -1732,6 +1777,9 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     d.loadedBytes = d.loadedBytes +
       (s -> (if (overwrite) bytes
       else d.loadedBytes.getOrElse(s, 0L) + bytes))
+    d.fileSizes = d.fileSizes +
+      (s -> (if (overwrite) Seq(bytes)
+      else d.fileSizes.getOrElse(s, Nil) :+ bytes))
   }
 
   /** Hive reinterprets stored data against a new declared type; for a
@@ -2270,6 +2318,414 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     })
   }
 
+  // -- EXPORT/IMPORT realization (exim_* family) ------------------------
+  // The runner realizes Hive tables as parquet catalog tables, so
+  // EXPORT/IMPORT are realized at the ROW level rather than as file
+  // moves: EXPORT snapshots the table's rows (parquet under the target
+  // dir) plus its declared metadata and stats ledger; IMPORT replays
+  // them through the same bookkeeping a CREATE TABLE + LOAD would make,
+  // enforcing ImportSemanticAnalyzer's compatibility checks (ref
+  // ql/parse/ExportSemanticAnalyzer.java, ImportSemanticAnalyzer.java
+  // checkTable/checkPaths). External/LOCATION placements are modeled as
+  // BINDINGS from a filesystem path to the rows that "live" there, so a
+  // later `dfs -rmr` of that path empties them like HDFS would.
+  private final case class EximSnapshot(
+      name: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partCols: Seq[String],
+      tableComment: Option[String],
+      meta: TableMeta,
+      storage: Option[(String, String, String)],
+      numBuckets: Int,
+      sortCols: Seq[(String, Int)],
+      serdeParams: Map[String, String],
+      external: Boolean,
+      dataPath: String,
+      files: Map[String, Int],
+      loadedBytes: Map[String, Long],
+      fileSizes: Map[String, Seq[Long]],
+      published: Set[String])
+  private val EximExportRe =
+    """(?is)\s*EXPORT\s+TABLE\s+`?([\w.]+)`?(?:\s+PARTITION\s*\(([^)]*)\))?\s+TO\s+'([^']+)'\s*""".r
+  private val EximImportStmtRe =
+    ("""(?is)\s*IMPORT\s+(EXTERNAL\s+)?(?:TABLE\s+`?([\w.]+)`?\s*""" +
+      """(?:PARTITION\s*\(([^)]*)\))?\s+)?FROM\s+'([^']+)'""" +
+      """(?:\s+LOCATION\s+'([^']+)')?\s*""").r
+  private val ShowTableExtRe =
+    ("""(?is)\s*SHOW\s+TABLE\s+EXTENDED\s+LIKE\s+`?([\w.]+)`?""" +
+      """(?:\s+PARTITION\s*\(([^)]*)\))?\s*""").r
+  private val eximRegistry =
+    scala.collection.mutable.Map.empty[String, EximSnapshot]
+  // (path, table-as-registered, partition spec or None=whole table)
+  private val eximBindings = scala.collection.mutable.ArrayBuffer
+    .empty[(String, String, Option[Seq[(String, String)]])]
+  // declared LOCATION per table (dxKey) — IMPORT over an existing table
+  // with a different target location is rejected (clientnegative
+  // exim_20_managed_location_over_existing)
+  private val eximTableLoc = scala.collection.mutable.Map.empty[String, String]
+
+  /** Canonical scratch placement for the script's filesystem namespace:
+    * every relative path (incl. the harness's `target/tmp/` and
+    * `${system:test.tmp.dir}` spellings of the same location) maps into
+    * the per-script exim scope — consistent with rewriteEximPaths — so
+    * dfs side effects act on an ISOLATED namespace and can never touch
+    * fixture or warehouse data. */
+  private def canonEximPath(p0: String): String = {
+    val p = p0.trim.stripSuffix("/")
+    val rel =
+      if (p.startsWith("target/tmp/")) Some(p.stripPrefix("target/tmp/"))
+      else if (p.startsWith(scratchDir + "/")) {
+        val r = p.stripPrefix(scratchDir + "/")
+        if (r.startsWith("exim/")) None else Some(r)
+      } else if (!p.startsWith("/") && !p.contains("://")) Some(p)
+      else None
+    rel.map(r => s"$scratchDir/exim/$eximScope/$r").getOrElse(p)
+  }
+  private def inEximScope(p: String): Boolean =
+    p.startsWith(s"$scratchDir/exim/")
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(); ()
+  }
+
+  /** Execute a dfs command's side effects inside the canonical scratch
+    * namespace. Reference scripts use dfs to prepare/destroy the dirs
+    * their EXPORT/IMPORT and external LOCATIONs live in — an rmr that
+    * covers a bound location also empties the rows that live there
+    * (exim_11..20: `select *` after the rm must return nothing). Other
+    * forms (-ls, -chmod, -cat) have fully-masked golden output and no
+    * modeled side effect. */
+  private def handleDfs(body: String): Unit = {
+    val toks = body.trim.stripSuffix(";").split("\\s+").toList
+      .dropWhile(_.equalsIgnoreCase("dfs"))
+    val (cmds, args) = toks.partition(_.startsWith("-"))
+    val cmd = cmds.headOption.getOrElse("")
+    val path = args.headOption.map(canonEximPath).getOrElse("")
+    if (path.isEmpty || !inEximScope(path)) return
+    cmd match {
+      case "-mkdir" => new java.io.File(path).mkdirs(); ()
+      case "-touchz" =>
+        val f = new java.io.File(path)
+        f.getParentFile.mkdirs(); f.createNewFile(); ()
+      case "-rmr" | "-rm" =>
+        rmTree(new java.io.File(path))
+        applyBindingRemovals(path)
+      case _ => ()
+    }
+  }
+
+  private def applyBindingRemovals(path: String): Unit = {
+    val hit = eximBindings.filter { case (bp, _, _) =>
+      bp == path || bp.startsWith(path + "/") }
+    hit.foreach { case (_, table, specOpt) =>
+      val exists =
+        try spark.catalog.tableExists(quoteName(table))
+        catch { case _: Exception => false }
+      if (exists) {
+        specOpt match {
+          case None => spark.sql(s"TRUNCATE TABLE ${quoteName(table)}")
+          case Some(spec) =>
+            val specSql = spec.map { case (k, v) => s"`$k`='$v'" }
+              .mkString(", ")
+            spark.sql(s"ALTER TABLE ${quoteName(table)} " +
+              s"DROP IF EXISTS PARTITION ($specSql)")
+        }
+        // the physical listing is gone; any later DESC/SHOW stats
+        // rendering would be stale — refuse rather than guess
+        dx(table).unknown = true
+      }
+    }
+    eximBindings --= hit
+  }
+
+  private def canonKeyMatches(key: String,
+      spec: Seq[(String, String)]): Boolean = {
+    val parts = key.split("/").toSet
+    spec.forall { case (k, v) => parts.contains(s"${k.toLowerCase}=$v") }
+  }
+
+  private def eximExport(tbl: String, specOpt: Option[String],
+      path: String): Unit = {
+    val out = new java.io.File(path)
+    if (out.exists() && Option(out.list()).exists(_.nonEmpty))
+      throw new IllegalArgumentException(
+        s"Target is not an empty directory : $path")
+    val spec = specOpt.map(parsePartitionSpec).getOrElse(Nil)
+    val df0 = spark.table(quoteName(tbl))
+    val df = spec.foldLeft(df0) { case (d, (k, v)) =>
+      d.filter(col(s"`$k`").cast("string") === v) }
+    val dataPath = s"$path/data_pq"
+    df.write.parquet(dataPath)
+    val cat = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(tbl))
+    val meta = tableMeta.getOrElse(shortName(tbl), TableMeta("", Nil))
+    val d = dx(tbl)
+    def slice[V](m: Map[String, V]): Map[String, V] =
+      if (spec.isEmpty) m else m.filter(e => canonKeyMatches(e._1, spec))
+    eximRegistry(path.stripSuffix("/")) = EximSnapshot(
+      name = shortName(tbl),
+      schema = cat.schema,
+      partCols = meta.partCols,
+      tableComment = cat.comment,
+      meta = meta,
+      storage = d.storage,
+      numBuckets = d.numBuckets,
+      sortCols = d.sortCols,
+      serdeParams = d.serdeParams,
+      external = externalTables.contains(shortName(tbl)),
+      dataPath = dataPath,
+      files = slice(d.files),
+      loadedBytes = slice(d.loadedBytes),
+      fileSizes = slice(d.fileSizes),
+      published = slice(d.published.map(s => s -> s).toMap).keySet)
+    java.nio.file.Files.write(new java.io.File(out, "_metadata").toPath,
+      java.util.Arrays.asList(shortName(tbl)))
+    ()
+  }
+
+  private def eximImport(ext: Boolean, tblOpt: Option[String],
+      specOpt: Option[String], from: String,
+      locOpt: Option[String]): Unit = {
+    val snap = eximRegistry.getOrElse(from.stripSuffix("/"),
+      throw new IllegalArgumentException(
+        s"IMPORT: no export metadata found at $from"))
+    val name = tblOpt.getOrElse(snap.name)
+    val spec = specOpt.map(parsePartitionSpec)
+    val canonLoc = locOpt.map(canonEximPath)
+    // partition-spec validation against the EXPORTED metadata (ref
+    // ImportSemanticAnalyzer: spec must name every partition column and
+    // exist among the exported partitions)
+    spec.foreach { s =>
+      if (snap.partCols.isEmpty)
+        throw new IllegalArgumentException(
+          s"IMPORT: PARTITION specification on an unpartitioned export")
+      if (s.map(_._1.toLowerCase).toSet !=
+          snap.partCols.map(_.toLowerCase).toSet)
+        throw new IllegalArgumentException(
+          "IMPORT: partition spec does not name every partition column " +
+            s"of the exported table (${snap.partCols.mkString(", ")})")
+      if (!snap.files.keys.exists(canonKeyMatches(_, s)))
+        throw new IllegalArgumentException(
+          "IMPORT: specified partition not found in the import directory")
+    }
+    val exists =
+      try spark.catalog.tableExists(quoteName(name))
+      catch { case _: Exception => false }
+    val importedKeys =
+      spec.map(s => snap.files.keySet.filter(canonKeyMatches(_, s)))
+        .getOrElse(snap.files.keySet)
+    if (exists) checkImportCompat(ext, name, spec, canonLoc, snap,
+      importedKeys)
+    else {
+      val dataCols = snap.schema.fields.filterNot(f =>
+        snap.partCols.exists(_.equalsIgnoreCase(f.name)))
+      def esc(s: String) = s.replace("'", "\\'")
+      // NO backticks: the runner's DDL clause parsers (PartitionedByRe
+      // → tableMeta.partCols) store names verbatim, and a backticked
+      // name would never match the catalog schema's plain field names
+      def colDdl(f: org.apache.spark.sql.types.StructField) =
+        s"${f.name} ${f.dataType.sql}" +
+          f.getComment().map(c => s" COMMENT '${esc(c)}'").getOrElse("")
+      val partDefs = snap.partCols.flatMap(p =>
+        snap.schema.fields.find(_.name.equalsIgnoreCase(p))).map(colDdl)
+      val ddl = s"CREATE ${if (ext) "EXTERNAL " else ""}TABLE " +
+        s"$name (${dataCols.map(colDdl).mkString(", ")})" +
+        snap.tableComment.map(c => s" COMMENT '${esc(c)}'").getOrElse("") +
+        (if (partDefs.nonEmpty)
+          s" PARTITIONED BY (${partDefs.mkString(", ")})" else "") +
+        s" STORED AS ${snap.meta.format.toUpperCase}"
+      execute(ddl)
+      // serde details carry over verbatim from the exported descriptor —
+      // re-deriving them from the synthesized DDL would invent params
+      // the original table never declared (exim_hidden_files pins a
+      // serde-properties block with serialization.format only)
+      tableMeta(shortName(name)) = snap.meta
+      dx(name).storage = snap.storage
+      dx(name).serdeParams = snap.serdeParams
+    }
+    // rows: replay the exported snapshot (filtered to the spec)
+    if (new java.io.File(snap.dataPath).exists()) {
+      val raw = spark.read.parquet(snap.dataPath)
+      val filtered = spec.getOrElse(Nil).foldLeft(raw) {
+        case (d, (k, v)) => d.filter(col(s"`$k`").cast("string") === v) }
+      val target = spark.table(quoteName(name))
+      filtered.select(target.columns
+        .map(c => col(s"`$c`")).toIndexedSeq: _*)
+        .write.insertInto(quoteName(name))
+    }
+    // ledger: the import moved the exported files in
+    val d2 = dx(name)
+    importedKeys.foreach { k =>
+      d2.files = d2.files + (k -> (d2.files.getOrElse(k, 0) +
+        snap.files.getOrElse(k, 0)))
+      d2.loadedBytes = d2.loadedBytes + (k ->
+        (d2.loadedBytes.getOrElse(k, 0L) + snap.loadedBytes.getOrElse(k, 0L)))
+      d2.fileSizes = d2.fileSizes + (k ->
+        (d2.fileSizes.getOrElse(k, Nil) ++ snap.fileSizes.getOrElse(k, Nil)))
+      d2.published = d2.published + k
+      d2.accurate = d2.accurate + (k -> false)
+      if (k.nonEmpty)
+        d2.partFormat = d2.partFormat + (k -> snap.meta.format)
+    }
+    if (ext) externalTables += shortName(name)
+    // placement bindings: external-without-location keeps the data AT
+    // the export dir; an explicit LOCATION places the table/partition
+    // there (managed or external) — either way a later rm empties it
+    val bindPath = canonLoc.orElse(if (ext) Some(from.stripSuffix("/")) else None)
+    bindPath.foreach { p =>
+      eximBindings += ((p, name, spec))
+      if (spec.isEmpty) eximTableLoc(dxKey(name)) = p
+    }
+  }
+
+  /** ImportSemanticAnalyzer.checkTable: importing over an existing table
+    * requires full metadata compatibility and no data collision. */
+  private def checkImportCompat(ext: Boolean, name: String,
+      spec: Option[Seq[(String, String)]], canonLoc: Option[String],
+      snap: EximSnapshot, importedKeys: Set[String]): Unit = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"IMPORT: $msg")
+    val meta = tableMeta.getOrElse(shortName(name), TableMeta("", Nil))
+    if (meta.storedBy)
+      fail("a non-native table cannot be the target of IMPORT")
+    if (ext && !externalTables.contains(shortName(name)))
+      fail("external table cannot overwrite existing managed table")
+    if (spec.isEmpty && canonLoc.isDefined &&
+        !eximTableLoc.get(dxKey(name)).contains(canonLoc.get))
+      fail("specified location does not match the existing table's location")
+    if (snap.partCols.nonEmpty != meta.partCols.nonEmpty)
+      fail("partitioning spec of the export does not match the existing table")
+    if (snap.partCols.map(_.toLowerCase) != meta.partCols.map(_.toLowerCase))
+      fail("partition columns do not match")
+    val existing = spark.table(quoteName(name)).schema
+    def dataSig(s: org.apache.spark.sql.types.StructType,
+        parts: Seq[String]) =
+      s.fields.filterNot(f => parts.exists(_.equalsIgnoreCase(f.name)))
+        .map(f => (f.name.toLowerCase, f.dataType)).toSeq
+    if (dataSig(existing, meta.partCols) !=
+        dataSig(snap.schema, snap.partCols))
+      fail("column schema does not match the existing table")
+    if (meta.format != snap.meta.format)
+      fail("table storage format does not match the existing table")
+    if (meta.delim != snap.meta.delim)
+      fail("table serde properties do not match the existing table")
+    val d = dx(name)
+    if (d.storage != snap.storage)
+      fail("table inputformat/outputformat/serde do not match")
+    if (d.serdeParams != snap.serdeParams)
+      fail("table serde properties do not match the existing table")
+    if (meta.clusterCols.map(_.toLowerCase) !=
+        snap.meta.clusterCols.map(_.toLowerCase) ||
+        d.numBuckets != snap.numBuckets)
+      fail("table bucketing spec does not match the existing table")
+    if (d.sortCols != snap.sortCols)
+      fail("table sorting spec does not match the existing table")
+    if (meta.partCols.isEmpty) {
+      if (spark.table(quoteName(name)).limit(1).count() > 0)
+        fail("table exists and contains data files")
+    } else {
+      val overlap = importedKeys.intersect(d.files.keySet)
+      if (overlap.nonEmpty)
+        fail(s"partition already exists: ${overlap.mkString(", ")}")
+    }
+  }
+
+  /** SHOW TABLE EXTENDED LIKE t [PARTITION (spec)] — ref ql/exec/DDLTask
+    * showTableStatus + MetaDataFormatUtils: declared storage classes,
+    * thrift-rendered column struct, and the physical file census (from
+    * the shadow ledger — the parquet realization's file layout is not
+    * Hive's). Unmasked golden lines only; location/owner/times are
+    * masked in every golden. */
+  private def thriftType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case IntegerType => "i32"
+      case LongType => "i64"
+      case ShortType => "i16"
+      case ByteType => "byte"
+      case BooleanType => "bool"
+      case FloatType => "float"
+      case DoubleType => "double"
+      case StringType => "string"
+      case BinaryType => "binary"
+      case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+      case other => other.sql.toLowerCase
+    }
+  }
+
+  /** Scripts whose SHOW TABLE EXTENDED blocks stay Ignored (the
+    * pre-renderer behavior): their goldens pin RCFile fixture byte
+    * sizes from the reference harness's file vintage, which differ
+    * from the checked-in data files (alter_merge golden maxFileSize
+    * 239 vs smbbucket_1.rc's actual 222 bytes) — same disease as
+    * DescFormattedDeny. */
+  private val ShowTableExtDeny: Set[String] =
+    Set("alter_merge", "alter_merge_stats", "authorization_load")
+
+  private def showTableExtendedDf(tbl: String,
+      specOpt: Option[String]): Option[DataFrame] = {
+    import spark.implicits._
+    val exists =
+      try spark.catalog.tableExists(quoteName(tbl))
+      catch { case _: Exception => false }
+    if (!exists) return None
+    val d = dx(tbl)
+    if (d.unknown) return None
+    if (ShowTableExtDeny.contains(eximScope)) return None
+    // render the file census only when EVERY counted file has a known
+    // size (LOAD/IMPORT moves record sizes; INSERT/merge-written files
+    // are parquet realizations whose byte size is not Hive's) — other
+    // tables keep the pre-renderer Ignored behavior (alter_merge,
+    // load_overwrite and friends pin sizes the ledger cannot know)
+    val sizesComplete = d.files.forall { case (lvl, n) =>
+      d.fileSizes.getOrElse(lvl, Nil).length == n }
+    if (!sizesComplete) return None
+    val meta = tableMeta.getOrElse(shortName(tbl), TableMeta("", Nil))
+    val (_, in, out) = d.storage.getOrElse(
+      FormatClasses.getOrElse(meta.format, FormatClasses("textfile")))
+    val schema = spark.table(quoteName(tbl)).schema
+    val dataCols = schema.fields.filterNot(f =>
+      meta.partCols.exists(_.equalsIgnoreCase(f.name)))
+    val partColsF = meta.partCols.flatMap(p =>
+      schema.fields.find(_.name.equalsIgnoreCase(p)))
+    def structOf(kind: String,
+        fs: Seq[org.apache.spark.sql.types.StructField]) =
+      s"struct $kind { " +
+        fs.map(f => s"${thriftType(f.dataType)} ${f.name}").mkString(", ") +
+        "}"
+    val spec = specOpt.map(parsePartitionSpec)
+    val sizes: Seq[Long] = spec match {
+      case Some(s) =>
+        val key = canonSpec(s.map { case (k, v) => (k, v) })
+        d.fileSizes.getOrElse(key,
+          d.fileSizes.filter(e => canonKeyMatches(e._1, s)).values.flatten.toSeq)
+      case None => d.fileSizes.values.flatten.toSeq
+    }
+    // a partitioned table with NO partitions has no data dirs to
+    // census — Hive omits the file-stats block entirely
+    // (exim_02_00_part_empty golden: 7 lines, no totalNumberFiles)
+    val noPartitions = meta.partCols.nonEmpty && spec.isEmpty &&
+      !d.files.keys.exists(_.nonEmpty)
+    val statRows =
+      if (noPartitions) Nil
+      else Seq(
+        s"totalNumberFiles:${sizes.length}",
+        s"totalFileSize:${sizes.sum}",
+        s"maxFileSize:${if (sizes.isEmpty) 0 else sizes.max}",
+        s"minFileSize:${if (sizes.isEmpty) 0 else sizes.min}")
+    val rows = Seq(
+      s"tableName:${shortName(tbl)}",
+      s"inputformat:$in",
+      s"outputformat:$out",
+      "columns:" + structOf("columns", dataCols.toIndexedSeq),
+      s"partitioned:${meta.partCols.nonEmpty}",
+      "partitionColumns:" + (if (meta.partCols.isEmpty) ""
+        else structOf("partition_columns", partColsF))) ++
+      statRows ++ Seq("")
+    Some(rows.toDF("tab_name"))
+  }
+
   // Hive 1.2 interprets CAST(<integral> AS TIMESTAMP) as MILLISECONDS
   // since epoch (ref serde TimestampWritable.longToTimestamp with
   // intToTimestampInSeconds=false via PrimitiveObjectInspectorUtils
@@ -2575,8 +3031,21 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       rewriteTypedCompares(rewriteTransformTabArg(rewriteMaskChar(
       rewriteHashChars(rewriteIntTimestampCast(
         rewriteEximPaths(rewriteComputeStats(substituteVars(stmt0m)))))))))
+    // session-context virtualization: the reference harness runs as
+    // hive_test_user in db `default`; the runner's session user is the
+    // OS user and `default` is a per-script sandbox. current_user()/
+    // current_database() must surface the VIRTUAL identities
+    // (udf_current_user / udf_current_database goldens).
+    val stmt0u = {
+      val a = """(?i)\bcurrent_user\s*\(\s*\)""".r.replaceAllIn(stmt0,
+        java.util.regex.Matcher.quoteReplacement(s"'${auth.currentUser}'"))
+      """(?i)\bcurrent_database\s*\(\s*\)""".r.replaceAllIn(a,
+        java.util.regex.Matcher.quoteReplacement(
+          s"(CASE WHEN current_database() = '$sandboxDb' THEN 'default' " +
+            "ELSE current_database() END)"))
+    }
     val stmt1 = if ("""(?is).*\bTABLESAMPLE\s*\(\s*BUCKET\b.*""".r
-        .matches(stmt0)) rewriteTablesample(stmt0) else stmt0
+        .matches(stmt0u)) rewriteTablesample(stmt0u) else stmt0u
     val stmt2 = if ("""(?is).*\bnoop\w*\s*\(\s*on\b.*""".r.matches(stmt1))
       rewriteNoopPtf(stmt1) else stmt1
     hiveDoubleLiterals(stmt2)
@@ -2805,21 +3274,27 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       case "INSERT" =>
         val overwrite =
           """(?is)\A\s*INSERT\s+OVERWRITE\b.*""".r.matches(stmt)
-        """(?is)\AINSERT\s+(?:OVERWRITE|INTO)\s+(?:TABLE\s+)?`?([\w.]+)`?.*""".r
-          .findFirstMatchIn(stmt.trim).foreach { m =>
-            val t = m.group(1)
-            // v1's write privilege is UPDATE (there is no INSERT priv
-            // in the legacy model — authorization_2/6 insert holding
-            // Update); SQL-std has INSERT, and OVERWRITE adds DELETE
-            if (auth.v1) need(t, "update", "INSERT")
-            else {
-              need(t, "insert", "INSERT")
-              if (overwrite) need(t, "delete", "INSERT")
-            }
+        val target =
+          """(?is)\AINSERT\s+(?:OVERWRITE|INTO)\s+(?:TABLE\s+)?`?([\w.]+)`?.*""".r
+            .findFirstMatchIn(stmt.trim).map(_.group(1))
+        target.foreach { t =>
+          // v1's write privilege is UPDATE (there is no INSERT priv
+          // in the legacy model — authorization_2/6 insert holding
+          // Update); SQL-std has INSERT, and OVERWRITE adds DELETE
+          if (auth.v1) need(t, "update", "INSERT")
+          else {
+            need(t, "insert", "INSERT")
+            if (overwrite) need(t, "delete", "INSERT")
           }
-        // the SELECT side's inputs need read access too
-        inputTables(stmt).filterNot(t =>
-          stmt.trim.toUpperCase.indexOf(t.toUpperCase) < 40)
+        }
+        // the SELECT side's inputs need read access too; exclude
+        // only the parsed insert target by name (ADVICE r12 — the
+        // old positional indexOf<40 heuristic exempted real sources
+        // in short statements)
+        def lastPart(n: String) = n.split('.').last.toLowerCase
+        val targetName = target.map(lastPart)
+        inputTables(stmt)
+          .filterNot(t => targetName.contains(lastPart(t)))
           .foreach(t => need(t, "select", "QUERY"))
       case "DROP"
           if """(?is)\A\s*DROP\s+(TABLE|VIEW)\b.*""".r.matches(stmt) =>
@@ -2872,6 +3347,27 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
         asAt.foreach { m =>
           inputTables(stmt.substring(m.start + 2))
             .foreach(t => need(t, "select", "CREATETABLE_AS_SELECT"))
+        }
+      case "IMPORT" if auth.v1 =>
+        // v1 (ref Hive.g IMPORT + DefaultHiveAuthorizationProvider):
+        // importing into an existing table is a write — UPDATE privilege
+        // (exim_22/23_import_exist_auth*); creating the target needs the
+        // database-level CREATE grant (exim_24/25_import_nonexist_auth*)
+        EximImportStmtRe.findFirstMatchIn(stmt).foreach { m =>
+          val tgt = Option(m.group(2)).orElse(
+            eximRegistry.get(m.group(4).stripSuffix("/")).map(_.name))
+          tgt.foreach { t =>
+            val exists =
+              try spark.catalog.tableExists(quoteName(t))
+              catch { case _: Exception => false }
+            if (exists) need(t, "update", "IMPORT")
+            else {
+              val db = authDisplayDb
+              if (!auth.hasPriv(user, authGroups, db, "", None, Nil,
+                  "create"))
+                auth.denied("IMPORT", "CREATE", s"database $db")
+            }
+          }
         }
       case "IMPORT" if auth.sqlStd =>
         // IMPORT creates in the current database — requires its
@@ -3162,6 +3658,7 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
           (head == "DELETE" &&
             """(?is)\A\s*DELETE\s+(JAR|JARS|FILE|FILES|ARCHIVE)\b.*""".r
               .matches(body)) =>
+        if (head == "DFS") handleDfs(body)
         if (head == "ADD")
           """(?is)\A\s*ADD\s+JARS?\s+(\S+).*""".r.findFirstMatchIn(body)
             .foreach(m => { addedJars += m.group(1).toLowerCase; () })
@@ -3215,6 +3712,12 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
         (MetaQuery, Some(showPartitionsDf(tbl, Option(filterSpec))))
       case ShowTablesRe(db, pat) =>
         (MetaQuery, Some(showTablesDf(Option(db), Option(pat))))
+      case DescFunctionBacktickRe(_, fn) =>
+        // Hive 1.2 looks a backticked function name up VERBATIM,
+        // backticks included, and finds nothing (udf_index golden:
+        // "Function '`index`' does not exist.")
+        (MetaQuery, Some(linesDf(
+          Seq(s"Function '`$fn`' does not exist."), "tab_name")))
       case DescFunctionRe(ext, fn) if describableFunction(fn) =>
         (MetaQuery, Some(describeFunctionDf(fn, ext != null)))
       case DescFormattedRe(tbl, partSpec)
@@ -3225,8 +3728,20 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
             name, Option(colOpt), Option(partSpec)) =>
         (MetaQuery, Some(descColDf(name, Option(colOpt),
           kind.equalsIgnoreCase("FORMATTED"), Option(partSpec))))
+      case ShowTableExtRe(tbl, specOpt) if
+          showTableExtendedDf(tbl, Option(specOpt)).isDefined =>
+        (MetaQuery, showTableExtendedDf(tbl, Option(specOpt)))
       case _ if head == "EXPLAIN" || head == "DESCRIBE" || head == "DESC" ||
           head == "SHOW" => (Ignored, None)
+      case EximExportRe(tbl, specOpt, path)
+          if path.startsWith(scratchDir + "/") =>
+        eximExport(tbl, Option(specOpt), path)
+        (Effect, None)
+      case EximImportStmtRe(ext, tblOpt, specOpt, from, locOpt)
+          if from.startsWith(scratchDir + "/") =>
+        eximImport(ext != null, Option(tblOpt), Option(specOpt), from,
+          Option(locOpt))
+        (Effect, None)
       case AlterClusteredRe(table, spec) =>
         // bucketing is metadata here: tables are parquet-backed and
         // bucket reads go through the TABLESAMPLE hash-filter rewrite
@@ -3302,11 +3817,13 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
         val table = fm.group(1); val partSpec = fm.group(2)
         // SET FILEFORMAT INPUTFORMAT 'x' OUTPUTFORMAT 'y' SERDE 'z':
         // record the classes verbatim for DESC FORMATTED
-        val inC = """(?is)INPUTFORMAT\s+'([^']+)'""".r
+        // class names may be single- OR double-quoted (exim_04_evolved
+        // uses "..."; alter_file_format.q uses '...')
+        val inC = """(?is)INPUTFORMAT\s+["']([^"']+)["']""".r
           .findFirstMatchIn(body).map(_.group(1))
-        val outC = """(?is)OUTPUTFORMAT\s+'([^']+)'""".r
+        val outC = """(?is)OUTPUTFORMAT\s+["']([^"']+)["']""".r
           .findFirstMatchIn(body).map(_.group(1))
-        val seC = """(?is)SERDE\s+'([^']+)'""".r
+        val seC = """(?is)SERDE\s+["']([^"']+)["']""".r
           .findFirstMatchIn(body).map(_.group(1))
         val dEx = dx(table)
         val (fs0, fi0, fo0) = FormatClasses(tableMeta
@@ -3666,9 +4183,15 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
         (Effect, None)
       case CreateTableRe(name, rest)
           if !("""(?is)\s*CREATE\s+EXTERNAL\b.*""".r.matches(body) &&
-            """(?is).*\bLOCATION\s+'.*""".r.matches(body)) =>
-        // EXTERNAL + LOCATION points at pre-existing data — leave that
-        // to the engine; EXTERNAL without LOCATION realizes like managed
+            """(?is).*\bLOCATION\s+'.*""".r.matches(body)) ||
+            """(?is)\bLOCATION\s+'([^']+)'""".r.findAllMatchIn(body)
+              .map(_.group(1)).forall(l => inEximScope(canonEximPath(l))) =>
+        // EXTERNAL + LOCATION normally points at pre-existing data and is
+        // left to the engine — EXCEPT an exim-scoped LOCATION (the
+        // script's own scratch namespace, exim_15/16): realize like
+        // managed and bind the rows to the placement so a later
+        // dfs -rmr empties them; EXTERNAL without LOCATION realizes
+        // like managed
         if ("""(?is)\s*CREATE\s+EXTERNAL\b.*""".r.matches(body)) {
           // an external table cannot be transactional (metastore
           // TransactionalValidationListener;
@@ -3684,6 +4207,12 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
         val (colBody, tail) = splitAtMatchingParen(rest)
         createTable(name, colBody, tail,
           ifNotExists = """(?is)\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+IF\s+NOT\s+EXISTS\b.*""".r.matches(body))
+        """(?is)\bLOCATION\s+'([^']+)'""".r.findFirstMatchIn(tail)
+          .map(m => canonEximPath(m.group(1)))
+          .filter(inEximScope).foreach { loc =>
+            eximBindings += ((loc, name, None))
+            eximTableLoc(dxKey(name)) = loc
+          }
         (Effect, None)
       case DropTableRe(name) =>
         spark.sql(s"DROP TABLE IF EXISTS ${quoteName(name)}")
@@ -3736,6 +4265,15 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       case DropViewRe(name) =>
         spark.catalog.dropTempView(name)
         viewSql.remove(name.toLowerCase)
+        (Effect, None)
+      case _ if """(?is)\A\s*ALTER\s+TABLE\s+[`\w.]+\s+ADD\s+(?:IF\s+NOT\s+EXISTS\s+)?PARTITION\b.*\bLOCATION\s+'[^']+'.*""".r.matches(body) &&
+          """(?is)\bLOCATION\s+'([^']+)'""".r.findAllMatchIn(body)
+            .map(_.group(1)).forall(l => inEximScope(canonEximPath(l))) =>
+        // exim-scoped partition placements: the engine partition is
+        // registered WITHOUT the literal location (the runner's parquet
+        // layout owns the files); the ledger hook records the binding
+        frontDoorSql("""(?is)\s*LOCATION\s+'[^']+'""".r
+          .replaceAllIn(stmt, ""))
         (Effect, None)
       case _ if head == "SELECT" || head == "WITH" || head == "VALUES" ||
           (head == "FROM" && !"""(?is).*\bINSERT\b.*""".r.matches(body)) =>
@@ -3845,7 +4383,27 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       """(?:IF\s+NOT\s+EXISTS\s+)?(PARTITION\b.*)""").r
     AddPartRe.findFirstMatchIn(body).foreach { m =>
       val d = dx(m.group(1))
-      if ("""(?is)LOCATION\s+'""".r.findFirstIn(m.group(2)).isDefined)
+      val locs = """(?is)LOCATION\s+'([^']+)'""".r
+        .findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
+      if (locs.nonEmpty && locs.forall(l => inEximScope(canonEximPath(l)))) {
+        // an exim-scoped LOCATION is the script's own scratch namespace:
+        // register the (empty) partition normally and bind its rows to
+        // the placement so a later dfs -rmr empties it (exim_17)
+        """(?is)PARTITION\s*\(([^)]*)\)\s*LOCATION\s+'([^']+)'""".r
+          .findAllMatchIn(m.group(2)).foreach { p =>
+            val specSeq = parsePartitionSpec(p.group(1))
+            val s = canonSpec(specSeq)
+            if (!d.files.contains(s))
+              d.partProps = d.partProps + (s -> inheritedPartProps(d))
+            d.files = d.files + (s -> 0)
+            d.accurate = d.accurate + (s -> true)
+            if (statsAutogather) d.published = d.published + s
+            d.partFormat = d.partFormat + (s -> tableMeta
+              .get(shortName(m.group(1))).map(_.format).getOrElse("textfile"))
+            eximBindings += ((canonEximPath(p.group(2)), m.group(1),
+              Some(specSeq)))
+          }
+      } else if (locs.nonEmpty)
         d.unknown = true // external data at an arbitrary path
       else
         """(?is)PARTITION\s*\(([^)]*)\)""".r.findAllMatchIn(m.group(2))
@@ -3992,8 +4550,11 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       d.colStats = d.colStats - o - n2
     }
     // anything else that writes a table the ledger tracks: MERGE/UPDATE/
-    // DELETE/IMPORT reshape content invisibly — mark unknown
-    val DmlRe = """(?is)\A\s*(MERGE\s+INTO|UPDATE|DELETE\s+FROM|IMPORT\s+TABLE)\s+`?([\w.]+)`?\b.*""".r
+    // DELETE reshape content invisibly — mark unknown. IMPORT is no
+    // longer here: eximImport does precise ledger replay itself, and an
+    // import the exim model does NOT handle throws before reaching the
+    // ledger.
+    val DmlRe = """(?is)\A\s*(MERGE\s+INTO|UPDATE|DELETE\s+FROM)\s+`?([\w.]+)`?\b.*""".r
     DmlRe.findFirstMatchIn(body).foreach { m =>
       val t = m.group(2)
       if (descExtra.contains(dxKey(t))) dx(t).unknown = true
@@ -4536,6 +5097,9 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     avroLiteralDocs.clear()
     externalTables.clear()
     acidDeclTables.clear()
+    eximRegistry.clear()
+    eximBindings.clear()
+    eximTableLoc.clear()
     descExtra.clear()
     fixtureStatsCache.clear()
     emptyEchoAligns = 0
@@ -4627,8 +5191,12 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
                 // hive.exec.script.allow.partial.consumption) races
                 // Spark's writer-thread error propagation — the same
                 // plan passes or fails by scheduling; retry the collect
+                // a value containing a literal newline prints as multiple
+                // LINES in the reference CLI, and parseGolden reads lines
+                // — split the same way (udf_printf's "...\n" format)
                 def collectRows(attempt: Int): Array[String] =
                   try df.collect().map(r => Qtest.formatRow(r, schema))
+                    .flatMap(_.split("\n", -1))
                   catch {
                     case e: Exception if attempt < 3 &&
                         isScriptPipeRace(e) &&
@@ -4776,6 +5344,9 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     avroLiteralDocs.clear()
     externalTables.clear()
     acidDeclTables.clear()
+    eximRegistry.clear()
+    eximBindings.clear()
+    eximTableLoc.clear()
     eximScope = "neg_" + script.stripSuffix(".q").replaceAll("[^A-Za-z0-9_]", "_")
     val text = readFile(
       s"$refRoot/ql/src/test/queries/clientnegative/$script")
@@ -4786,6 +5357,24 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     spark.sql(s"CREATE DATABASE $db")
     spark.catalog.setCurrentDatabase(db)
     sandboxDb = db
+    // same clean-catalog sweep as run(): a REJECTED script never reaches
+    // its own `drop database` cleanup, so the next script's `create
+    // database importer` would fail on the leftover — a harness
+    // artifact masking the rejection reason the script actually pins
+    stmts.flatMap(st =>
+      """(?is)\s*CREATE\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?.*""".r
+        .findFirstMatchIn(st).map(_.group(1))).distinct
+      .filterNot(d => d.equalsIgnoreCase("default") || d.equalsIgnoreCase(db))
+      .foreach { d =>
+        spark.sql(s"DROP DATABASE IF EXISTS `$d` CASCADE")
+        // a previously-rejected script can leave the db DIRECTORY with
+        // no catalog entry; a managed CREATE then fails with
+        // LOCATION_ALREADY_EXISTS instead of the pinned reason
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")
+        val dir = new java.io.File(s"$wh/$d.db")
+        if (dir.isDirectory) rmTree(dir)
+      }
     try {
       var i = 0
       while (i < stmts.length) {

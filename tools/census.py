@@ -88,6 +88,23 @@ for doc in ("README.md", "COVERAGE.md", "SURVEY.md"):
           "negative list")
     check(doc, r"(\d+)-script clientnegative gate", len(negative),
           "negative list")
+# VERDICT r12 #3 (third recurrence of intro-count drift): the COVERAGE
+# intro's "N of M hash-checked" and "N test registrations" phrases are
+# now asserted against the source-derived counts above, plus a static
+# count of line-start test( registrations in the spec files.
+test_regs = 0
+for path in glob.glob(os.path.join(
+        REPO, "src", "test", "scala", "graft", "*.scala")):
+    for line in open(path, encoding="utf-8"):
+        if re.match(r"\s*test\(", line):
+            test_regs += 1
+for doc in ("README.md", "COVERAGE.md", "SURVEY.md"):
+    check(doc, r"\((\d+) of \d+ hash-checked", len(oracled), "oracle-checked")
+    check(doc, r"\(\d+ of (\d+) hash-checked", len(names), "query total")
+    check(doc, r"\((\d+) test registrations\)", test_regs,
+          "test registration count")
+print(f"test registrations: {test_regs}")
+
 for d in drift:
     print("DRIFT:", d)
 
