@@ -2654,6 +2654,51 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     }
   }
 
+  // -- DESC DATABASE / database shadow metadata --------------------------
+  private val CreateDatabaseRe =
+    """(?is)\s*CREATE\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?(\s.*)?""".r
+  private val AlterDbPropsRe =
+    """(?is)\s*ALTER\s+(?:DATABASE|SCHEMA)\s+`?(\w+)`?\s+SET\s+DBPROPERTIES\s*\(([^)]*)\)\s*""".r
+  private val AlterDbOwnerRe =
+    """(?is)\s*ALTER\s+(?:DATABASE|SCHEMA)\s+`?(\w+)`?\s+SET\s+OWNER\s+(USER|ROLE)\s+`?(\w+)`?\s*""".r
+  private val DescDatabaseRe =
+    """(?is)\s*DESC(?:RIBE)?\s+(?:DATABASE|SCHEMA)\s+(EXTENDED\s+)?`?(\w+)`?\s*""".r
+  private val dbMeta =
+    scala.collection.mutable.Map.empty[String, (Option[String], Map[String, String])]
+  private val dbOwnerTypes =
+    scala.collection.mutable.Map.empty[String, String]
+
+  private def parseDbProps(tail: String): Map[String, String] =
+    """(?is)\bDBPROPERTIES\s*\(([^)]*)\)""".r
+      .findFirstMatchIn(Option(tail).getOrElse("")).map { m =>
+        """'((?:\\.|[^'])*)'\s*=\s*'((?:\\.|[^'])*)'""".r
+          .findAllMatchIn(m.group(1))
+          .map(p => p.group(1) -> p.group(2)).toMap
+      }.getOrElse(Map.empty)
+
+  /** DESCRIBE DATABASE [EXTENDED] — ref ql/exec/DDLTask.descDatabase:
+    * one tab-separated line (name, comment, location, owner, owner
+    * type, extended-properties). The reference harness masks the
+    * location to the literal `location/in/test`, and masks the WHOLE
+    * line when any property value carries a path/URL — the renderer
+    * applies the same elision so masked goldens stay empty. */
+  private def descDatabaseDf(name: String, extended: Boolean): DataFrame = {
+    val key = name.toLowerCase
+    val (comment, props) = dbMeta.getOrElse(key, (None, Map.empty[String, String]))
+    val owner = auth.dbOwners.getOrElse(key, "hive_test_user")
+    val otype = dbOwnerTypes.getOrElse(key, "USER")
+    val propsStr =
+      if (extended && props.nonEmpty)
+        props.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }.mkString("{", ", ", "}")
+      else ""
+    val masked = props.values.exists(v => v.contains("/") || v.contains("://"))
+    // Hive lowercases database names in metastore metadata
+    val line = s"${name.toLowerCase}\t${comment.getOrElse("")}\t" +
+      s"location/in/test\t$owner\t$otype\t$propsStr"
+    linesDf(if (extended && masked) Nil else Seq(line), "db_name")
+  }
+
   /** Scripts whose SHOW TABLE EXTENDED blocks stay Ignored (the
     * pre-renderer behavior): their goldens pin RCFile fixture byte
     * sizes from the reference harness's file vintage, which differ
@@ -3731,6 +3776,30 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       case ShowTableExtRe(tbl, specOpt) if
           showTableExtendedDf(tbl, Option(specOpt)).isDefined =>
         (MetaQuery, showTableExtendedDf(tbl, Option(specOpt)))
+      case CreateDatabaseRe(name, tail) =>
+        // capture COMMENT/DBPROPERTIES for the DESC DATABASE renderer,
+        // then let the engine create the database as before
+        val comment = """(?is)\bCOMMENT\s+'((?:\\.|[^'])*)'""".r
+          .findFirstMatchIn(Option(tail).getOrElse("")).map(_.group(1))
+        dbMeta(name.toLowerCase) = (comment, parseDbProps(tail))
+        frontDoorSql(stmt)
+        (Effect, None)
+      case AlterDbPropsRe(name, propsBody) =>
+        val (c, old) = dbMeta.getOrElse(name.toLowerCase,
+          (Option.empty[String], Map.empty[String, String]))
+        dbMeta(name.toLowerCase) =
+          (c, old ++ parseDbProps(s"WITH DBPROPERTIES ($propsBody)"))
+        try frontDoorSql(stmt) catch { case _: Exception => () }
+        (Effect, None)
+      case AlterDbOwnerRe(name, ptype, principal) =>
+        // ref DDLSemanticAnalyzer alterDatabaseOwner — metadata-only;
+        // Spark has no SET OWNER statement, so the shadow model holds it
+        auth.dbOwners(name.toLowerCase) = principal
+        dbOwnerTypes(name.toLowerCase) = ptype.toUpperCase
+        (Effect, None)
+      case DescDatabaseRe(ext, name)
+          if spark.catalog.databaseExists(name) =>
+        (MetaQuery, Some(descDatabaseDf(name, ext != null)))
       case _ if head == "EXPLAIN" || head == "DESCRIBE" || head == "DESC" ||
           head == "SHOW" => (Ignored, None)
       case EximExportRe(tbl, specOpt, path)
@@ -5100,6 +5169,8 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     eximRegistry.clear()
     eximBindings.clear()
     eximTableLoc.clear()
+    dbMeta.clear()
+    dbOwnerTypes.clear()
     descExtra.clear()
     fixtureStatsCache.clear()
     emptyEchoAligns = 0
@@ -5347,6 +5418,8 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     eximRegistry.clear()
     eximBindings.clear()
     eximTableLoc.clear()
+    dbMeta.clear()
+    dbOwnerTypes.clear()
     eximScope = "neg_" + script.stripSuffix(".q").replaceAll("[^A-Za-z0-9_]", "_")
     val text = readFile(
       s"$refRoot/ql/src/test/queries/clientnegative/$script")
