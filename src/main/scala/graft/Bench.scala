@@ -116,9 +116,11 @@ object Bench {
         System.err.println(
           f"[bench] $name spread ${mx / mn}%.2fx (${mn}%.2f-${mx}%.2fs) — retry $attempt/$retries")
         val (m2, n2, x2) = series()
-        // keep the tighter series; on a tie in spread prefer the lower
-        // median (contention only ever inflates)
-        if (ok && (x2 / n2 < mx / mn || (x2 / n2 == mx / mn && m2 < med))) {
+        // ADVICE r13: contention only ever INFLATES times, so the lower
+        // median is the primary keep-criterion — a retry under uniform
+        // steady load (tight spread, uniformly slower) must not replace
+        // a faster earlier series. Spread only breaks median ties.
+        if (ok && (m2 < med || (m2 == med && x2 / n2 < mx / mn))) {
           med = m2; mn = n2; mx = x2
         }
       }

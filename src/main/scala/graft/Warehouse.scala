@@ -685,13 +685,28 @@ object Warehouse {
       throw new IllegalArgumentException(
         s"The partition already exists in table $destTable: " +
           destHit.head.spec.toString)
-    val destLoc = new java.io.File(destMeta.location.getPath)
-    srcParts.foreach { p =>
+    // ADVICE r13: (a) escape quotes in the generated spec SQL, (b) move
+    // files to the location the catalog REGISTERS (Spark URL-escapes
+    // special chars in partition paths — a hand-joined `k=v` dir would
+    // strand the files), (c) register all dest partitions before any
+    // file move so a mid-loop failure cannot leave files moved with no
+    // metadata trail.
+    def specSqlOf(p: org.apache.spark.sql.catalyst.catalog.CatalogTablePartition) = {
       val fullSpec = partCols.map(c => c -> p.spec(
         p.spec.keys.find(_.equalsIgnoreCase(c)).get))
-      val rel = fullSpec.map { case (k, v) => s"$k=$v" }.mkString("/")
+      fullSpec.map { case (k, v) =>
+        s"`$k`='${v.replace("\\", "\\\\").replace("'", "\\'")}'"
+      }.mkString(", ")
+    }
+    srcParts.foreach { p =>
+      spark.sql(s"ALTER TABLE $destTable ADD PARTITION (${specSqlOf(p)})")
+    }
+    srcParts.foreach { p =>
       val from = new java.io.File(p.location.getPath)
-      val to = new java.io.File(destLoc, rel)
+      val destPart = cat.getPartition(identOf(destTable),
+        partCols.map(c => c -> p.spec(
+          p.spec.keys.find(_.equalsIgnoreCase(c)).get)).toMap)
+      val to = new java.io.File(destPart.location.getPath)
       to.getParentFile.mkdirs()
       if (from.exists() && !from.renameTo(to)) {
         copyTree(from.toPath, to.toPath)
@@ -701,10 +716,7 @@ object Warehouse {
         }
         rm(from)
       }
-      val specSql = fullSpec
-        .map { case (k, v) => s"`$k`='$v'" }.mkString(", ")
-      spark.sql(s"ALTER TABLE $destTable ADD PARTITION ($specSql)")
-      spark.sql(s"ALTER TABLE $srcTable DROP PARTITION ($specSql)")
+      spark.sql(s"ALTER TABLE $srcTable DROP PARTITION (${specSqlOf(p)})")
     }
     spark.sql(s"REFRESH TABLE $destTable")
     spark.sql(s"REFRESH TABLE $srcTable")

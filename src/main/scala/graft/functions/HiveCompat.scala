@@ -360,7 +360,14 @@ object HiveCompat {
 
   private def hiveAes(decrypt: Boolean)(
       children: Seq[Expression]): Expression = {
-    val Seq(input, key) = children.take(2)
+    val name = if (decrypt) "aes_decrypt" else "aes_encrypt"
+    // ADVICE r13: explicit arity check (ref GenericUDFAesBase raises
+    // UDFArgumentLengthException) instead of an opaque MatchError /
+    // silently ignored extras
+    if (children.length != 2)
+      throw new IllegalArgumentException(
+        s"$name requires 2 arguments, got ${children.length}")
+    val Seq(input, key) = children
     val keyBin = Cast(key, BinaryType)
     val op: Expression =
       if (decrypt)

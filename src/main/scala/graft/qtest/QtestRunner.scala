@@ -2425,8 +2425,20 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       else None
     rel.map(r => s"$scratchDir/exim/$eximScope/$r").getOrElse(p)
   }
-  private def inEximScope(p: String): Boolean =
-    p.startsWith(s"$scratchDir/exim/")
+  /** Scope check for filesystem side effects driven by UNTRUSTED
+    * reference scripts (ADVICE r13, high): resolve `..`/`.` segments
+    * BEFORE comparing against the sandbox prefix, and reject any path
+    * that still escapes — a script statement like
+    * `dfs -rmr ../../../../x` must never act outside the exim scratch
+    * namespace. */
+  private def inEximScope(p: String): Boolean = {
+    if (p.contains("://")) return false
+    val norm =
+      try java.nio.file.Paths.get(p).normalize().toString
+      catch { case _: Exception => return false }
+    !norm.split('/').contains("..") &&
+      norm.startsWith(s"$scratchDir/exim/")
+  }
 
   private def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
@@ -3376,15 +3388,26 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
             if (overwrite) need(t, "delete", "INSERT")
           }
         }
-        // the SELECT side's inputs need read access too; exclude
-        // only the parsed insert target by name (ADVICE r12 — the
-        // old positional indexOf<40 heuristic exempted real sources
-        // in short statements)
-        def lastPart(n: String) = n.split('.').last.toLowerCase
-        val targetName = target.map(lastPart)
-        inputTables(stmt)
-          .filterNot(t => targetName.contains(lastPart(t)))
-          .foreach(t => need(t, "select", "QUERY"))
+        // the SELECT side's inputs need read access too. ADVICE r13:
+        // collect scan inputs from the QUERY CHILD of the insert plan
+        // (not the whole plan, whose root relation is the write target)
+        // so a self-read (`INSERT INTO t SELECT .. FROM t`) and a
+        // cross-db same-name source both still require SELECT — only
+        // the target-as-write-sink is exempt.
+        val scanInputs =
+          try {
+            val plan = spark.sessionState.sqlParser.parsePlan(stmt)
+            val queryChild = plan match {
+              case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement =>
+                i.query
+              case other => other
+            }
+            queryChild.collect {
+              case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+                r.multipartIdentifier.mkString(".")
+            }.distinct
+          } catch { case _: Exception => Nil }
+        scanInputs.foreach(t => need(t, "select", "QUERY"))
       case "DROP"
           if """(?is)\A\s*DROP\s+(TABLE|VIEW)\b.*""".r.matches(stmt) =>
         """(?is)\A\s*DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?`?([\w.]+)`?.*""".r
