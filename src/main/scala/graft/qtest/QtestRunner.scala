@@ -84,6 +84,47 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     }
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "variance", c => VariancePop(c.head), "built-in")
+    // Hive 1.2 legacy datetime family (functions/HiveLegacyDatetime
+    // .scala; ref GenericUDFNextDay/AddMonths/LastDay/MonthsBetween/
+    // Trunc/DateFormat/FromUtcTimestamp): lenient SimpleDateFormat-era
+    // string parsing, add_months last-day promotion, GMT fallback for
+    // unknown timezones. Session-local — the engine front door keeps
+    // Spark's modern builtins because the oracle suite pins them.
+    import graft.functions._
+    def need2(fn: String, c: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Unit =
+      if (c.size != 2) throw new IllegalArgumentException(
+        s"$fn requires 2 arguments, got ${c.size}")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "next_day", c => { need2("next_day", c); HiveNextDay(c(0), c(1)) },
+      "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "add_months", c => { need2("add_months", c); HiveAddMonths(c(0), c(1)) },
+      "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "last_day", c => {
+        if (c.size != 1) throw new IllegalArgumentException(
+          s"last_day requires 1 argument, got ${c.size}")
+        HiveLastDay(c.head)
+      }, "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "trunc", c => { need2("trunc", c); HiveTruncDate(c(0), c(1)) },
+      "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "months_between",
+      c => { need2("months_between", c); HiveMonthsBetween(c(0), c(1)) },
+      "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "date_format",
+      c => { need2("date_format", c); HiveDateFormat.build(c(0), c(1)) },
+      "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "from_utc_timestamp",
+      c => { need2("from_utc_timestamp", c)
+        HiveUtcShift(c(0), c(1), invert = false) }, "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "to_utc_timestamp",
+      c => { need2("to_utc_timestamp", c)
+        HiveUtcShift(c(0), c(1), invert = true) }, "built-in")
     s
   }
 
@@ -186,6 +227,10 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
         .map { case (ds, hr) => one.withColumn("ds", lit(ds)).withColumn("hr", lit(hr)) }
         .reduce(_ unionAll _)
     }),
+    // q_test_init.sql:59 — TBinaryProtocol Complex records in a
+    // SequenceFile (sources/ThriftSeq.scala)
+    "src_thrift" -> (() =>
+      graft.sources.ThriftSeq.readComplex(spark, dataFile("complex.seq"))),
     // q_test_init.sql:72 / :91
     "srcbucket" -> (() => textTable(
       Seq(dataFile("srcbucket0.txt"), dataFile("srcbucket1.txt")),
@@ -330,6 +375,12 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       }
 
   private def unescapeDelim(s: String): String = {
+    // LazyUtils.getByte (serde2/lazy/LazyUtils.java:439): a delimiter
+    // string that parses as a BYTE VALUE means that byte — '1' is
+    // Ctrl-A, '10' is newline (input_dynamicserde.q) — before any
+    // first-char fallback.
+    try return Integer.parseInt(s).toByte.toChar.toString
+    catch { case _: NumberFormatException => () }
     val oct = """\\([0-7]{1,3})""".r.replaceAllIn(
       s.replace("\\t", "\t").replace("\\u0001", "\u0001"),
       m => java.util.regex.Matcher.quoteReplacement(
@@ -379,7 +430,9 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     // .LINES_TERMINATED_BY_NON_NEWLINE; clientnegative/line_terminator.q)
     """(?is)\bLINES\s+TERMINATED\s+BY\s+'((?:\\.|[^'])*)'""".r
       .findFirstMatchIn(tail).foreach { m =>
-        if (m.group(1) != "\\n" && m.group(1) != "\n")
+        // '10' is the numeric spelling of '\n' (LazyUtils.getByte)
+        if (m.group(1) != "\\n" && m.group(1) != "\n" &&
+            unescapeDelim(m.group(1)) != "\n")
           throw new IllegalArgumentException(
             "LINES TERMINATED BY only supports newline '\\n' right now")
       }
@@ -674,7 +727,27 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     // Hive lowercases identifiers in metadata; Spark keeps DDL case
     def line(f: org.apache.spark.sql.types.StructField): String =
       s"${p20(f.name.toLowerCase)}\t${p20(typeOf(f))}\t${p20(commentOf(f))}"
-    val colLines = sch.fields.map(line).toSeq
+    // src_thrift fixture: ThriftDeserializer reports the FULL Complex
+    // schema including the uniontype-valued fields 7-10, which Spark's
+    // type system cannot carry — the realization projects them out
+    // (sources/ThriftSeq.scala) and DESCRIBE restores the
+    // deserializer-reported lines (types transcribed from
+    // serde/if/test/complex.thrift; join_thrift.q golden).
+    val isThriftFixture = short == "src_thrift" &&
+      (try spark.catalog.getTable(table).isTemporary
+      catch { case _: Exception => false })
+    val colLines =
+      if (isThriftFixture) {
+        val union = "uniontype<int,bigint,string,double,boolean," +
+          "array<string>,map<string,string>>"
+        (sch.fields.map(f => (f.name.toLowerCase, typeOf(f))) ++ Seq(
+          "attributes" -> s"map<string,map<string,map<string,$union>>>",
+          "unionfield1" -> union, "unionfield2" -> union,
+          "unionfield3" -> union))
+          .map { case (n, t) =>
+            s"${p20(n)}\t${p20(t)}\t${p20("from deserializer")}"
+          }.toSeq
+      } else sch.fields.map(line).toSeq
     val partLines =
       if (partCols.isEmpty) Nil
       else DescPartHeader ++ sch.fields
@@ -1168,6 +1241,11 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     ("""(?is)\s*DESC(?:RIBE)?\s+(FORMATTED|EXTENDED)\s+`?([\w.]+)`?""" +
       """(?:\s+`?(\w+)`?)?\s*(?:PARTITION\s*\(([^)]*)\))?\s*""").r
 
+  /** Plain column/xpath describe: `describe t.col`, `describe
+    * t.col.$elem$.member` … (describe_xpath.q). */
+  private val DescXpathRe =
+    """(?is)\s*DESC(?:RIBE)?\s+`?([\w.$]+)`?\s*""".r
+
   /** Can DESC FORMATTED on this table render byte-exact? */
   private def descFormattable(table: String,
       specOpt: Option[String]): Boolean = {
@@ -1224,8 +1302,35 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
             Some((parts(0), parts(1)))
           case 3 if exists(parts(0) + "." + parts(1)) =>
             Some((parts(0) + "." + parts(1), parts(2)))
+          // xpath column forms (describe_xpath.q):
+          // t.col.$elem$ / t.col.$key$ / t.col.$elem$.member …
+          case n if n >= 3 && exists(parts(0)) =>
+            Some((parts(0), parts.drop(1).mkString(".")))
+          case n if n >= 4 && exists(parts(0) + "." + parts(1)) =>
+            Some((parts(0) + "." + parts(1), parts.drop(2).mkString(".")))
           case _ => None
         }
+    }
+  }
+
+  /** Walk an xpath column reference's trailing tokens through a Spark
+    * DataType the way Hive's DDLSemanticAnalyzer resolves DESCRIBE
+    * xpaths: `$elem$` steps into a list, `$key$`/`$value$` into a map,
+    * a bare name into a struct member. None = unresolvable. */
+  private def walkXpath(dt: org.apache.spark.sql.types.DataType,
+      tokens: List[String]): Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    tokens match {
+      case Nil => Some(dt)
+      case t :: rest => (dt, t.toLowerCase) match {
+        case (ArrayType(et, _), "$elem$") => walkXpath(et, rest)
+        case (MapType(kt, _, _), "$key$") => walkXpath(kt, rest)
+        case (MapType(_, vt, _), "$value$") => walkXpath(vt, rest)
+        case (st: StructType, member) =>
+          st.fields.find(_.name.equalsIgnoreCase(member))
+            .flatMap(f => walkXpath(f.dataType, rest))
+        case _ => None
+      }
     }
   }
 
@@ -1247,9 +1352,15 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
         try {
           val sch = spark.table(quoteName(sandboxQualified(t))).schema
           val meta = metaOf(t).getOrElse(TableMeta("", Nil))
-          sch.fields.exists(_.name.equalsIgnoreCase(c)) &&
-            !meta.partCols.exists(_.equalsIgnoreCase(c)) &&
-            !meta.storedBy && !isViewLike(t)
+          val colOk =
+            if (c.contains('.')) {
+              val tokens = c.split('.').toList
+              !formatted && sch.fields
+                .find(_.name.equalsIgnoreCase(tokens.head))
+                .exists(f => walkXpath(f.dataType, tokens.tail).isDefined)
+            } else sch.fields.exists(_.name.equalsIgnoreCase(c)) &&
+              !meta.partCols.exists(_.equalsIgnoreCase(c))
+          colOk && !meta.storedBy && !isViewLike(t)
         } catch { case _: Exception => false }
       schemaOk && {
         // render first (populates lazy fixture stats and the deny set),
@@ -1357,9 +1468,26 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
   private def descColLines(table: String, typedCol: String,
       formatted: Boolean, specOpt: Option[String]): Seq[String] = {
     val sch = spark.table(quoteName(sandboxQualified(table))).schema
+    val comment = "from deserializer"
+    // xpath form (describe_xpath.q): navigate the nested type; a
+    // terminal STRUCT prints its members (MetaDataFormatUtils renders
+    // the resolved struct's fields), anything else prints one line
+    // named by the last path token.
+    if (typedCol.contains('.')) {
+      val tokens = typedCol.split('.').toList
+      val top = sch.fields.find(_.name.equalsIgnoreCase(tokens.head)).get
+      val resolved = walkXpath(top.dataType, tokens.tail).get
+      require(!formatted, "formatted xpath describe not modeled")
+      return (resolved match {
+        case st: org.apache.spark.sql.types.StructType =>
+          st.fields.toSeq.map(f =>
+            s"${p20(f.name.toLowerCase)}\t${p20(fieldTypeText(f))}\t${p20(comment)}")
+        case other =>
+          Seq(s"${p20(tokens.last.toLowerCase)}\t${p20(other.simpleString)}\t${p20(comment)}")
+      })
+    }
     val f = sch.fields.find(_.name.equalsIgnoreCase(typedCol)).get
     val tpe = fieldTypeText(f)
-    val comment = "from deserializer"
     if (!formatted)
       Seq(s"${p20(typedCol)}\t${p20(tpe)}\t${p20(comment)}")
     else {
@@ -2831,6 +2959,44 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
   // since epoch (ref serde TimestampWritable.longToTimestamp with
   // intToTimestampInSeconds=false via PrimitiveObjectInspectorUtils
   // .getTimestamp), while Spark reads integral casts as SECONDS.
+  /** Hive 1.2's CAST('literal' AS TIMESTAMP) goes through
+    * java.sql.Timestamp.valueOf's LENIENT field normalization
+    * (serde2 PrimitiveObjectInspectorUtils.getTimestampFromString) —
+    * '2002-02-31 00:00:00' rolls to 2002-03-03 where Spark's cast
+    * returns NULL. Normalize out-of-range STRING LITERALS in such
+    * casts to the rolled spelling (identity for valid literals;
+    * format misses are left alone — both engines yield NULL). */
+  private def rewriteLegacyTimestampLiterals(stmt: String): String = {
+    // CAST('lit' AS DATE) is java.sql.Date.valueOf: strict y-m-d shape
+    // (no trailing text), lenient value roll — same normalization.
+    val dateRe = """(?is)\bcast\s*\(\s*'(\d{1,7}-\d{1,7}-\d{1,7})'\s+as\s+date\s*\)""".r
+    val stmtD = dateRe.replaceAllIn(stmt, m => {
+      val d = graft.functions.HiveLegacyDatetime.parseLegacyDate(m.group(1).trim)
+      val repl =
+        if (d == null) m.group(0)
+        else s"cast('${d.format(java.time.format.DateTimeFormatter
+          .ofPattern("uuuu-MM-dd"))}' as date)"
+      java.util.regex.Matcher.quoteReplacement(repl)
+    })
+    val re = """(?is)\bcast\s*\(\s*'([^']+)'\s+as\s+timestamp\s*\)""".r
+    re.replaceAllIn(stmtD, m => {
+      val lit = m.group(1)
+      val parsed = graft.functions.HiveLegacyDatetime.parseLegacyTimestamp(lit)
+      val repl =
+        if (parsed == null) m.group(0)
+        else {
+          val base = parsed.format(java.time.format.DateTimeFormatter
+            .ofPattern("uuuu-MM-dd HH:mm:ss"))
+          val frac =
+            if (parsed.getNano == 0) ""
+            else "." + f"${parsed.getNano}%09d".reverse.dropWhile(_ == '0')
+              .reverse
+          s"cast('$base$frac' as timestamp)"
+        }
+      java.util.regex.Matcher.quoteReplacement(repl)
+    })
+  }
+
   // Doubles are seconds in both. Rewrite only when every identifier in
   // the cast expression resolves to an integral column.
   private val IntTsKeywords = Set("cast", "as", "bigint", "int",
@@ -3130,8 +3296,8 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     // (hiveDecimalAvgCompat) — every front-door caller gets it now
     val stmt0 = rewriteTypedPartitionLiterals(
       rewriteTypedCompares(rewriteTransformTabArg(rewriteMaskChar(
-      rewriteHashChars(rewriteIntTimestampCast(
-        rewriteEximPaths(rewriteComputeStats(substituteVars(stmt0m)))))))))
+      rewriteHashChars(rewriteIntTimestampCast(rewriteLegacyTimestampLiterals(
+        rewriteEximPaths(rewriteComputeStats(substituteVars(stmt0m))))))))))
     // session-context virtualization: the reference harness runs as
     // hive_test_user in db `default`; the runner's session user is the
     // OS user and `default` is a per-script sandbox. current_user()/
@@ -3852,6 +4018,13 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
             name, Option(colOpt), Option(partSpec)) =>
         (MetaQuery, Some(descColDf(name, Option(colOpt),
           kind.equalsIgnoreCase("FORMATTED"), Option(partSpec))))
+      case DescXpathRe(name)
+          if name.contains(".") &&
+            descColFormattable(formatted = false, name, None, None) =>
+        // plain `describe t.col[...xpath]` (describe_xpath.q) — the
+        // table form and the FORMATTED/EXTENDED column form above
+        // both declined
+        (MetaQuery, Some(descColDf(name, None, formatted = false, None)))
       case ShowTableExtRe(tbl, specOpt) if
           showTableExtendedDf(tbl, Option(specOpt)).isDefined =>
         (MetaQuery, showTableExtendedDf(tbl, Option(specOpt)))
