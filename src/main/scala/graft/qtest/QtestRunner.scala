@@ -125,6 +125,13 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       "to_utc_timestamp",
       c => { need2("to_utc_timestamp", c)
         HiveUtcShift(c(0), c(1), invert = true) }, "built-in")
+    // Hive 1.2 outer-join ON-filter placement under
+    // hive.outerjoin.supports.filters=false (join_filters.q family) —
+    // session-scoped optimizer rule, see HiveLegacyOuterJoinFilter
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations :+ new HiveLegacyOuterJoinFilter(
+        () => hiveconf.get("hive.outerjoin.supports.filters")
+          .exists(_.trim.equalsIgnoreCase("false")))
     s
   }
 
@@ -422,6 +429,103 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       i += 1
     }
     (rest.substring(0, i - 1), rest.substring(i))
+  }
+
+  /** Hive-1.2 CTAS derived column names (SemanticAnalyzer.genSelectPlan
+    * autogen aliases + the CBO path's CTAS field derivation, pinned by
+    * ctas_colname.q and parquet_ctas.q goldens):
+    *  - an UNALIASED top-level expression is autogen-named c<i> where i
+    *    is its SELECT-ITEM index (`*` counts as one item): `select *,
+    *    key+1, concat(..)` → key, value, c1, c2;
+    *  - the same autogen inside a one-level `select * from (…) a`
+    *    subquery keeps the analyzer's raw _c<i> (ctas_colname x6/x9);
+    *  - `select *` over a GROUP BY subquery exposes the star-expanded
+    *    keys' ReduceSink-internal _col<j> names (HIVE-4392, the very
+    *    bug ctas_colname regression-tests).
+    * Spark already names aliased and bare-column outputs the Hive way,
+    * so only invalid-identifier outputs (unaliased expressions) and the
+    * star-over-GBY case are renamed. None = a select shape outside the
+    * modeled forms (caller falls back to positional naming). */
+  private[qtest] def hiveCtasColNames(select: String,
+      cols: Seq[String]): Option[Seq[String]] = {
+    def topFromSplit(s: String): Option[(String, String)] = {
+      var depth = 0; var quote: Char = 0; var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (quote != 0) { if (c == quote) quote = 0 }
+        else c match {
+          case '\'' | '"' => quote = c
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case 'f' | 'F' if depth == 0 && i + 4 <= s.length &&
+              s.substring(i, i + 4).equalsIgnoreCase("from") &&
+              (i == 0 || s.charAt(i - 1).isWhitespace) &&
+              (i + 4 == s.length || s.charAt(i + 4).isWhitespace ||
+                s.charAt(i + 4) == '(') =>
+            return Some((s.substring(0, i), s.substring(i + 4)))
+          case _ =>
+        }
+        i += 1
+      }
+      None
+    }
+    def parseItems(sel: String): Option[(Seq[String], String)] =
+      """(?is)\Aselect\s+(?:distinct\s+)?(.*)\z""".r
+        .findFirstMatchIn(sel.trim)
+        .flatMap(m => topFromSplit(m.group(1)))
+        .map { case (items, from) => (splitCols(items), from) }
+    def isStar(it: String) =
+      it.trim == "*" || it.trim.matches("""(?s)`?\w+`?\s*\.\s*\*""")
+    def validIdent(c: String) = c.matches("[A-Za-z_][A-Za-z0-9_]*")
+    def assign(items: Seq[String], autogenPrefix: String,
+        starRename: Option[String]): Option[Seq[String]] = {
+      if (items.count(isStar) > 1) return None
+      val starWidth = cols.length - items.filterNot(isStar).length
+      if (items.exists(isStar) && starWidth < 0) return None
+      if (!items.exists(isStar) && items.length != cols.length) return None
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var ci = 0
+      items.zipWithIndex.foreach { case (it, idx) =>
+        if (isStar(it)) (0 until starWidth).foreach { j =>
+          out += starRename.map(_ + j).getOrElse(cols(ci)); ci += 1
+        } else {
+          out += (if (validIdent(cols(ci))) cols(ci)
+            else autogenPrefix + idx)
+          ci += 1
+        }
+      }
+      Some(out.toSeq)
+    }
+    def hasTopLevelGroupBy(s: String): Boolean = {
+      var depth = 0; var quote: Char = 0; var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (quote != 0) { if (c == quote) quote = 0 }
+        else c match {
+          case '\'' | '"' => quote = c
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case 'g' | 'G' if depth == 0 &&
+              s.substring(i).matches("""(?is)group\s+by\b.*""") =>
+            return true
+          case _ =>
+        }
+        i += 1
+      }
+      false
+    }
+    parseItems(select).flatMap { case (items, from) =>
+      val subFrom = """(?is)\A\s*\((.*)\)\s*(?:as\s+)?`?\w*`?\s*\z""".r
+        .findFirstMatchIn(from)
+      subFrom match {
+        case Some(m) if items.map(_.trim) == Seq("*") =>
+          parseItems(m.group(1)).flatMap { case (inItems, inFrom) =>
+            assign(inItems, "_c",
+              if (hasTopLevelGroupBy(inFrom)) Some("_col") else None)
+          }
+        case _ => assign(items, "c", None)
+      }
+    }
   }
 
   private def createTable(name: String, colBody: String, tail: String,
@@ -1216,18 +1320,18 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
   // Round-13 re-audit (VERDICT r12 #5): stats_only_null and
   // columnStatsUpdateForStatsOptimizer_1 left the list (the
   // COLUMN_STATS form of the accuracy marker and the HIVE-9720 load
-  // rendering are now modeled). Each remaining entry has a physical
-  // cause the parquet realization cannot know:
+  // rendering are now modeled). Round-14: ctas_colname left — the
+  // derived column names (c<i> / _c<i> / _col<j>) are now modeled in
+  // hiveCtasColNames. Each remaining entry has a physical cause the
+  // parquet realization cannot know:
   //   columnStatsUpdateForStatsOptimizer_2 — ORC binary totalSize
   //   ctas                — RCFile binary totalSize (199 bytes pinned)
-  //   ctas_colname        — Hive analyzer-internal derived column
-  //                         names (c1 / _c1 / _col0 by nesting depth)
   //   parallel_orderby    — numFiles = reducer count of the MR job
   //   stats1, stats3      — numFiles = mapper count of the MR job
   //   union_remove_3      — numFiles after the union-remove merge job
   //   parquet_serde, schema_evol_stats, stats11 — binary totalSize
   private val DescFormattedDeny: Set[String] = Set(
-    "columnStatsUpdateForStatsOptimizer_2", "ctas", "ctas_colname",
+    "columnStatsUpdateForStatsOptimizer_2", "ctas",
     "parallel_orderby", "parquet_serde", "schema_evol_stats", "stats1",
     "stats11", "stats3", "union_remove_3")
 
@@ -2997,6 +3101,24 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     })
   }
 
+  /** Hive 1.2 scalar-cast truthiness (ref serde2 PrimitiveObjectInspector
+    * Utils.getBoolean + UDFToString): a STRING casts to boolean by
+    * NON-EMPTINESS ('Foo' → true, '' → false, NULL → NULL) where Spark
+    * only accepts true/false spellings, and a BOOLEAN casts to string
+    * as upper-case TRUE/FALSE. Modeled as a preprocess rewrite on the
+    * literal shapes the goldens exercise (udf_to_boolean/udf_to_string)
+    * — same discipline as rewriteIntTimestampCast. */
+  private def rewriteLegacyScalarCasts(stmt: String): String = {
+    val strBool =
+      """(?is)\bCAST\s*\(\s*CAST\s*\(\s*'([^']*)'\s+AS\s+STRING\s*\)\s+AS\s+BOOLEAN\s*\)""".r
+    val s1 = strBool.replaceAllIn(stmt, m =>
+      if (m.group(1).nonEmpty) "true" else "false")
+    val boolStr =
+      """(?is)\bCAST\s*\(\s*(TRUE|FALSE)\s+AS\s+STRING\s*\)""".r
+    boolStr.replaceAllIn(s1, m =>
+      s"'${m.group(1).toUpperCase(java.util.Locale.ROOT)}'")
+  }
+
   // Doubles are seconds in both. Rewrite only when every identifier in
   // the cast expression resolves to an integral column.
   private val IntTsKeywords = Set("cast", "as", "bigint", "int",
@@ -3297,7 +3419,8 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     val stmt0 = rewriteTypedPartitionLiterals(
       rewriteTypedCompares(rewriteTransformTabArg(rewriteMaskChar(
       rewriteHashChars(rewriteIntTimestampCast(rewriteLegacyTimestampLiterals(
-        rewriteEximPaths(rewriteComputeStats(substituteVars(stmt0m))))))))))
+        rewriteLegacyScalarCasts(
+        rewriteEximPaths(rewriteComputeStats(substituteVars(stmt0m)))))))))))
     // session-context virtualization: the reference harness runs as
     // hive_test_user in db `default`; the runner's session user is the
     // OS user and `default` is a per-script sandbox. current_user()/
@@ -4458,14 +4581,19 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
               .exists(_.trim.equalsIgnoreCase("parquet")))
         }
         val ctasDf = frontDoorSql(select)
-        if (ctasDf.columns.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")))
-          spark.sql(s"CREATE TABLE $ine$name USING parquet AS $select")
-        else {
-          val renamed = ctasDf.toDF(ctasDf.columns.zipWithIndex.map {
+        // Derived names: the select-item-indexed model (ctas_colname/
+        // parquet_ctas goldens) when the select shape is parseable,
+        // else the positional fallback
+        val hiveNames = hiveCtasColNames(select, ctasDf.columns.toIndexedSeq)
+          .getOrElse(ctasDf.columns.toIndexedSeq.zipWithIndex.map {
             case (c, i) => if (c.matches("[A-Za-z_][A-Za-z0-9_]*")) c
               else if (ctasIsParquet) s"c$i"
               else s"_c$i"
-          }.toIndexedSeq: _*)
+          })
+        if (hiveNames == ctasDf.columns.toSeq)
+          spark.sql(s"CREATE TABLE $ine$name USING parquet AS $select")
+        else {
+          val renamed = ctasDf.toDF(hiveNames: _*)
           renamed.createOrReplaceTempView("graft_ctas_src")
           try spark.sql(s"CREATE TABLE $ine$name USING parquet " +
             "AS SELECT * FROM graft_ctas_src")

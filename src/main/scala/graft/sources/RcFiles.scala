@@ -163,8 +163,10 @@ object RcFiles {
     }
     require(fileCols >= 0, "RCFile metadata lacks the mandatory " +
       "hive.io.rcfile.column.number entry")
-    require(fileCols >= nCols,
-      s"RCFile has $fileCols columns, schema asks for $nCols")
+    // fileCols < nCols is legal: Hive's ColumnarSerDe reads missing
+    // trailing columns as NULL (smb_mapjoin_10.q loads 2-column
+    // smbbucket_*.rc files into a 4-column table); the cells arrays
+    // are nCols wide and unfilled slots stay null.
     in.skipBytes(16) // file sync hash
 
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[String]]

@@ -21,8 +21,19 @@ object DtDrive {
         "select months_between(cast('2002-02-31 00:00:00' as timestamp)," +
           " cast('2002-03-01 00:00:00' as timestamp)) as mb").show(false)
     } catch { case e: Throwable => println("FAILED2: " + e) }
-    graft.sources.ThriftSeq.readComplex(s,
-      "/root/reference/data/files/complex.seq").show(15, false)
+    {
+      import org.apache.spark.sql.functions._
+      val raw = s.read.orc("/root/reference/data/files/alltypesorc")
+      val fixed = raw.schema.fields
+        .filter(_.dataType == org.apache.spark.sql.types.TimestampType)
+        .foldLeft(raw)((d, f) => d.withColumn(f.name,
+          to_utc_timestamp(col(f.name), "America/Los_Angeles")))
+      fixed.filter("cint is null and ctinyint is not null")
+        .orderBy("ctinyint", "csmallint", "cint", "cbigint", "cfloat",
+          "cdouble", "cstring1", "cstring2", "ctimestamp1",
+          "ctimestamp2", "cboolean1", "cboolean2")
+        .limit(5).select("ctimestamp1", "ctimestamp2").show(5, false)
+    }
     val stmt = """select
 date_format('2015-04-08', 'E'),
 date_format('2015-04-08', 'G'),
