@@ -93,7 +93,7 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt)
     def contendedSeries(mn: Double, mx: Double): Boolean =
       mn > 0 && mx / mn > 1.5 && (mx - mn) > 0.3
-    val results = selected.map { name =>
+    def measurePass(): Seq[(String, Double, Double, Double)] = selected.map { name =>
       var ok = true
       def timed(): Double = {
         val t0 = System.nanoTime()
@@ -125,6 +125,32 @@ object Bench {
         }
       }
       if (ok) (name, med, mn, mx) else (name, -1.0, -1.0, -1.0)
+    }
+    def passContended(rs: Seq[(String, Double, Double, Double)]): Boolean =
+      rs.exists { case (_, med, mn, mx) => med > 0 && contendedSeries(mn, mx) }
+    def passTotal(rs: Seq[(String, Double, Double, Double)]): Double =
+      rs.map(_._2).filter(_ >= 0).sum
+    var results = measurePass()
+    // Converge-to-idle (VERDICT r13 #8): when per-query retries could
+    // not clear the spread gate, wait for the box to go idle (1-min
+    // loadavg < 2, bounded at 5 min) and re-run the WHOLE suite once;
+    // keep the pass with the lower total (contention only inflates).
+    // This removes the last way a noisy run becomes the committed
+    // record. Disable with SPARK_GRAFT_BENCH_CONVERGE=0.
+    var convergeRerun = false
+    if (passContended(results) &&
+        !sys.env.get("SPARK_GRAFT_BENCH_CONVERGE").contains("0")) {
+      def load1: Double =
+        try loadavg().split(",")(0).toDouble
+        catch { case _: Exception => 0.0 }
+      val deadline = System.nanoTime() + 300L * 1000000000L
+      while (System.nanoTime() < deadline && load1 >= 2.0)
+        Thread.sleep(10000)
+      System.err.println(
+        f"[bench] pass contended — idle re-run (loadavg ${load1}%.2f)")
+      val second = measurePass()
+      convergeRerun = true
+      if (passTotal(second) < passTotal(results)) results = second
     }
     val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
@@ -168,7 +194,7 @@ object Bench {
     val corpusFp = java.lang.Long.toHexString(
       corpusEntries.foldLeft(0L) { case (a, (_, n, h)) => a ^ n ^ h })
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"corpus":$corpus,"corpus_fp":"$corpusFp","load":"$loadAfter","spread_max":$spreadMax,"contended":$contended,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"corpus":$corpus,"corpus_fp":"$corpusFp","load":"$loadAfter","spread_max":$spreadMax,"contended":$contended,"converge_rerun":$convergeRerun,"sf":"$sfDir"}"""
     // full-fidelity artifact on disk — the driver's stdout capture window
     // is finite, so the printed line is a COMPACT summary (3-decimal
     // medians, single corpus fingerprint) guaranteed to fit and parse
@@ -179,7 +205,7 @@ object Bench {
     def r3(x: Double): String = if (x < 0) "-1" else f"$x%.3f"
     val qs3 = results.map { case (k, med, _, _) => "\"" + k + "\":" + r3(med) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"corpus_fp":"$corpusFp","load":"$loadAfter","spread_max":${f"$spreadMax%.2f"},"contended":$contended,"detail":"target/bench.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"corpus_fp":"$corpusFp","load":"$loadAfter","spread_max":${f"$spreadMax%.2f"},"contended":$contended,"converge_rerun":$convergeRerun,"detail":"target/bench.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

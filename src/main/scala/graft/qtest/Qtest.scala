@@ -206,8 +206,31 @@ object Qtest {
         st.fields.indices.map { i =>
           "\"" + st.fields(i).name + "\":" + formatValue(r.get(i), st.fields(i).dataType, top = false)
         }.mkString("{", ",", "}")
-      case CalendarIntervalType | _: DayTimeIntervalType |
-           _: YearMonthIntervalType => v.toString
+      // Hive interval text (common/type/HiveIntervalDayTime.toString
+      // :183 "%s%d %02d:%02d:%02d.%09d" / HiveIntervalYearMonth
+      // "%s%d-%d"), not java.time's ISO-8601 Duration/Period form
+      case _: DayTimeIntervalType =>
+        val micros = v match {
+          case d: java.time.Duration =>
+            d.getSeconds * 1000000L + d.getNano / 1000L
+          case l: Long => l
+        }
+        val sign = if (micros < 0) "-" else ""
+        val a = math.abs(micros)
+        val days = a / 86400000000L
+        val h = a / 3600000000L % 24
+        val m = a / 60000000L % 60
+        val s = a / 1000000L % 60
+        val nanos = a % 1000000L * 1000L
+        f"$sign$days%d $h%02d:$m%02d:$s%02d.$nanos%09d"
+      case _: YearMonthIntervalType =>
+        val months = v match {
+          case p: java.time.Period => p.getYears * 12 + p.getMonths
+          case i: Int => i
+        }
+        val sign = if (months < 0) "-" else ""
+        s"$sign${math.abs(months) / 12}-${math.abs(months) % 12}"
+      case CalendarIntervalType => v.toString
       case other => sys.error(s"qtest formatter: unhandled type $other")
     }
   }

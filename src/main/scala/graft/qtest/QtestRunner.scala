@@ -125,6 +125,18 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
       "to_utc_timestamp",
       c => { need2("to_utc_timestamp", c)
         HiveUtcShift(c(0), c(1), invert = true) }, "built-in")
+    // Hive's interval constructor functions (ref GenericUDFTo
+    // IntervalYearMonth/DayTime, FunctionRegistry names
+    // interval_year_month / interval_day_time): plain casts to the
+    // interval types — Spark parses the same 'y-m' / 'd h:m:s' text.
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "interval_year_month",
+      c => org.apache.spark.sql.catalyst.expressions.Cast(c.head,
+        org.apache.spark.sql.types.YearMonthIntervalType()), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "interval_day_time",
+      c => org.apache.spark.sql.catalyst.expressions.Cast(c.head,
+        org.apache.spark.sql.types.DayTimeIntervalType()), "built-in")
     // Hive 1.2 outer-join ON-filter placement under
     // hive.outerjoin.supports.filters=false (join_filters.q family) —
     // session-scoped optimizer rule, see HiveLegacyOuterJoinFilter
