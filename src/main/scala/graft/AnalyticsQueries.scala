@@ -37,7 +37,9 @@ object AnalyticsQueries {
       SELECT node, coalesce(triangles, 0) AS triangles
       FROM nodes LEFT JOIN pn USING (node)""") { (s, d) =>
       val sampled = sampledCoPurchase(s, d)
-      Graph.triangleCount(sampled, "a", "b")
+      // hint only (identical result): sampledCoPurchase emits distinct
+      // a < b non-null pairs by construction
+      Graph.triangleCount(sampled, "a", "b", assumeNormalized = true)
     },
 
     // -- Weighted k-sample without replacement (Efraimidis–Spirakis):
@@ -649,13 +651,25 @@ object AnalyticsQueries {
     * DuckDB SQL; edit BOTH or oracle parity silently breaks. */
   private def sampledCoPurchase(
       s: org.apache.spark.sql.SparkSession, d: String) = {
-    val ps = Tables.load(s, d, "lineitem")
+    // r15 reshape (same result set, cheaper plan): the former
+    // ps-distinct + o-keyed SELF-JOIN is one aggregation — per order,
+    // collect the DISTINCT supplier set (map-side combinable, dedup
+    // included) and expand its a<b pairs with codegen'd array HOFs.
+    // One scan and one shuffle replace two scans, two distinct
+    // exchanges and a join; per-row pair fan-out is bounded by order
+    // size exactly as the join's per-key fan-out was. String sort
+    // order (array_sort) matches the former sv < sw VARCHAR compare,
+    // so the emitted pair set is identical (DUCK_COPURCHASE unchanged).
+    val ss = array_sort(collect_set(col("sv")))
+    val pairs = Tables.load(s, d, "lineitem")
+      .filter(col("l_orderkey").isNotNull)
       .select(col("l_orderkey").as("o"),
         col("l_suppkey").cast("string").as("sv"))
-      .distinct()
-    val pairs = ps.join(ps.withColumnRenamed("sv", "sw"), "o")
-      .filter(col("sv") < col("sw"))
-      .select(col("sv").as("a"), col("sw").as("b"))
+      .groupBy("o").agg(ss.as("ss"))
+      .select(explode(flatten(transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
     pairs.filter(
       pmod(conv(substring(

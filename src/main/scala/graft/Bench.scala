@@ -120,16 +120,24 @@ object Bench {
         // median is the primary keep-criterion — a retry under uniform
         // steady load (tight spread, uniformly slower) must not replace
         // a faster earlier series. Spread only breaks median ties.
+        // ADVICE r14: when adopting a lower-median retry, keep the
+        // TIGHTER of the two spreads for the contended flag — a noisy
+        // retry that wins the median by a hair must not turn a clean
+        // tight first series into a contended-flagged one.
         if (ok && (m2 < med || (m2 == med && x2 / n2 < mx / mn))) {
-          med = m2; mn = n2; mx = x2
+          med = m2
+          if (x2 / n2 < mx / mn) { mn = n2; mx = x2 }
         }
       }
       if (ok) (name, med, mn, mx) else (name, -1.0, -1.0, -1.0)
     }
     def passContended(rs: Seq[(String, Double, Double, Double)]): Boolean =
       rs.exists { case (_, med, mn, mx) => med > 0 && contendedSeries(mn, mx) }
-    def passTotal(rs: Seq[(String, Double, Double, Double)]): Double =
-      rs.map(_._2).filter(_ >= 0).sum
+    def passOk(rs: Seq[(String, Double, Double, Double)]): Set[String] =
+      rs.collect { case (k, med, _, _) if med >= 0 => k }.toSet
+    def passTotalOver(rs: Seq[(String, Double, Double, Double)],
+        common: Set[String]): Double =
+      rs.collect { case (k, med, _, _) if med >= 0 && common(k) => med }.sum
     var results = measurePass()
     // Converge-to-idle (VERDICT r13 #8): when per-query retries could
     // not clear the spread gate, wait for the box to go idle (1-min
@@ -150,7 +158,15 @@ object Bench {
         f"[bench] pass contended — idle re-run (loadavg ${load1}%.2f)")
       val second = measurePass()
       convergeRerun = true
-      if (passTotal(second) < passTotal(results)) results = second
+      // ADVICE r14: compare passes only over queries that succeeded in
+      // BOTH, and never adopt a pass that introduces new failures — a
+      // second pass in which a query errored has a smaller filtered
+      // total and would otherwise silently replace a fully-successful
+      // first pass (committing -1 measurements as the bench record).
+      val common = passOk(results)
+      if (common.subsetOf(passOk(second)) &&
+          passTotalOver(second, common) < passTotalOver(results, common))
+        results = second
     }
     val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
@@ -177,7 +193,11 @@ object Bench {
     // testdata between rounds; without this, a per-query delta cannot
     // be attributed between plan change and data change (VERDICT r06
     // "what's wrong" #2).
-    val corpusEntries = Tables.names.map { t =>
+    // SPARK_GRAFT_BENCH_CORPUS=0 skips the (untimed) fingerprint scan —
+    // iteration-loop convenience only; the default (on) is the driver
+    // contract, and every committed artifact carries the fingerprint.
+    val fpOn = !sys.env.get("SPARK_GRAFT_BENCH_CORPUS").contains("0")
+    val corpusEntries = (if (fpOn) Tables.names else Seq.empty[String]).map { t =>
       try {
         val df = Tables.load(spark, sfDir, t)
         val row = df.selectExpr("count(1)",

@@ -37,13 +37,18 @@ object Round8Queries {
       FROM ranked GROUP BY 1""") { (s, d) =>
       val li = Tables.load(s, d, "lineitem")
         .select(col("l_returnflag").as("grp"), col("l_extendedprice").as("v"))
-      val prev = s.conf.get("spark.graft.stats.rankSortThreshold", "2000000")
-      s.conf.set("spark.graft.stats.rankSortThreshold", "1000")
+      // r15: force the SELECTION path directly (rankPath=select) —
+      // this query exists to bench that plan at every SF, so paying
+      // the dispatcher's sizing scan each run measured only overhead
+      // (the previous low-threshold force reached the same plan). The
+      // dispatcher's auto arm stays continuously benched by q235.
+      val prev = s.conf.get("spark.graft.stats.rankPath", "auto")
+      s.conf.set("spark.graft.stats.rankPath", "select")
       try
         operators.Stats.rankQuantiles(li, "grp", "v", Seq(
           "p25" -> BigDecimal("0.25"), "p50" -> BigDecimal("0.5"),
           "p75" -> BigDecimal("0.75"), "p99" -> BigDecimal("0.99")))
-      finally s.conf.set("spark.graft.stats.rankSortThreshold", prev)
+      finally s.conf.set("spark.graft.stats.rankPath", prev)
     },
 
     // -- The same quantile dispatcher at the DEFAULT 2 M threshold

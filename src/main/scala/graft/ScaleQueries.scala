@@ -626,7 +626,12 @@ object ScaleQueries {
         .distinct()
       val edges = half.union(
         half.select(col("dst").as("src"), col("src").as("dst")))
-      Graph.pageRank(edges, "src", "dst", iters = 3)
+      // optimization hints only (identical result): `half` is distinct
+      // and its two union branches live in disjoint key namespaces
+      // ("c…"×"s…" vs "s…"×"c…"), so the edge list is distinct by
+      // construction; symmetrization makes every node a source.
+      Graph.pageRank(edges, "src", "dst", iters = 3,
+        assumeEdgesDistinct = true, assumeAllNodesAreSources = true)
     },
 
     // -- Interval-overlap join: bucketized equi-join + residual filter

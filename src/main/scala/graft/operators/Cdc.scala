@@ -152,9 +152,11 @@ object Cdc {
     * (per key, every batch order value > the key's last `valid_from`) —
     * version collapse is order-sensitive, so late-arriving data needs a
     * replay from the full log instead. Violations fail loudly (one
-    * aggregate over the touched keys, not a full-history pass) rather
-    * than silently producing a history that a from-scratch rebuild
-    * would contradict. Equivalence to the full rebuild is spec-pinned.
+    * aggregate over the touched keys, not a full-history pass, embedded
+    * in the output plan so the check rides the job the caller already
+    * pays and raises when the result materializes) rather than silently
+    * producing a history that a from-scratch rebuild would contradict.
+    * Equivalence to the full rebuild is spec-pinned.
     *
     * `history` must be in scdType2's output shape; `orderCols` is the
     * batch's ordering (first column is the `valid_from` source, the rest
@@ -176,17 +178,21 @@ object Cdc {
     val touched = batch.select(keyCols.map(col): _*).distinct()
     val untouched = history.join(touched, keyCols, "left_anti")
     val affectedHist = history.join(touched, keyCols, "left_semi")
-    // loud late-data guard: newest stored valid_from vs oldest batch row
+    // loud late-data guard: newest stored valid_from vs oldest batch
+    // row. r15: evaluated LAZILY inside the output plan (a one-row
+    // violation-count scalar cross-joined into the rebuilt branch and
+    // asserted per-row) instead of an eager count() — same aggregate
+    // over the touched keys, but it rides the job the caller already
+    // pays instead of a separate driver-blocking action. A violation
+    // still fails the apply loudly (now when its result materializes —
+    // the streaming sink's batch contract is unchanged).
     val lateCount = affectedHist
       .groupBy(keyCols.map(col): _*)
       .agg(max(col("valid_from")).as("__last"))
       .join(batch.groupBy(keyCols.map(col): _*)
         .agg(min(col(vc)).as("__first")), keyCols)
       .filter(col("__first") <= col("__last"))
-      .count()
-    require(lateCount == 0L,
-      s"scdType2Apply: $lateCount key(s) have batch rows at or before " +
-        "their stored history — late data needs a full-log rebuild")
+      .agg(count(lit(1)).as("__late"))
     // Per-key replay position: history versions first (chain order), then
     // batch rows (their own orderCols) — the guard above guarantees every
     // batch row is strictly later, so (segment, row_number) totally orders
@@ -205,7 +211,20 @@ object Cdc {
           lit(1).as("__seg") :+ row_number().over(batchW).as("__pos"): _*))
     val rebuilt =
       scdType2(replay, keyCols, Seq("__seg", "__pos"), attrCols, validCol = vc)
-    untouched.select(outCols: _*).unionByName(rebuilt.select(outCols: _*))
+    // guard attachment: every rebuilt row filters through the one-row
+    // broadcast violation count (assert_true returns NULL ⇒ keep row;
+    // a non-zero count raises instead). Violations imply a non-empty
+    // rebuilt branch (the violating keys are touched), so the check
+    // cannot be skipped by emptiness; a clean batch costs one
+    // broadcast scalar.
+    val guarded = rebuilt
+      .crossJoin(broadcast(lateCount))
+      .filter(assert_true(col("__late") === 0L,
+        concat(lit("scdType2Apply: "), col("__late"),
+          lit(" key(s) have batch rows at or before their stored " +
+            "history — late data needs a full-log rebuild"))).isNull)
+      .drop("__late")
+    untouched.select(outCols: _*).unionByName(guarded.select(outCols: _*))
   }
 
   /** Point-in-time enrichment against an `scdType2` history: each fact

@@ -431,11 +431,17 @@ object Dedup {
       maxBucket: Int = 100000): DataFrame = {
     require(spanTokens >= 2, "spanTokens must be >= 2")
     val toks = TextOps.tokens(col(textCol))
-    // persisted: this frame feeds the bucket-size guard AND both sides
-    // of the verifying self-join (plan-identical sides share one
-    // exchange) — unpersisted, the corpus would re-tokenize and re-build
-    // every gram string per consumer (the minhash working-set
-    // discipline; released below once the small pair set materializes)
+    // The gram stream is materialized ONCE, already h-partitioned: the
+    // bucket-size guard, the cap join, and both sides of the verifying
+    // self-join are all keyed on h, so every consumer reads the cached
+    // h-layout exchange-free (HashPartitioning(h) satisfies each one's
+    // required distribution — cached plans keep their partitioning,
+    // spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+    // default). Previously the cache held UNpartitioned grams and the
+    // candidate self-join re-exchanged them; the r15 reshape moves the
+    // one unavoidable h-shuffle BEFORE the persist so it is paid once
+    // into the cache instead of once per downstream plan (released
+    // below once the small pair set materializes).
     val gramText = df
       .select(col(idCol).as("id"), toks.as("__t"))
       .filter(size(col("__t")) >= spanTokens)
@@ -446,6 +452,7 @@ object Dedup {
         .as("pg"))
       .select(col("id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"),
         xxhash64(col("pg.gram")).as("h"))
+      .repartition(col("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ok = gramText.groupBy("h").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= maxBucket).select("h")
@@ -490,6 +497,15 @@ object Dedup {
       maxDf: Int = 1000): DataFrame = {
     require(spanTokens >= 2, "spanTokens must be >= 2")
     val toks = TextOps.tokens(col(textCol))
+    // the sharedSpans discipline: the gram stream is materialized ONCE,
+    // already h-partitioned, so the df-cap aggregate, the cap join and
+    // both self-join sides (all h-keyed) read the cache exchange-free.
+    // The per-doc gram dedup runs AFTER the repartition: equal (id, g)
+    // rows share h and so a partition, and dedup on all three columns
+    // (≡ dedup on (id, g) — h is a function of g) keeps h among the
+    // grouping keys so the h-partitioning satisfies the aggregate —
+    // dedup costs no extra shuffle where distinct-then-hash previously
+    // paid a full (id, g)-string exchange.
     val grams = df
       .select(col(idCol).as("id"), toks.as("__t"))
       .filter(size(col("__t")) >= spanTokens)
@@ -497,8 +513,9 @@ object Dedup {
         sequence(lit(1), size(col("__t")) - (spanTokens - 1)),
         i => concat_ws(" ", slice(col("__t"), i, lit(spanTokens)))))
         .as("g"))
-      .distinct()
       .select(col("id"), col("g"), xxhash64(col("g")).as("h"))
+      .repartition(col("h"))
+      .dropDuplicates()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ok = grams.groupBy("h").agg(countDistinct(col("id")).as("gdf"))
       .filter(col("gdf") <= maxDf).select("h")

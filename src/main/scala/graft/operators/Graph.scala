@@ -40,7 +40,9 @@ object Graph {
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, damping: Double = 0.85,
-      redistributeDangling: Boolean = false, tol: Double = 0.0): DataFrame = {
+      redistributeDangling: Boolean = false, tol: Double = 0.0,
+      assumeEdgesDistinct: Boolean = false,
+      assumeAllNodesAreSources: Boolean = false): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(tol >= 0.0, "tol must be >= 0")
     // decimal-exact teleport constant: 1 - 0.85 in binary doubles is
@@ -50,26 +52,55 @@ object Graph {
     val teleport = (BigDecimal(1) - BigDecimal(damping)).toDouble
     // pre-partition the edge list on src: every round's rank join then
     // lines up with the checkpoint-preserved hash(node) layout of the
-    // rank table, so the only per-round exchange is the mass aggregate
-    val e = edges
+    // rank table, so the only per-round exchange is the mass aggregate.
+    // One exchange, not distinct-then-repartition's two: dedup AFTER the
+    // src repartition is globally correct (equal (src,dst) rows land in
+    // the same src partition) and HashPartitioning(src) satisfies the
+    // dedup aggregate's ClusteredDistribution(src,dst), so Catalyst
+    // plans no second shuffle. Callers that already guarantee a
+    // distinct edge list (q173 builds one by construction) skip the
+    // dedup aggregate entirely via `assumeEdgesDistinct` — an
+    // optimization hint, never a semantic change.
+    val eRaw = edges
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
-      .distinct()
       .repartition(col("src"))
+    val e = (if (assumeEdgesDistinct) eRaw else eRaw.dropDuplicates())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // the rank table carries the static out-degree so each round is
       // ONE edge join + one aggregate, not two joins; node table built
-      // once and checkpoint-pinned (it anchors every round's left join)
+      // once and checkpoint-pinned (it anchors every round's left join).
+      // outdeg groups on the persisted frame's own partitioning key —
+      // exchange-free. For symmetrized graphs (every node has an
+      // out-edge, e.g. q173's union of both directions) the outdeg
+      // table IS the node table: `assumeAllNodesAreSources` skips the
+      // union-distinct over 2|E| rows and its left join.
       val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      val nodes = e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct()
-        .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      val nodes = (if (assumeAllNodesAreSources)
+          outdeg.select(col("src").as("node"), col("outdeg"))
+        else e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct()
+          .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left"))
         .localCheckpoint(true)
       val nV: Long =
         if (redistributeDangling || tol > 0) nodes.count() else 0L
       var pr = nodes.withColumn("pr", lit(1.0))
       var prevCut: DataFrame = null
+      // r15: the eager per-round cut is only REQUIRED when a driver
+      // scalar reads the previous round each round (dangling mass /
+      // tol delta) — without it those reads would recompute the whole
+      // chain per round. The default fixed-rounds mode is a LINEAR
+      // chain (each round's rank table is consumed exactly once by the
+      // next round), so intermediate rounds need no materialization:
+      // one action evaluates every round, saving a driver-blocking
+      // checkpoint job per round; a periodic cut (every `cutEvery`
+      // rounds) still bounds plan/optimizer growth for large `iters`,
+      // and the FINAL round keeps its eager checkpoint (the returned
+      // frame must be pinned before the edge cache is released).
+      val perRoundCut = redistributeDangling || tol > 0
+      val cutEvery = 8
+      var sinceCut = 0
       var i = 1
       var converged = false
       while (i <= iters && !converged) {
@@ -91,18 +122,28 @@ object Graph {
             round(col("pr") / col("outdeg"), 12)
               .cast("decimal(28,12)").as("w"))
           .groupBy("dst").agg(sum("w").as("mass"))
-        pr = nodes
+        val prNext = nodes
           .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
           .select(col("node"), col("outdeg"),
             round(lit(teleport) +
               lit(damping) * (coalesce(col("mass").cast("double"), lit(0.0)) +
                 lit(danglingPerNode)),
               9).as("pr"))
-          // eager cut per round (the connectedComponents discipline):
-          // keeps the plan bounded and each round's shuffle work done
-          // exactly once; the previous round's pinned blocks go as soon
-          // as the new round is materialized
-          .localCheckpoint(true)
+        sinceCut += 1
+        val doCut = perRoundCut || i == iters || sinceCut >= cutEvery
+        // the previous pinned round is released only AFTER the tol
+        // delta below has read it (prevPr must stay pinned through the
+        // measurement)
+        var toRelease: DataFrame = null
+        pr = if (doCut) {
+          // eager cut (the connectedComponents discipline): bounds the
+          // plan and pins this round's shuffle work
+          val cut = prNext.localCheckpoint(true)
+          toRelease = prevCut
+          prevCut = cut
+          sinceCut = 0
+          cut
+        } else prNext
         if (tol > 0 && nV > 0) {
           // mean absolute rank change; prevPr is still pinned here —
           // its release happens only after the delta is measured
@@ -112,9 +153,8 @@ object Graph {
             .head().getDouble(0)
           converged = l1 / nV <= tol
         }
-        if (prevCut != null)
-          org.apache.spark.sql.graftbridge.CheckpointBridge.release(prevCut)
-        prevCut = pr
+        if (toRelease != null)
+          org.apache.spark.sql.graftbridge.CheckpointBridge.release(toRelease)
         i += 1
       }
       // the final round's checkpoint backs the returned frame (the one
@@ -231,17 +271,31 @@ object Graph {
     *
     * Returns (node, triangles) for every node incident to at least one
     * edge; self-loops and duplicate/reversed edges are tolerated. */
-  def triangleCount(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val und = edges
-      .select(least(col(aCol).cast("string"), col(bCol).cast("string")).as("a"),
-        greatest(col(aCol).cast("string"), col(bCol).cast("string")).as("b"))
-      .filter(col("a").isNotNull && col("a") =!= col("b"))
-      .distinct()
+  def triangleCount(edges: DataFrame, aCol: String, bCol: String,
+      assumeNormalized: Boolean = false): DataFrame = {
+    // `assumeNormalized` (optimization hint, never a semantic change):
+    // the caller guarantees a < b, non-null, distinct edges — q184's
+    // sampled co-purchase graph is built exactly so — and the
+    // normalize + distinct exchange is skipped.
+    val und0 =
+      if (assumeNormalized)
+        edges.select(col(aCol).cast("string").as("a"),
+          col(bCol).cast("string").as("b"))
+      else edges
+        .select(least(col(aCol).cast("string"), col(bCol).cast("string")).as("a"),
+          greatest(col(aCol).cast("string"), col(bCol).cast("string")).as("b"))
+        .filter(col("a").isNotNull && col("a") =!= col("b"))
+        .distinct()
+    val und = und0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val deg = und.select(col("a").as("v"))
-        .union(und.select(col("b").as("v")))
+      // r15: one cache pass (explode) instead of union's two, and the
+      // degree table is persisted — it anchors BOTH orientation joins
+      // and the final zero-fill join, which otherwise re-aggregate it
+      // three times
+      val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
         .groupBy("v").agg(count(lit(1)).as("d"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // orient toward the (degree, id)-larger endpoint; carry the head's
       // degree so the wedge filter can compare order keys without a
       // second degree join
@@ -278,7 +332,7 @@ object Graph {
           .select(col("node"),
             coalesce(col("triangles"), lit(0L)).as("triangles"))
           .localCheckpoint(true)
-      } finally oriented.unpersist(false)
+      } finally { oriented.unpersist(false); deg.unpersist(false) }
     } finally und.unpersist(false)
   }
 

@@ -96,12 +96,24 @@ object Stats {
     // of choosing the right plan.
     val threshold = nn.sparkSession.conf
       .get("spark.graft.stats.rankSortThreshold", "2000000").toLong
-    val maxGroup = nn.groupBy(groupCol).agg(count(lit(1)).as("__n"))
-      .agg(max("__n")).collect().headOption
-      .flatMap(r => Option(r.get(0))).map(_.asInstanceOf[Long])
-      .getOrElse(0L)
-    if (maxGroup <= threshold) sortQuantiles(nn, groupCol, valCol, ps)
-    else selectQuantiles(nn, groupCol, valCol, ps)
+    // r15: spark.graft.stats.rankPath = auto | sort | select. A caller
+    // that already knows its group-size regime (q234 benches the
+    // selection plan unconditionally) forces the path directly and
+    // skips the sizing scan; `auto` (default) keeps the measured
+    // dispatch. Both paths are exact and bit-identical.
+    val path = nn.sparkSession.conf
+      .get("spark.graft.stats.rankPath", "auto")
+    path match {
+      case "sort" => sortQuantiles(nn, groupCol, valCol, ps)
+      case "select" => selectQuantiles(nn, groupCol, valCol, ps)
+      case _ =>
+        val maxGroup = nn.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+          .agg(max("__n")).collect().headOption
+          .flatMap(r => Option(r.get(0))).map(_.asInstanceOf[Long])
+          .getOrElse(0L)
+        if (maxGroup <= threshold) sortQuantiles(nn, groupCol, valCol, ps)
+        else selectQuantiles(nn, groupCol, valCol, ps)
+    }
   }
 
   /** Small-group path: per-group sort via row_number — one shuffle,

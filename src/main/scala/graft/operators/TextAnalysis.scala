@@ -333,11 +333,22 @@ object TextAnalysis {
   def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame = {
     val session = df.sparkSession
     import session.implicits._
-    var words = df
+    // the ONLY corpus-scale pass: eager-checkpointed so no round can
+    // ever re-tokenize the corpus
+    val initial = df
       .select(explode(TextOps.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(concat_ws(" ", split(col("w"), "")).as("sym"), col("cnt"))
       .localCheckpoint(true)
+    var words = initial
+    // r15: each round's folded dictionary is a LAZY persist, not an
+    // eager localCheckpoint — the next round's argmax aggregate is the
+    // action that materializes it, so every merge round costs exactly
+    // ONE driver-blocking job instead of two (checkpoint + argmax).
+    // The previous round's cache is released only after the argmax has
+    // landed the new one; the bounded vocabulary table keeps both the
+    // cache and the 1-fold-deep recompute-on-eviction trivial.
+    var pending: DataFrame = null
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -353,21 +364,26 @@ object TextAnalysis {
         .agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("l"), col("r"))
         .limit(1).collect()
+      // the argmax above materialized `words` — the round before it
+      // can go now
+      if (pending != null) { pending.unpersist(false); pending = null }
       if (best.isEmpty) exhausted = true
       else {
         val (l, r, c) = (best.head.getString(0), best.head.getString(1),
           best.head.getLong(2))
         learned += ((step, l, r, c))
-        val prev = words
+        pending = words
         words = words.select(
           mergeFold(col("sym"), l, r).as("sym"),
-          col("cnt")).localCheckpoint(true)
-        org.apache.spark.sql.graftbridge.CheckpointBridge.release(prev)
+          col("cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         step += 1
       }
     }
     val out = learned.toSeq.toDF("step", "left", "right", "cnt")
-    org.apache.spark.sql.graftbridge.CheckpointBridge.release(words)
+    words.unpersist(false)
+    if (pending != null) pending.unpersist(false)
+    org.apache.spark.sql.graftbridge.CheckpointBridge.release(initial)
     out
   }
 

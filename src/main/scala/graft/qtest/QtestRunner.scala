@@ -397,8 +397,11 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
     // LazyUtils.getByte (serde2/lazy/LazyUtils.java:439): a delimiter
     // string that parses as a BYTE VALUE means that byte — '1' is
     // Ctrl-A, '10' is newline (input_dynamicserde.q) — before any
-    // first-char fallback.
-    try return Integer.parseInt(s).toByte.toChar.toString
+    // first-char fallback. ADVICE r14: Byte.parseByte, not
+    // Integer.parseInt(..).toByte — getByte uses Byte.valueOf, so an
+    // out-of-byte-range numeric like '200' must throw and take the
+    // first-char fallback, not silently truncate to (byte)200.
+    try return java.lang.Byte.parseByte(s).toChar.toString
     catch { case _: NumberFormatException => () }
     val oct = """\\([0-7]{1,3})""".r.replaceAllIn(
       s.replace("\\t", "\t").replace("\\u0001", "\u0001"),
@@ -1420,10 +1423,14 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
             Some((parts(0) + "." + parts(1), parts(2)))
           // xpath column forms (describe_xpath.q):
           // t.col.$elem$ / t.col.$key$ / t.col.$elem$.member …
-          case n if n >= 3 && exists(parts(0)) =>
-            Some((parts(0), parts.drop(1).mkString(".")))
+          // ADVICE r14: try the qualified db.table resolution BEFORE
+          // the bare parts(0) resolution (mirroring the 2/3-part
+          // ordering) so `db.table.col.$elem$` is not misresolved to
+          // table=db whenever a table named like the db exists.
           case n if n >= 4 && exists(parts(0) + "." + parts(1)) =>
             Some((parts(0) + "." + parts(1), parts.drop(2).mkString(".")))
+          case n if n >= 3 && exists(parts(0)) =>
+            Some((parts(0), parts.drop(1).mkString(".")))
           case _ => None
         }
     }
@@ -3698,16 +3705,27 @@ final class QtestRunner(base: SparkSession, refRoot: String = "/root/reference")
         val scanInputs =
           try {
             val plan = spark.sessionState.sqlParser.parsePlan(stmt)
-            val queryChild = plan match {
+            def rels(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+              p.collect {
+                case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+                  r.multipartIdentifier.mkString(".")
+              }
+            plan match {
               case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement =>
-                i.query
-              case other => other
+                rels(i.query).distinct
+              // ADVICE r14: for other write-statement plan shapes,
+              // collect only from the QUERY SUBTREES (children), not
+              // the whole plan — a write shape whose target is modeled
+              // as a relation node must not demand SELECT on it.
+              case other => other.children.flatMap(rels).distinct
             }
-            queryChild.collect {
-              case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-                r.multipartIdentifier.mkString(".")
-            }.distinct
-          } catch { case _: Exception => Nil }
+          } catch { case _: Exception =>
+            // ADVICE r14: parsePlan failure must not silently skip
+            // read-authorization — fall back to name-based extraction
+            // of FROM/JOIN sources.
+            """(?is)\b(?:FROM|JOIN)\s+`?([A-Za-z_][\w.]*)`?""".r
+              .findAllMatchIn(stmt).map(_.group(1)).toSeq.distinct
+          }
         scanInputs.foreach(t => need(t, "select", "QUERY"))
       case "DROP"
           if """(?is)\A\s*DROP\s+(TABLE|VIEW)\b.*""".r.matches(stmt) =>

@@ -182,12 +182,15 @@ class CdcSpec extends SparkSpec {
     assert(out.filter($"k" === 2).collect().map(_.toSeq).toSet ==
       hist.filter($"k" === 2).collect().map(_.toSeq).toSet)
     assert(out.filter($"k" === 1 && $"is_current").head.getString(1) == "c")
-    // ts=4 is before key 1's last version (ts=5) → reject
-    intercept[IllegalArgumentException] {
+    // ts=4 is before key 1's last version (ts=5) → reject. The guard
+    // is plan-embedded (r15): it raises when the result materializes.
+    val late = intercept[Exception] {
       Cdc.scdType2Apply(hist,
         Seq((1L, 4L, "z")).toDF("k", "ts", "attr"), Seq("k"), Seq("ts"),
-        Seq("attr"))
+        Seq("attr")).collect()
     }
+    assert(late.getMessage.contains("full-log rebuild") ||
+      Option(late.getCause).exists(_.getMessage.contains("full-log rebuild")))
   }
 
   test("scd2 incremental apply == rebuild under duplicate order values " +

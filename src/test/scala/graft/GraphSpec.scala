@@ -132,4 +132,45 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(once == again)
   }
+
+  test("pageRank r15 hints (edges-distinct, all-nodes-are-sources) are " +
+    "result-invariant on a symmetric distinct edge list") {
+    // symmetrized distinct graph: both hint preconditions hold
+    val half = (0L until 60L).map(i => (s"a$i", s"b${(i * 3) % 40}")).distinct
+    val edges = (half ++ half.map(_.swap)).distinct.toDF("src", "dst")
+    val plain = Graph.pageRank(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val hinted = Graph.pageRank(edges, "src", "dst", iters = 3,
+        assumeEdgesDistinct = true, assumeAllNodesAreSources = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(plain == hinted && plain.nonEmpty)
+  }
+
+  test("pageRank: many fixed rounds exercise the periodic lineage cut " +
+    "and match a per-round-cut mode on ranks") {
+    val edges = (0L until 50L).map(i => (s"n$i", s"n${(i * 11) % 50}"))
+      .toDF("src", "dst")
+    // 10 rounds crosses the cutEvery=8 boundary; tol=0 keeps lazy rounds
+    val lazyRounds = Graph.pageRank(edges, "src", "dst", iters = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // redistributeDangling=false + tiny tol>0 forces the eager per-round
+    // path WITHOUT changing the arithmetic (tol never met in 10 rounds
+    // on this cyclic graph ⇒ same 10 rounds, eagerly cut)
+    val eagerRounds = Graph.pageRank(edges, "src", "dst", iters = 10,
+        tol = 1e-300)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(lazyRounds == eagerRounds && lazyRounds.nonEmpty)
+  }
+
+  test("triangleCount assumeNormalized is result-invariant on " +
+    "normalized distinct edges") {
+    val k4 = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d")).toDF("x", "y")
+    val plain = Graph.triangleCount(k4, "x", "y")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hinted = Graph.triangleCount(k4, "x", "y", assumeNormalized = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plain == hinted && plain == Map(
+      "a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
 }

@@ -74,6 +74,19 @@ class StatsSpec extends SparkSpec {
           (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
       assert(selected == sorted,
         s"selection path diverged: $selected vs $sorted")
+      // r15: the rankPath conf forces each path directly (skipping the
+      // sizing scan) — both forced paths must equal the dispatched ones
+      spark.conf.set("spark.graft.stats.rankPath", "select")
+      val forcedSel = Stats.rankQuantiles(df, "grp", "v", ps)
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      spark.conf.set("spark.graft.stats.rankPath", "sort")
+      val forcedSort = Stats.rankQuantiles(df, "grp", "v", ps)
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      spark.conf.unset("spark.graft.stats.rankPath")
+      assert(forcedSel == sorted && forcedSort == sorted,
+        s"forced rankPath diverged: sel=$forcedSel sort=$forcedSort")
       // the full winsorize/robustScale/MAD envelope rides the same
       // machinery — spot-check one composite on the selection path
       val w = Stats.robustScale(df.filter(col("v").isNotNull), "grp", "v")

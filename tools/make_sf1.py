@@ -92,9 +92,25 @@ TABLES = {
 
 import os
 
+# r15 (VERDICT r14 #4): pin the write order — without an ORDER BY,
+# DuckDB's parallel COPY emits rows in a nondeterministic order, so the
+# parquet row layout (and therefore partition-local token/gram
+# distributions seen by the text-pipeline benches) varied per
+# regeneration, moving sf1 anchors ±20-30% with identical content and
+# plans. The sort key is the primary key, so regenerated decade anchors
+# now compare like-for-like; the order-independent corpus fingerprint
+# is unchanged by construction.
+SORT = {
+    "region": "r_regionkey", "nation": "n_nationkey",
+    "customer": "c_custkey", "supplier": "s_suppkey", "part": "p_partkey",
+    "orders": "o_orderkey", "lineitem": "l_orderkey, l_linenumber, l_partkey",
+    "events": "event_id", "documents": "doc_id", "embeddings": "vec_id",
+}
+
 os.makedirs(OUT, exist_ok=True)
 for name, q in TABLES.items():
     out = f"{OUT}/{name}.parquet"
-    con.execute(f"COPY ({q}) TO '{out}' (FORMAT PARQUET)")
+    con.execute(f"COPY (SELECT * FROM ({q}) ORDER BY {SORT[name]}) "
+                f"TO '{out}' (FORMAT PARQUET)")
     n = con.execute(f"SELECT count(*) FROM parquet_scan('{out}')").fetchone()[0]
     print(f"{name}: {n} rows -> {out}")
