@@ -54,7 +54,7 @@ object Bench {
     val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
       new java.io.File("target/jvm-tmp").getAbsolutePath)
     new java.io.File(localDir).mkdirs()
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", cpus)
@@ -63,7 +63,16 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B hook for config experiments (guide §1.2: config LAST, and
+    // only measured): SPARK_GRAFT_CONF="k=v;k=v" overlays arbitrary
+    // session confs for a measurement leg. Unset (the driver's run) the
+    // bench uses exactly the defaults above.
+    val spark = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .foldLeft(builder) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k, v)
+      }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def runOnce(name: String): Unit =

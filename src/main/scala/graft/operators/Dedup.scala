@@ -581,6 +581,11 @@ object Dedup {
       .select(col("cid"), col("ncv"))
     // nearest centroid; ties break to the lowest cid so assignment is
     // deterministic under any aggregation merge order
+    // r15: the assignment table anchors FOUR consumers (the cluster-size
+    // cap, both sides of the intra-cluster join, and the final output) —
+    // persist it once instead of re-running the k-way scoring crossJoin
+    // per consumer; the slim (id, cid, dropped) result is pinned before
+    // the working set is released (the minhashNearDups discipline).
     val best = base.crossJoin(broadcast(ncent))
       .select(col("id"), col("nv"), col("cid"),
         Vectors.dot(col("nv"), col("ncv")).as("sim"))
@@ -588,6 +593,7 @@ object Dedup {
       .agg(min_by(struct(col("cid"), col("nv")),
         struct(-col("sim"), col("cid"))).as("b"))
       .select(col("id"), col("b.cid").as("cid"), col("b.nv").as("nv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prunable = best.join(
       best.groupBy("cid").agg(count(lit(1)).as("cn"))
         .filter(col("cn") <= maxCluster).select("cid"),
@@ -598,8 +604,12 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .filter(Vectors.dot(col("nv_a"), col("nv_b")) >= eps)
       .select(col("id_b").as("id")).distinct()
-    best.join(droppedIds.withColumn("d", lit(true)), Seq("id"), "left_outer")
+    val out = best
+      .join(droppedIds.withColumn("d", lit(true)), Seq("id"), "left_outer")
       .select(col("id"), col("cid"),
         coalesce(col("d"), lit(false)).as("dropped"))
+      .localCheckpoint(true)
+    best.unpersist(false)
+    out
   }
 }

@@ -107,10 +107,14 @@ SORT = {
     "events": "event_id", "documents": "doc_id", "embeddings": "vec_id",
 }
 
+# --no-sort reproduces the pre-r15 nondeterministic layout, for A/B
+# measurement of layout sensitivity only (SCALE.md adjudication)
+NO_SORT = "--no-sort" in sys.argv
+
 os.makedirs(OUT, exist_ok=True)
 for name, q in TABLES.items():
     out = f"{OUT}/{name}.parquet"
-    con.execute(f"COPY (SELECT * FROM ({q}) ORDER BY {SORT[name]}) "
-                f"TO '{out}' (FORMAT PARQUET)")
+    sel = q if NO_SORT else f"SELECT * FROM ({q}) ORDER BY {SORT[name]}"
+    con.execute(f"COPY ({sel}) TO '{out}' (FORMAT PARQUET)")
     n = con.execute(f"SELECT count(*) FROM parquet_scan('{out}')").fetchone()[0]
     print(f"{name}: {n} rows -> {out}")
